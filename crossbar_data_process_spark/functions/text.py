@@ -1,0 +1,96 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(engine extension beyond the reference's surface; SURVEY.md §7.1 step 7).
+
+Pure Column expressions over a ``text`` column — JVM-side, codegen-friendly,
+linear in input size, no shuffle. Each has an exact ANSI-SQL oracle
+(see __spark_entry__.oracle_sql) so correctness is checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic; real deployments would swap in a fastText-style model via a
+# Pandas UDF — the engine keeps the interface (text -> lang code) identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "y"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization to a native array (empty tokens dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), "\\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.size(tokens(col))
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), F.lit(0)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: score each language by marker-word hit count,
+    pick the argmax (ties broken by language-code order, 'und' =
+    undetermined when nothing hits). Deterministic, oracle-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(c, words).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return F.when(n > 0, F.round(_marker_hits(c, STOPWORDS) / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def non_alnum_ratio(col: Column | str) -> Column:
+    """Share of characters that are not alphanumeric/whitespace (punctuation
+    density — a standard junk-text signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    junk = n - F.length(F.regexp_replace(c, "[a-zA-Z0-9\\s]", ""))
+    return F.when(n > 0, F.round((n - junk) / n, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: length band + stopword presence −
+    punctuation density. A cheap filter stage for pretraining pipelines;
+    thresholds are illustrative and deliberately simple so the DuckDB oracle
+    states the same arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop = F.least(stopword_ratio(c) * 2, F.lit(0.3))
+    punct_pen = F.least(non_alnum_ratio(c), F.lit(0.2))
+    return F.round(len_ok + stop - punct_pen + F.lit(0.2), 6)
+
+
+def doc_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text,
+    truncated to ``bits_hex`` hex chars. Stable across engines (md5 is
+    bit-exact everywhere), used as the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    return F.substring(F.md5(norm), 1, bits_hex)

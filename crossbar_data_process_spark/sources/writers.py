@@ -1,0 +1,62 @@
+"""Sinks (SURVEY.md §2.1 S6/S7).
+
+- Gold layer: partitioned parquet, the canonical output.
+- Chunked CSV: the reference's memory-bound 100k-rows-per-file writer
+  (uniprot.py:115-167) becomes a single ``maxRecordsPerFile`` option — the
+  executors stream partitions out; nothing ever holds the whole table.
+- BioCypher tuples: compatibility shim yielding (id, label, props) /
+  (None, src, tgt, label, props) via ``toLocalIterator`` — only at the very
+  edge, for consumers that insist on the reference's tuple protocol
+  (drug.py:1191-1251, disease.py:1354-1407).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_gold(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_chunked_csv(df: DataFrame, path: str, rows_per_file: int = 100_000) -> None:
+    """S6 chunked CSV export (reference uniprot.py:115-167 ``n_rows_in_file``).
+    Array columns are re-encoded as the reference's ``|``-joined strings at
+    this boundary only (SURVEY §7.0)."""
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "array":
+            cols.append(F.array_join(F.col(f.name), "|").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    (
+        df.select(*cols)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("maxRecordsPerFile", rows_per_file)
+        .csv(path)
+    )
+
+
+def biocypher_tuples(
+    nodes: DataFrame | None = None, edges: DataFrame | None = None
+) -> Iterator[tuple]:
+    """S7: stream node/edge tuples without collecting the whole table on the
+    driver. Node DF contract: (id, label, props:map/struct); edge DF:
+    (src, tgt, label, props). Property NULLs are dropped per-row — the gold
+    layer uses real NULLs; the reference's ``str(v) != "nan"`` filtering
+    (drug.py:1239) happens only here at the export edge."""
+    if nodes is not None:
+        for row in nodes.toLocalIterator():
+            props = {k: v for k, v in (row["props"] or {}).items() if v is not None}
+            yield (row["id"], row["label"], props)
+    if edges is not None:
+        for row in edges.toLocalIterator():
+            props = {k: v for k, v in (row["props"] or {}).items() if v is not None}
+            yield (None, row["src"], row["tgt"], row["label"], props)
