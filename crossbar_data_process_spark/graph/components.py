@@ -1,0 +1,63 @@
+"""Connected components via iterative min-label propagation (the GraphX/
+Pregel algorithm expressed as DataFrame joins).
+
+Each node starts labeled with its own id; every iteration each node adopts
+the min label among itself and its neighbors; stop when no label changes.
+Per iteration: one shuffle keyed on node id (groupBy min), one broadcast-or-
+shuffle join labels⋈edges. Converges in O(diameter) iterations — large-
+diameter graphs would want the alternating small-star/large-star algorithm;
+biomedical KGs and similarity graphs are low-diameter, so plain propagation
+is the right trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Returns (id, component) with component = min node id in the component.
+
+    ``nodes``: one column ``id_col``; ``edges``: ``src_col``/``dst_col``
+    (undirected semantics — both directions are propagated).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["id2"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_comp"), F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .persist()
+        )
+        changed = updated.filter(F.col("__changed")).isEmpty() is False
+        labels = updated.drop("__changed")
+        if not changed:
+            break
+    return labels

@@ -31,7 +31,7 @@ def agg_middle_row(value_col: str | Column, sort_col: str | Column | None = None
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     arr = F.sort_array(F.collect_list(v))
-    return F.element_at(arr, (F.floor(F.size(arr) / 2) + 1).cast("int"))
+    return F.get(arr, F.floor(F.size(arr) / 2).cast("int"))  # 0-based len//2
 
 
 def pipe_union_agg(col: str | Column, delim: str = "\\|") -> Column:

@@ -19,10 +19,11 @@ from pyspark.sql import functions as F
 from crossbar_data_process_spark.functions.text import doc_fingerprint, tokens
 
 # deterministic odd constants for the MinHash permutation family
-# h_i(x) = (A_i * x + B_i) mod P  over 32-bit md5-derived shingle hashes
+# h_i(x) = (A_i * x + B_i) mod P  over 32-bit md5-derived shingle hashes.
+# A_i < 2^31 so A*h <= (2^31-1)(2^32-1) < 2^63 — no int64 overflow under ANSI
 _P = (1 << 61) - 1
-_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 2654435789,
-      1103515245, 1299709, 15485863, 32452843, 49979687, 67867967]
+_A = [1103515245, 668265263, 374761393, 1299709, 15485863, 32452843,
+      49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
 _B = [97, 193, 389, 769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 

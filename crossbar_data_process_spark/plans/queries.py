@@ -1,0 +1,934 @@
+"""The engine's declared query inventory — one entry per SURVEY.md §2
+operator family, each with an exact DuckDB oracle (ORACLES) for the driver's
+t2 correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+- every query is ``f(spark, sf_dir) -> DataFrame``;
+- every computed column is aliased identically in Spark and SQL;
+- double SUMs go through DECIMAL so the result is order-independent and
+  bit-identical across engines (a plain double sum depends on reduction
+  order — nondeterministic under partitioning);
+- counts/ranks are cast to long (DuckDB COUNT/row_number are BIGINT);
+- timestamps are rendered as strings at the output boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crossbar_data_process_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from crossbar_data_process_spark.graph.components import connected_components
+from crossbar_data_process_spark.graph.hierarchy import transitive_closure
+from crossbar_data_process_spark.operators.aggregates import (
+    agg_median,
+    agg_middle_row,
+    conflict_resolve,
+    tf_effect_resolve,
+)
+from crossbar_data_process_spark.operators.dedup import dedup_undirected
+from crossbar_data_process_spark.operators.filters import anti_filter, semi_filter
+from crossbar_data_process_spark.operators.mapping import fallback_map
+from crossbar_data_process_spark.operators.merge import CoalesceSpec, outer_merge
+from crossbar_data_process_spark.operators.similarity import cosine_topk
+from crossbar_data_process_spark.operators.textdedup import (
+    dedup_exact as doc_dedup_exact,
+)
+from crossbar_data_process_spark.operators.textdedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from crossbar_data_process_spark.operators.topk import top_k_per_group
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# headline queries timed by bench.py at sf0.1
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_nation_revenue",
+    "q03_shipping_priority",
+    "q07_undirected_dedup",
+    "q16_brand_revenue",
+    "q17_multi_source_merge",
+    "q21_doc_exact_dedup",
+    "q25_ngram_jaccard",
+    "q27_cosine_topk",
+    "q28_events_hourly",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (what the
+        # DuckDB oracle does) and restore a real timestamp column
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent SUM of a double column: exact decimal accumulation,
+    rendered back as double. Same expression in the SQL oracles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- A1: groupBy
+# with multi-column aggregation (reference ppi.py:137-140, compound.py:202-211)
+@query(
+    "q01_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "sum_disc_price"
+        ),
+        (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ------------------------------------------------- J1 multi-join + A1 rollup
+@query(
+    "q02_nation_revenue",
+    f"""
+SELECT n_name, r_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""",
+)
+def q02_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------- O1/top-k + join pipeline (TPC-H Q3)
+@query(
+    "q03_shipping_priority",
+    f"""
+SELECT l_orderkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ----------------------------- A2/W1 keep-best-per-group (ppi.py:135-137)
+@query(
+    "q04_keep_best_order",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+""",
+)
+def q04_keep_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.dedup import keep_best
+
+    o = _t(spark, sf_dir, "orders")
+    return keep_best(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# -------------------------------------- P4 semi-join membership (ppi.py:126)
+@query(
+    "q05_semi_urgent_customers",
+    """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+""",
+)
+def q05_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return semi_filter(c, urgent, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ----------------------------------- P5 anti-join exclusion (compound.py:179)
+@query(
+    "q06_anti_customers_no_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def q06_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return anti_filter(c, o, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------- A4 symmetric-pair dedup with keep-best (ppi.py:135+142)
+@query(
+    "q07_undirected_dedup",
+    """
+SELECT a, b, score FROM (
+  SELECT l_partkey % 50 AS a, l_suppkey % 50 AS b, l_extendedprice AS score,
+         row_number() OVER (
+           PARTITION BY least(l_partkey % 50, l_suppkey % 50),
+                        greatest(l_partkey % 50, l_suppkey % 50)
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) WHERE rn = 1
+""",
+)
+def q07_undirected_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 50).alias("a"),
+        (F.col("l_suppkey") % 50).alias("b"),
+        F.col("l_extendedprice").alias("score"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return dedup_undirected(
+        li,
+        "a",
+        "b",
+        order_by=[F.desc("score"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+    ).select("a", "b", "score")
+
+
+# --------------------- J5 fallback-priority lookup (disease.py:1631-1654)
+@query(
+    "q08_fallback_map",
+    """
+WITH m1 AS (SELECT n_nationkey, 'P1:' || n_name AS v FROM nation WHERE n_regionkey IN (0, 1)),
+     m2 AS (SELECT n_nationkey, 'P2:' || n_name AS v FROM nation)
+SELECT c_custkey, COALESCE(m1.v, m2.v) AS resolved
+FROM customer
+LEFT JOIN m1 ON c_nationkey = m1.n_nationkey
+LEFT JOIN m2 ON c_nationkey = m2.n_nationkey
+""",
+)
+def q08_fallback_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    m1 = n.filter(F.col("n_regionkey").isin(0, 1)).select(
+        "n_nationkey", F.concat(F.lit("P1:"), F.col("n_name")).alias("v")
+    )
+    m2 = n.select("n_nationkey", F.concat(F.lit("P2:"), F.col("n_name")).alias("v"))
+    return fallback_map(
+        c,
+        [(m1, "n_nationkey", "v"), (m2, "n_nationkey", "v")],
+        key_col="c_nationkey",
+        out_col="resolved",
+    ).select("c_custkey", "resolved")
+
+
+# ------------------- X3 pipe-union aggregate (compound.py:476-490), sorted
+@query(
+    "q09_provenance_union",
+    """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+)
+def q09_provenance_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ------------------ X6 conflict-detection aggregate (drug.py:902-907)
+@query(
+    "q10_conflict_status",
+    """
+SELECT o_custkey,
+       CASE WHEN COUNT(DISTINCT o_orderstatus) = 1 THEN MIN(o_orderstatus) END AS status
+FROM orders GROUP BY o_custkey
+""",
+)
+def q10_conflict_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        conflict_resolve("o_orderstatus").alias("status")
+    )
+
+
+# ------------------ X5 Unknown-dominance conflict ladder (tf_gen.py:381-395)
+@query(
+    "q11_effect_resolve",
+    """
+WITH m AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CASE event_type WHEN 'purchase' THEN 'Activation'
+                         WHEN 'error'    THEN 'Repression'
+                         ELSE 'Unknown' END AS eff
+  FROM events)
+SELECT user_id, day,
+       CASE WHEN COUNT(DISTINCT CASE WHEN eff <> 'Unknown' THEN eff END) = 0 THEN 'Unknown'
+            WHEN COUNT(DISTINCT CASE WHEN eff <> 'Unknown' THEN eff END) = 1
+                 THEN MIN(CASE WHEN eff <> 'Unknown' THEN eff END)
+       END AS effect
+FROM m GROUP BY user_id, day
+""",
+)
+def q11_effect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.when(F.col("event_type") == "purchase", "Activation")
+        .when(F.col("event_type") == "error", "Repression")
+        .otherwise("Unknown")
+        .alias("eff"),
+    )
+    return e.groupBy("user_id", "day").agg(tf_effect_resolve("eff").alias("effect"))
+
+
+# ---------------------------- X1 median aggregate (compound.py:461-462)
+@query(
+    "q12_median",
+    """
+SELECT l_returnflag,
+       round(median(l_quantity), 3) AS med_qty,
+       round(median(l_extendedprice), 3) AS med_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q12_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        agg_median("l_quantity").alias("med_qty"),
+        agg_median("l_extendedprice").alias("med_price"),
+    )
+
+
+# ---------------------- X2 middle-row pick (compound.py:464-474, len//2)
+@query(
+    "q13_middle_row",
+    """
+SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       (list(o_totalprice ORDER BY o_totalprice))[CAST(COUNT(*) // 2 AS INT) + 1]
+         AS middle_price
+FROM orders GROUP BY o_orderpriority, yr
+""",
+)
+def q13_middle_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("long")
+    )
+    return o.groupBy("o_orderpriority", "yr").agg(
+        agg_middle_row("o_totalprice").alias("middle_price")
+    )
+
+
+# --------------------------- X9/F1 explode + token aggregation
+@query(
+    "q14_explode_tokens",
+    """
+SELECT tok, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
+FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part)
+WHERE tok <> '' GROUP BY tok
+""",
+)
+def q14_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ----------------- F4/F5/F6 id surgery: CURIE build, sanitize, last-segment
+@query(
+    "q15_curie_ids",
+    """
+SELECT s_suppkey,
+       'supplier:' || s_suppkey AS curie,
+       translate(upper(s_name), '''|', '^,') AS name_clean,
+       (string_split(s_name, '#'))[-1] AS local_id
+FROM supplier
+""",
+)
+def q15_curie_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.functions.ids import (
+        add_curie_prefix,
+        sanitize_graph_chars,
+        strip_prefix,
+    )
+
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        add_curie_prefix(F.col("s_suppkey").cast("string"), "supplier").alias("curie"),
+        sanitize_graph_chars(F.upper(F.col("s_name"))).alias("name_clean"),
+        strip_prefix("s_name", "#").alias("local_id"),
+    )
+
+
+# -------------------- J4 broadcast mapping join (ppi.py:209-226 as a join)
+@query(
+    "q16_brand_revenue",
+    f"""
+SELECT p_brand,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       {_dsum_sql('l_quantity')} AS qty,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q16_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+            _dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ------- J1/J2 flagship: multi-source outer merge with coalescers + X4 union
+@query(
+    "q17_multi_source_merge",
+    f"""
+WITH s1 AS (SELECT o_custkey AS custkey, COUNT(*) AS cnt,
+                   {_dsum_sql('o_totalprice')} AS total
+            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+     s2 AS (SELECT o_custkey AS custkey, COUNT(*) AS cnt,
+                   {_dsum_sql('o_totalprice')} AS total
+            FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY o_custkey),
+     s3 AS (SELECT o_custkey AS custkey, COUNT(*) AS cnt,
+                   {_dsum_sql('o_totalprice')} AS total
+            FROM orders WHERE o_orderpriority = '3-MEDIUM' GROUP BY o_custkey)
+SELECT COALESCE(s1.custkey, s2.custkey, s3.custkey) AS custkey,
+       COALESCE(s1.cnt, s2.cnt, s3.cnt) AS cnt,
+       COALESCE(s1.total, s2.total, s3.total) AS total,
+       concat_ws('|',
+         CASE WHEN s1.custkey IS NOT NULL THEN 'urgent' END,
+         CASE WHEN s2.custkey IS NOT NULL THEN 'high' END,
+         CASE WHEN s3.custkey IS NOT NULL THEN 'medium' END) AS sources
+FROM s1
+FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
+FULL OUTER JOIN s3 ON COALESCE(s1.custkey, s2.custkey) = s3.custkey
+""",
+)
+def q17_multi_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def src(priority: str, tag: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == priority)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                _dsum("o_totalprice").alias("total"),
+                F.array(F.lit(tag)).alias("sources"),
+            )
+        )
+
+    merged = outer_merge(
+        [src("1-URGENT", "urgent"), src("2-HIGH", "high"), src("3-MEDIUM", "medium")],
+        on=["custkey"],
+        specs=[
+            CoalesceSpec("cnt", "first_non_null"),
+            CoalesceSpec("total", "first_non_null"),
+            CoalesceSpec("sources", "array_union"),
+        ],
+    )
+    return merged.select(
+        "custkey", "cnt", "total", F.array_join("sources", "|").alias("sources")
+    )
+
+
+# --------------------------------- O3 top-k per group (disgenet limit param)
+@query(
+    "q18_topk_per_group",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+""",
+)
+def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rank_col="rnk",
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ------------------------------------------ U1 union-all of source tables
+@query(
+    "q19_union_sources",
+    f"""
+WITH u AS (
+  SELECT o_custkey, o_totalprice, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey, o_totalprice, 'high' AS src FROM orders WHERE o_orderpriority = '2-HIGH')
+SELECT src, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS total FROM u GROUP BY src
+""",
+)
+def q19_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", "o_totalprice", F.lit("urgent").alias("src")
+    )
+    h = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey", "o_totalprice", F.lit("high").alias("src")
+    )
+    return (
+        u.unionByName(h)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+# --------------------------------- W: running total window (SURVEY §2.5)
+@query(
+    "q20_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def q20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+# ====================== LLM-pipeline extensions (SURVEY §7.1 step 7) =======
+
+
+@query(
+    "q21_doc_exact_dedup",
+    """
+SELECT substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY fp
+""",
+)
+def q21_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return doc_dedup_exact(d)
+
+
+@query(
+    "q22_doc_stats",
+    """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
+         AS n_tokens,
+       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       n_chars
+FROM documents
+""",
+)
+def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        doc_fingerprint("text").alias("fp"),
+        "n_chars",
+    )
+
+
+def _stop_pat() -> str:
+    return r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+@query(
+    "q23_doc_quality",
+    f"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok,
+         len(regexp_extract_all(lower(text), '{_stop_pat()}')) AS swhits,
+         length(text) AS nch,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS njunk
+  FROM documents)
+SELECT doc_id,
+       round(
+         (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+         + least((CASE WHEN ntok > 0 THEN round(swhits * 1.0 / ntok, 6) ELSE 0.0 END) * 2, 0.3)
+         - least(CASE WHEN nch > 0 THEN round(njunk * 1.0 / nch, 6) ELSE 0.0 END, 0.2)
+         + 0.2, 6) AS quality
+FROM s
+""",
+)
+def q23_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _langid_oracle() -> str:
+    selects = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        pat = r"\b(" + "|".join(words) + r")\b"
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, len(regexp_extract_all(lower(text), '{pat}')) AS hits FROM documents"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH h AS ({union}),
+best AS (
+  SELECT doc_id, lang FROM h WHERE hits > 0
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1)
+SELECT d.doc_id, COALESCE(best.lang, 'und') AS lang_detected, d.lang AS lang_labeled
+FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+"""
+
+
+@query("q24_doc_langid", _langid_oracle())
+def q24_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        language_id("text").alias("lang_detected"),
+        F.col("lang").alias("lang_labeled"),
+    )
+
+
+@query(
+    "q25_ngram_jaccard",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+ex AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS tok FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
+         COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+FROM pairs WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
+""",
+)
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+@query("q26_minhash_lsh")  # no SQL oracle: LSH banding — rows-only check
+def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6, threshold=0.5)
+
+
+@query("q26b_simhash")  # no SQL oracle yet — rows-only check
+def q26b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Deterministic left-to-right fold dot/norms matching operators.similarity."""
+    return (
+        f"round(list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y) / "
+        f"(sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y)) * "
+        f"sqrt(list_reduce(list_transform(range(1, len({b}) + 1), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y))), 6)"
+    )
+
+
+@query(
+    "q27_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('qv', 'e.embedding')} AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= 5
+""",
+)
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# --------------------- streaming surface, batch-equivalent form (SURVEY §2.10)
+@query(
+    "q28_events_hourly",
+    f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, {_dsum_sql('value', 6)} AS sum_value
+FROM events GROUP BY window_start, event_type
+""",
+)
+def q28_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 6).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------- hierarchy closure (ontology ancestors, SURVEY §1.1)
+@query(
+    "q29_hierarchy_rollup",
+    """
+SELECT r_name, COUNT(DISTINCT c_custkey) AS n_customers
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+GROUP BY r_name
+""",
+)
+def q29_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        n.select(
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("parent"),
+            F.concat(F.lit("N"), F.col("n_nationkey")).alias("child"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("N"), F.col("c_nationkey")).alias("parent"),
+                F.concat(F.lit("C"), F.col("c_custkey")).alias("child"),
+            )
+        )
+    )
+    closure = transitive_closure(edges, max_iters=3)
+    region_names = r.select(
+        F.concat(F.lit("R"), F.col("r_regionkey")).alias("rid"), "r_name"
+    )
+    return (
+        closure.filter(
+            F.col("ancestor").startswith("R") & F.col("descendant").startswith("C")
+        )
+        .join(F.broadcast(region_names), F.col("ancestor") == F.col("rid"))
+        .groupBy("r_name")
+        .agg(F.countDistinct("descendant").alias("n_customers"))
+    )
+
+
+# ----------------------------------- graph degree (GraphX-style analytics)
+@query(
+    "q30_supplier_degree",
+    """
+SELECT l_suppkey AS supplier, COUNT(DISTINCT l_partkey) AS degree
+FROM lineitem GROUP BY l_suppkey
+""",
+)
+def q30_supplier_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_suppkey").alias("supplier")).agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+
+
+# ------------------- connected components via iterative min-label propagation
+@query(
+    "q31_connected_components",
+    """
+SELECT CAST(n_nationkey AS BIGINT) AS node,
+       CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+FROM nation
+""",
+)
+def q31_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+    )
+    nodes = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    return connected_components(nodes, edges).select(
+        F.col("id").alias("node"), F.col("component")
+    )
+
+
+# ------------------ J6 derived-key self-join (pathway.py:667-704, hash form)
+@query(
+    "q32_suffix_groups",
+    """
+SELECT suffix, COUNT(*) AS n_parts,
+       COUNT(*) * (COUNT(*) - 1) // 2 AS n_pairs
+FROM (SELECT (string_split(p_type, ' '))[-1] AS suffix FROM part)
+GROUP BY suffix
+""",
+)
+def q32_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.element_at(F.split("p_type", " "), -1).alias("suffix"))
+        .groupBy("suffix")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn(
+            "n_pairs",
+            (F.col("n_parts") * (F.col("n_parts") - 1) / 2).cast("long"),
+        )
+    )

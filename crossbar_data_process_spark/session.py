@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
+        # reader rejects by default; read as long and convert at the boundary
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
