@@ -27,35 +27,68 @@ _A = [1103515245, 668265263, 374761393, 1299709, 15485863, 32452843,
 _B = [97, 193, 389, 769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-heavy
+    per-row expressions. A single parquet file scans as one partition
+    locally, serializing tokenize/hash work onto one core; on a real
+    cluster the many-files layout provides this for free, and the round-
+    robin exchange here is cheap relative to the per-row compute it
+    parallelizes."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _hash32(c: Column) -> Column:
     """32-bit integer hash of a string via md5 prefix — bit-exact in any
     engine that has md5 (DuckDB oracle parity; see oracle_sql)."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct, as strings joined by space)."""
-    toks = tokens(text_col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct, space-joined) from a token array.
+
+    Takes a *materialized token column*, not the raw text: Catalyst does not
+    common-subexpression-eliminate inside higher-order-function lambdas, so
+    inlining ``split(text)`` here would re-tokenize the document once per
+    shingle — O(len²) per doc."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
 
 
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set straight from text — only for single-pass
+    expressions; pipelines should tokenize into a column first (see
+    ``_shingle_index``)."""
+    return shingles_of(tokens(text_col), n)
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: group by content fingerprint, keep the lowest id
     (deterministic representative). Returns the surviving (id, fingerprint)."""
     return (
-        docs.withColumn("fp", doc_fingerprint(text_col))
+        _spread(docs)
+        .withColumn("fp", doc_fingerprint(text_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
     )
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Inverted index (shingle → doc) plus per-doc shingle counts."""
-    with_sh = docs.select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    """Inverted index (shingle → doc) plus per-doc shingle counts.
+
+    Persisted: the index is consumed 2-3× per near-dup query (both sides of
+    the candidate self-join + the verify join); without materialization the
+    heavyweight shingle expression is re-evaluated per consumer and Catalyst
+    inlines it into every Filter/Project — compile and runtime cost both
+    blow up. At 100 TB this intermediate is a silver table on disk, not a
+    cache (same principle: shingle once, join many)."""
+    toked = _spread(docs).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("t")
+    )
+    with_sh = toked.select(
+        "doc", shingles_of(F.col("t"), n).alias("sh")
     ).withColumn("nsh", F.size("sh"))
     return with_sh
 
@@ -76,11 +109,14 @@ def ngram_jaccard_pairs(
     Returns (doc_a < doc_b, jaccard) above ``threshold``.
     """
     idx = _shingle_index(docs, text_col, id_col, n)
-    ex = idx.select("doc", "nsh", F.explode("sh").alias("s"))
+    ex = idx.select("doc", "nsh", F.explode("sh").alias("s")).persist()
     a = ex.alias("a")
     b = ex.alias("b")
+    # shuffle-hash, not broadcast: the exploded index is corpus-sized — a
+    # broadcast would be wrong at scale even when local stats allow it
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -120,8 +156,8 @@ def minhash_signatures(
         ]
     )
     return (
-        docs.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
-        .filter(F.size("sh") > 0)
+        _shingle_index(docs, text_col, id_col, n)
+        .filter(F.col("nsh") > 0)
         .select("doc", sig.alias("sig"))
     )
 
@@ -155,11 +191,12 @@ def minhash_lsh_pairs(
     )
     buckets = sigs.select("doc", F.explode(band_arr).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    ).persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
@@ -171,7 +208,7 @@ def minhash_lsh_pairs(
     # exact verify: join shingle sets back on and compute true jaccard
     idx = _shingle_index(docs, text_col, id_col, n).select(
         "doc", "sh", "nsh"
-    )
+    ).persist()
     ia = idx.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     ib = idx.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))
     out = (
@@ -193,7 +230,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     sum +1/−1 over tokens (with multiplicity); sign vector → integer
     fingerprint. Near-dup = small Hamming distance between fingerprints.
     Pure expressions: one transform per doc + a per-bit fold, no shuffle."""
-    toks = tokens(text_col)
+    docs = _spread(docs).withColumn("__toks", tokens(text_col))
+    toks = F.col("__toks")
     hashed = F.transform(toks, lambda t: _hash32(t))
     def bit_sum(j: int) -> Column:
         return F.aggregate(
