@@ -932,3 +932,201 @@ def q32_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_parts") * (F.col("n_parts") - 1) / 2).cast("long"),
         )
     )
+
+
+# ------------------- F11 JSON field extraction (drug.py:716-738 JSON walks)
+@query(
+    "q33_json_extract",
+    f"""
+SELECT event_type, json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
+       COUNT(*) AS n, {_dsum_sql('value', 6)} AS sum_value
+FROM events GROUP BY event_type, k_bucket
+""",
+)
+def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("long") % 10
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("value", 6).alias("sum_value"))
+    )
+
+
+# ----------- P7 dropna + P9 blacklist + P10 deterministic limit (top-k form)
+@query(
+    "q34_blacklist_topk",
+    """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE (event_type IS NULL OR event_type NOT IN ('error', 'signup'))
+  AND value IS NOT NULL
+ORDER BY value DESC, event_id LIMIT 100
+""",
+)
+def q34_blacklist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.filters import blacklist_filter
+    from crossbar_data_process_spark.operators.topk import global_top_k
+
+    e = _t(spark, sf_dir, "events").na.drop(subset=["value"])
+    e = blacklist_filter(e, "event_type", ["error", "signup"])
+    return global_top_k(
+        e.select("event_id", "user_id", "event_type", "value"),
+        [F.desc("value"), F.asc("event_id")],
+        100,
+    )
+
+
+# ------------------- A5 group + collect ordered list (uniprot.py:102-107)
+@query(
+    "q35_collect_ordered",
+    """
+SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       COUNT(*) AS n
+FROM orders GROUP BY o_custkey
+""",
+)
+def q35_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------- J2 nullify-conflict coalescer (tf_gen.py:289-312 tf_effect)
+@query(
+    "q36_nullify_conflict_merge",
+    """
+WITH s1 AS (SELECT o_custkey AS custkey, MIN(o_orderstatus) AS status
+            FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+     s2 AS (SELECT o_custkey AS custkey, MIN(o_orderstatus) AS status
+            FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY o_custkey)
+SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+       CASE WHEN s1.status IS NULL THEN s2.status
+            WHEN s2.status IS NULL THEN s1.status
+            WHEN s1.status = s2.status THEN s1.status
+       END AS status
+FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
+""",
+)
+def q36_nullify_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def src(priority: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == priority)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.min("o_orderstatus").alias("status"))
+        )
+
+    return outer_merge(
+        [src("1-URGENT"), src("2-HIGH")],
+        on=["custkey"],
+        specs=[CoalesceSpec("status", "nullify_conflict")],
+    )
+
+
+# ------------- F5/F7 numeric surgery: prefix parse + comma-number round-trip
+@query(
+    "q37_numeric_parse",
+    """
+SELECT p_partkey,
+       CAST((string_split(p_type, ' '))[1] = 'STANDARD' AS BOOLEAN) AS is_standard,
+       CAST(replace(format('{:,}', p_partkey * 1000 + p_size), ',', '') AS BIGINT)
+         AS parsed_back,
+       CAST((string_split(o_pri, '-'))[1] AS INT) AS priority_num
+FROM (SELECT p.*, '3-MEDIUM' AS o_pri FROM part p)
+""",
+)
+def q37_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.functions.ids import clean_number
+
+    p = _t(spark, sf_dir, "part").withColumn("o_pri", F.lit("3-MEDIUM"))
+    return p.select(
+        "p_partkey",
+        (F.split("p_type", " ")[0] == "STANDARD").alias("is_standard"),
+        clean_number(
+            F.format_number(F.col("p_partkey") * 1000 + F.col("p_size"), 0)
+        ).alias("parsed_back"),
+        F.split("o_pri", "-")[0].cast("int").alias("priority_num"),
+    )
+
+
+# ---------------- graph analytics: PageRank (rows-only; iterative, no SQL)
+@query("q38_pagerank")
+def q38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.graph.pagerank import pagerank
+
+    n = _t(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias("src"),
+        F.col("b.n_nationkey").cast("long").alias("dst"),
+    )
+    nodes = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    pr = pagerank(nodes, edges, iters=5)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+# --------- ANN scale path: LSH-bucketed cosine top-k (rows-only; see q27)
+@query("q39_ann_lsh")
+def q39_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.similarity import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = cosine_topk_lsh(e, q, dim=64, k=5, n_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# -------- X4 order-preserving union (merge_source_column, ppi.py:414-428):
+# first-occurrence dedup across two ordered provenance lists
+@query(
+    "q40_ordered_union",
+    """
+WITH s1 AS (SELECT o_custkey AS custkey,
+                   list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS provs
+            FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+     s2 AS (SELECT o_custkey AS custkey,
+                   list(DISTINCT o_orderpriority ORDER BY o_orderpriority DESC) AS provs
+            FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+     m AS (SELECT COALESCE(s1.custkey, s2.custkey) AS custkey,
+                  list_concat(COALESCE(s1.provs, []), COALESCE(s2.provs, [])) AS cat
+           FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey)
+SELECT custkey,
+       array_to_string(list_filter(cat, (x, i) -> list_position(cat, x) = i), '|')
+         AS provenance
+FROM m
+""",
+)
+def q40_ordered_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.aggregates import ordered_union
+
+    o = _t(spark, sf_dir, "orders")
+    s1 = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("provs1"))
+    )
+    s2 = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.reverse(F.array_sort(F.collect_set("o_orderpriority"))).alias("provs2")
+        )
+    )
+    m = s1.join(s2, "custkey", "full_outer")
+    return m.select(
+        "custkey",
+        F.array_join(
+            ordered_union(F.col("provs1"), F.col("provs2")), "|"
+        ).alias("provenance"),
+    )

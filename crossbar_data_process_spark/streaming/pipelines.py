@@ -1,0 +1,93 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — new capability, not a
+port: the reference is batch-only).
+
+Design rule: every stream-safe batch operator (projections/filters P*,
+scalar functions F*, watermarked dedup A3/A4, broadcast mapping joins J4)
+runs unchanged under ``readStream`` — the transforms below take a DataFrame
+that may be batch or streaming and return the same declarative plan. The
+driver `events` table replays as a file stream for tests.
+
+Scale notes: watermark bounds state (late data beyond the watermark is
+dropped, state for expired windows/keys is evicted); dedup keys include the
+event time so state scales with the watermark horizon, not history. Sinks
+should use exactly-once file/Delta sinks with checkpointing on a real
+cluster; tests use the in-memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event parquet/json landings (the streaming
+    analogue of the reference's bronze layer)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Watermarked exactly-once dedup of event deliveries (streaming A3):
+    duplicates within the watermark horizon are dropped; state for keys
+    older than the watermark is evicted, bounding memory."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation (streaming A1):
+    same output schema as the batch q28_events_hourly rollup, so batch and
+    stream results are directly comparable in tests."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

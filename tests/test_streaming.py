@@ -1,0 +1,97 @@
+"""Structured Streaming surface tests (SURVEY §2.10): replay the driver
+events table as a file stream in several chunks, run watermarked dedup +
+windowed aggregation, and check the streamed result equals the batch result
+over the same data (stream/batch unification is the whole point of the
+declarative design)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.streaming.pipelines import (
+    stream_events,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_chunks_dir(spark):
+    """Split the events table into 4 parquet files (replayed one per
+    trigger), with ts converted from nanos at write time."""
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    events.repartition(4).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, sdf, name: str) -> None:
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+
+def test_windowed_counts_matches_batch(spark, event_chunks_dir):
+    stream = stream_events(spark, event_chunks_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="1 hour")
+    _run_stream_to_memory(spark, agg, "winagg")
+    streamed = {
+        tuple(r) for r in spark.table("winagg").collect()
+    }
+
+    batch = (
+        spark.read.parquet(event_chunks_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert streamed == expected
+
+
+def test_streaming_dedup_drops_duplicates(spark, event_chunks_dir):
+    # union the stream dir with itself shifted → duplicate event deliveries
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        df = spark.read.parquet(event_chunks_dir)
+        df.unionByName(df).repartition(4).write.mode("overwrite").parquet(dup_dir)
+
+        # chunks replay in arbitrary (non-time) order, so use a watermark
+        # wider than the whole replay horizon — a short watermark correctly
+        # drops cross-file late arrivals (verified: 750/1000 survive at 2h)
+        stream = stream_events(spark, dup_dir)
+        deduped = streaming_dedup(stream, watermark="40 days")
+        _run_stream_to_memory(spark, deduped, "dedup")
+        n_stream = spark.table("dedup").count()
+        n_expected = df.select("event_id", "ts").distinct().count()
+        assert n_stream == n_expected
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
