@@ -763,7 +763,28 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6, threshold=0.5)
 
 
-@query("q26b_simhash")  # no SQL oracle yet — rows-only check
+# SimHash oracle: per-token 32-bit md5-derived hash (hex→int via strpos
+# polynomial), ±1 per bit position summed over tokens with multiplicity,
+# sign vector → integer — the exact arithmetic of operators.textdedup.simhash
+@query(
+    "q26b_simhash",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+           tok -> list_sum(list_transform(range(1, 9),
+                    i -> (strpos('0123456789abcdef', md5(tok)[i:i]) - 1)
+                         * (1::BIGINT << (4 * (8 - i)))))) AS hs
+  FROM documents)
+SELECT doc_id AS doc,
+       CAST(list_sum(list_transform(range(0, 32), j ->
+         CASE WHEN list_sum(list_transform(hs,
+                     h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+FROM t
+""",
+)
 def q26b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return simhash(d)
@@ -1129,4 +1150,99 @@ def q40_ordered_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             ordered_union(F.col("provs1"), F.col("provs2")), "|"
         ).alias("provenance"),
+    )
+
+
+# ------------- W: gap-based sessionization (lag + running sum windows)
+@query(
+    "q41_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("session_id", F.sum(new_sess).over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+    )
+
+
+# --------- A2 over a join (TPC-H Q2 pattern: min-cost supplier per part)
+@query(
+    "q42_min_cost_supplier",
+    """
+SELECT l_partkey, s_suppkey, s_acctbal FROM (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN supplier ON ps.l_suppkey = s_suppkey
+QUALIFY row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY s_acctbal, s_suppkey) = 1
+""",
+)
+def q42_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.dedup import keep_best
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return keep_best(
+        joined, ["l_partkey"], [F.asc("s_acctbal"), F.asc("s_suppkey")]
+    ).select("l_partkey", "s_suppkey", "s_acctbal")
+
+
+# ---------------- grouping sets / rollup (free Spark built-in, SURVEY §2.4)
+@query(
+    "q44_rollup",
+    f"""
+SELECT r_name, n_name, COUNT(*) AS n, {_dsum_sql('c_acctbal')} AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("total_bal")
+        )
     )
