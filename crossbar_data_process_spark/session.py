@@ -45,6 +45,15 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
         # reader rejects by default; read as long and convert at the boundary
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate duplicates the generator expression into a
+        # pushed-down size()>0 filter; for heavyweight array builders
+        # (shingling, minhash) that doubles per-row work and lands the copy
+        # below the parallelizing exchange — explode already skips empty
+        # arrays, so the inferred filter only costs
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
