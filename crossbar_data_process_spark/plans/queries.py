@@ -1246,3 +1246,86 @@ def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("total_bal")
         )
     )
+
+
+# ---------------- U2 relational set ops: EXCEPT / INTERSECT (SURVEY §2.7)
+@query(
+    "q45_set_ops",
+    """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+     only_building AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM urgent),
+     both_sets AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM urgent)
+SELECT 'building_minus_urgent' AS tag, COUNT(*) AS n FROM only_building
+UNION ALL
+SELECT 'building_and_urgent' AS tag, COUNT(*) AS n FROM both_sets
+""",
+)
+def q45_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    minus = building.exceptAll(urgent).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("building_minus_urgent").alias("tag"), "n")
+    inter = building.intersect(urgent).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("building_and_urgent").alias("tag"), "n")
+    return minus.unionByName(inter)
+
+
+# ------------- J3 plain left-outer attach (disease.py:832 citation join)
+@query(
+    "q46_left_attach",
+    f"""
+WITH stats AS (SELECT o_custkey, COUNT(*) AS n_orders,
+                      {_dsum_sql('o_totalprice')} AS total_spent
+               FROM orders GROUP BY o_custkey)
+SELECT c_custkey, c_name, COALESCE(n_orders, 0) AS n_orders, total_spent
+FROM customer LEFT JOIN stats ON c_custkey = o_custkey
+""",
+)
+def q46_left_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_spent"),
+    )
+    return c.join(stats, c.c_custkey == stats.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "total_spent",
+    )
+
+
+# ------ P8 self-pair drop + A3 plain dedup + F2 first-xref pick combined
+@query(
+    "q47_pair_normalize",
+    """
+SELECT DISTINCT
+       l_suppkey % 20 AS a, l_partkey % 20 AS b,
+       (string_split(l_returnflag || ';' || l_linestatus || ';', ';'))[1] AS first_flag
+FROM lineitem
+WHERE l_suppkey % 20 <> l_partkey % 20
+""",
+)
+def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.functions.ids import first_xref
+    from crossbar_data_process_spark.operators.filters import drop_self_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 20).alias("a"),
+        (F.col("l_partkey") % 20).alias("b"),
+        first_xref(
+            F.concat_ws(";", "l_returnflag", "l_linestatus", F.lit("")), ";"
+        ).alias("first_flag"),
+    )
+    return drop_self_pairs(li, "a", "b").dropDuplicates()
