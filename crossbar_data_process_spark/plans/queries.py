@@ -60,12 +60,15 @@ BENCH_QUERIES = [
     "q02_nation_revenue",
     "q03_shipping_priority",
     "q07_undirected_dedup",
+    "q13_middle_row",
     "q16_brand_revenue",
     "q17_multi_source_merge",
     "q21_doc_exact_dedup",
     "q25_ngram_jaccard",
+    "q26b_simhash",
     "q27_cosine_topk",
     "q28_events_hourly",
+    "q41_sessionize",
 ]
 
 
@@ -1002,7 +1005,8 @@ def q34_blacklist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q35_collect_ordered",
     """
-SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
        COUNT(*) AS n
 FROM orders GROUP BY o_custkey
 """,
@@ -1010,7 +1014,9 @@ FROM orders GROUP BY o_custkey
 def q35_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+            "orderkeys"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
