@@ -73,15 +73,16 @@ BENCH_QUERIES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (what the
-        # DuckDB oracle does) and restore a real timestamp column
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return df
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark 4 reader
+        # rejects unless nanos are surfaced as long. Set the legacy conf at
+        # runtime — the driver calls these queries with ITS OWN session, so
+        # we cannot rely on our session factory having set it. Then truncate
+        # to micros (what the DuckDB oracle sees) and restore a timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _dsum(col, scale: int = 2):
