@@ -62,6 +62,19 @@ class CoalesceSpec:
             return F.greatest(left, right)
         if self.strategy == "min":
             return F.least(left, right)
+        if self.strategy == "effect_resolve":
+            # X5 as a two-column reconciler (reference applies
+            # find_conflicting_tf_effects to the joined column pair,
+            # tf_gen.py:297,310): equal → it; one null → the other;
+            # {Unknown, X} → X; {Activation, Repression} → NULL
+            unknown = F.lit("Unknown")
+            return (
+                F.when(left.isNull(), right)
+                .when(right.isNull(), left)
+                .when(left == right, left)
+                .when(left == unknown, right)
+                .when(right == unknown, left)
+            )  # two distinct non-Unknown -> NULL (implicit otherwise)
         raise ValueError(f"unknown strategy {self.strategy!r}")
 
 

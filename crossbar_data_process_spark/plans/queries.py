@@ -829,6 +829,36 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------- embedding-cosine near-dup pairs (charter dedup mode #5)
+@query(
+    "q27b_embedding_neardup",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def q27b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine with threshold — the correctness
+    baseline for embedding near-dup; the scale path is the LSH-bucketed
+    variant (q39). The self cross join is deliberate and bounded to the
+    embeddings dimension table; production would bucket by LSH signature
+    first."""
+    from crossbar_data_process_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 # --------------------- streaming surface, batch-equivalent form (SURVEY §2.10)
 @query(
     "q28_events_hourly",

@@ -77,6 +77,62 @@ def test_windowed_counts_matches_batch(spark, event_chunks_dir):
     assert streamed == expected
 
 
+def test_sliding_window_matches_batch(spark, event_chunks_dir):
+    stream = stream_events(spark, event_chunks_dir)
+    agg = windowed_counts(stream, window="2 hours", slide="1 hour",
+                          watermark="40 days")
+    q = (
+        agg.writeStream.format("memory").queryName("slide")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout=120)
+    streamed = {tuple(r) for r in spark.table("slide").collect()}
+
+    batch = (
+        spark.read.parquet(event_chunks_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type", "n", "sum_value",
+        )
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert streamed == expected
+    # every event lands in exactly 2 sliding windows
+    assert sum(r[2] for r in streamed) == 2 * spark.read.parquet(
+        event_chunks_dir
+    ).count()
+
+
+def test_short_watermark_drops_late_arrivals(spark, event_chunks_dir):
+    """Replay chunks out of time order under a 2h watermark: events behind
+    the advanced watermark must be dropped (bounded state is the point)."""
+    dup_dir = tempfile.mkdtemp(prefix="events_late_")
+    try:
+        df = spark.read.parquet(event_chunks_dir)
+        df.unionByName(df).repartition(4).write.mode("overwrite").parquet(dup_dir)
+        stream = stream_events(spark, dup_dir)
+        deduped = streaming_dedup(stream, watermark="2 hours")
+        q = (
+            deduped.writeStream.format("memory").queryName("late")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(timeout=120)
+        n_stream = spark.table("late").count()
+        n_full = df.select("event_id", "ts").distinct().count()
+        assert n_stream < n_full  # late data really was dropped
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark, event_chunks_dir):
     # union the stream dir with itself shifted → duplicate event deliveries
     dup_dir = tempfile.mkdtemp(prefix="events_dup_")
