@@ -26,7 +26,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    # cpus/2 initial shuffle partitions: AQE coalesces to data size anyway,
+    # so the initial count mostly buys task-scheduling overhead (measured
+    # ~18% on the heavy queries at sf0.1 going 32→16 on local[32]). On a
+    # real cluster size this to 2-3× total executor cores — AQE still
+    # owns the final partition counts.
+    shuffle_partitions = shuffle_partitions or max(cpus // 2, 8)
 
     b = (
         SparkSession.builder.appName(app_name)
