@@ -34,6 +34,22 @@ def agg_middle_row(value_col: str | Column, sort_col: str | Column | None = None
     return F.get(arr, F.floor(F.size(arr) / 2).cast("int"))  # 0-based len//2
 
 
+def agg_middle_row_by(sort_col: str | Column, value_col: str | Column) -> Column:
+    """X2 variant used by the compound/drug CTI group-bys
+    (compound.py:199-210, drug.py:832-844): the group is pre-sorted by
+    ``activity_value`` and ``get_middle_row`` picks the *aligned* value of a
+    different column at index ``len//2`` of the non-null values.
+
+    Engine form: collect (sort_key, value) structs for non-null values,
+    sort, index — the value itself is the tiebreaker for determinism where
+    the reference depended on input order."""
+    s = F.col(sort_col) if isinstance(sort_col, str) else sort_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    pairs = F.collect_list(F.when(v.isNotNull(), F.struct(s.alias("k"), v.alias("v"))))
+    arr = F.sort_array(pairs)
+    return F.get(arr, F.floor(F.size(arr) / 2).cast("int"))["v"]
+
+
 def pipe_union_agg(col: str | Column, delim: str = "\\|") -> Column:
     """X3 ``aggregate_column_level``: union of delimiter-split tokens across
     the group, deduped, NULL if empty (reference compound.py:476-490,
