@@ -38,20 +38,25 @@ def pagerank(
             .groupBy(F.col("edst").alias("id"))
             .agg(F.sum("contrib").alias("recv"))
         )
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-            .collect()[0]["d"]
+        # dangling mass stays a 1-row DataFrame broadcast into the update —
+        # no per-iteration driver collect (anti-pattern at scale; the whole
+        # loop remains one lazy plan per iteration)
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
         ranks = (
             nodes.select(F.col(id_col).alias("id"))
             .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit((1 - damping) / n_nodes)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce(F.col("recv"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
                 ).alias("rank"),
             )
         ).persist()

@@ -20,16 +20,6 @@ def spark():
     s.stop()
 
 
-@pytest.fixture(scope="session")
-def duck():
-    import duckdb
-
-    con = duckdb.connect()
-    for sf in (SF_DIR, SF_DIR_MID):
-        pass
-    return con
-
-
 def register_views(con, sf_dir: str) -> None:
     tables = (
         "region nation customer supplier part orders lineitem events "
