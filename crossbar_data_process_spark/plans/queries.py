@@ -829,6 +829,48 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------- as-of join (time-series family; SURVEY §2.3 notes these are
+# out of the reference's contract but native to Spark — implemented as the
+# union + last-ignoring-nulls window, the shuffle-once as-of pattern)
+@query(
+    "q48_asof_join",
+    """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_error_ts, '%Y-%m-%d %H:%M:%S') AS last_error_ts
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_error_ts
+  FROM events)
+WHERE event_type = 'purchase'
+""",
+)
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "last_error_ts",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_error_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_error_ts"
+        ),
+    )
+
+
 # ------------- embedding-cosine near-dup pairs (charter dedup mode #5)
 @query(
     "q27b_embedding_neardup",
