@@ -20,7 +20,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 def _canon(df):
     """pandas DataFrame -> canonical list of row tuples (cols sorted by name,
-    rows sorted); floats rounded to 9 sig places to absorb representation."""
+    rows sorted); floats compared via full repr — the engine's determinism
+    contract is bit-exact cross-engine results, so no tolerance is given."""
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
@@ -29,7 +30,7 @@ def _canon(df):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 canon_row.append("<NULL>")
             elif isinstance(v, float):
-                canon_row.append(f"{v:.9g}")
+                canon_row.append(repr(float(v)))
             elif isinstance(v, (list, tuple)):
                 canon_row.append(str(list(v)))
             else:
