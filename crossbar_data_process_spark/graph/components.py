@@ -23,11 +23,18 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iters: int = 30,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Returns (id, component) with component = min node id in the component.
 
     ``nodes``: one column ``id_col``; ``edges``: ``src_col``/``dst_col``
     (undirected semantics — both directions are propagated).
+
+    Cache hygiene: the superseded iteration's labels are unpersisted once the
+    new iteration materializes (the ``isEmpty`` convergence probe already
+    forces materialization), so storage is O(1) in iteration count; lineage
+    is truncated with ``localCheckpoint`` every ``checkpoint_every``
+    iterations so long propagation chains don't grow the plan unboundedly.
     """
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -37,7 +44,8 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).persist()
-    for _ in range(max_iters):
+    prev = labels
+    for i in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["a"] == labels["id"])
             .groupBy(F.col("b").alias("id2"))
@@ -54,9 +62,19 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .persist()
         )
-        changed = updated.filter(F.col("__changed")).isEmpty() is False
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)
+            changed = not updated.filter(F.col("__changed")).isEmpty()
+            released, prev = prev, None
+        else:
+            updated = updated.persist()
+            # isEmpty materializes `updated`; only then is the predecessor safe
+            # to drop without recompute
+            changed = not updated.filter(F.col("__changed")).isEmpty()
+            released, prev = prev, updated
+        if released is not None:
+            released.unpersist(blocking=False)
         labels = updated.drop("__changed")
         if not changed:
             break

@@ -19,19 +19,29 @@ def transitive_closure(
     parent_col: str = "parent",
     child_col: str = "child",
     max_iters: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """All (ancestor, descendant) pairs reachable via parent→child edges.
 
-    Stops early when an iteration adds no new pairs. At cluster scale,
-    checkpoint/persist every few iterations to cut lineage; here iterations
-    are few (ontology depth), so persist-per-step suffices.
+    Stops early when an iteration adds no new pairs.
+
+    Cache hygiene: each iteration fully materializes the new closure, then
+    releases the superseded closure and frontier caches, so storage stays
+    O(1) in depth; every ``checkpoint_every`` iterations BOTH the closure and
+    the frontier lineages are truncated with ``localCheckpoint``. The
+    frontier is the recursion carrier — its plan embeds the previous closure,
+    which embeds all prior frontiers, so skipping it makes the logical plan
+    (and driver-side analysis cost) grow exponentially with depth even
+    though every step is cached.
     """
     base = edges.select(
         F.col(parent_col).alias("ancestor"), F.col(child_col).alias("descendant")
     ).distinct()
-    closure = base.persist()
+    base = base.persist()  # joined every iteration — cached for the whole loop
+    closure = base
     frontier = base
-    for _ in range(max_iters):
+    prev_frontier = None
+    for i in range(max_iters):
         ext = (
             frontier.alias("f")
             .join(base.alias("e"), F.col("f.descendant") == F.col("e.ancestor"))
@@ -42,10 +52,29 @@ def transitive_closure(
             .distinct()
         )
         new = ext.join(closure, ["ancestor", "descendant"], "left_anti").persist()
-        if new.isEmpty():
+        done = new.isEmpty()
+        if prev_frontier is not None:
+            prev_frontier.unpersist(blocking=False)
+            prev_frontier = None
+        if done:
+            new.unpersist(blocking=False)
             break
-        closure = closure.unionByName(new).persist()
+        superseded = closure
+        closure = closure.unionByName(new)
+        if (i + 1) % checkpoint_every == 0:
+            closure = closure.localCheckpoint(eager=True)
+            truncated = new.localCheckpoint(eager=True)
+            new.unpersist(blocking=False)
+            new = truncated
+        else:
+            closure = closure.persist()
+            closure.count()  # materialize before releasing the predecessor
+        if superseded is not base:  # base stays cached for the loop's joins
+            superseded.unpersist(blocking=False)
         frontier = new
+        prev_frontier = new
+    if closure is not base:
+        base.unpersist(blocking=False)
     return closure
 
 
