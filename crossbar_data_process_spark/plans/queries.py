@@ -45,6 +45,9 @@ from crossbar_data_process_spark.operators.textdedup import (
     dedup_exact as doc_dedup_exact,
 )
 from crossbar_data_process_spark.operators.textdedup import (
+    _A,
+    _B,
+    _P,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -761,7 +764,55 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-@query("q26_minhash_lsh")  # no SQL oracle: LSH banding — rows-only check
+# MinHash-LSH oracle: the whole pipeline is deterministic md5 + LCG
+# arithmetic, so it ports to SQL verbatim — the same 32-bit md5-prefix hash
+# as q26b, the same 12 (A*h + B) mod P permutations (constants imported from
+# operators.textdedup so Spark and SQL can never drift), the same 6 bands of
+# 2 rows, and the same exact-Jaccard verify as q25.
+def _minhash_oracle(num_hashes: int = 12, bands: int = 6, threshold: float = 0.5) -> str:
+    r = num_hashes // bands
+    hash32 = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (strpos('0123456789abcdef', md5(tok)[i:i]) - 1) "
+        "* (1::BIGINT << (4 * (8 - i)))))"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> ({_A[i]} * x + {_B[i]}) % {_P}))"
+        for i in range(num_hashes)
+    )
+    key = " || '_' || ".join(
+        f"CAST(sig[{r} * bi + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks),
+nz AS (SELECT doc_id, s, len(s) AS nsh FROM sh WHERE len(s) > 0),
+hs AS (SELECT doc_id, list_transform(s, tok -> {hash32}) AS h FROM nz),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, bi, {key} AS key
+  FROM sig CROSS JOIN range(0, {bands}) t(bi)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id),
+j AS (
+  SELECT c.doc_a, c.doc_b, len(list_intersect(ia.s, ib.s)) AS i,
+         ia.nsh AS na, ib.nsh AS nb
+  FROM cand c JOIN nz ia ON ia.doc_id = c.doc_a
+              JOIN nz ib ON ib.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(i * 1.0 / (na + nb - i), 6) AS jaccard
+FROM j WHERE round(i * 1.0 / (na + nb - i), 6) >= {threshold}
+"""
+
+
+@query("q26_minhash_lsh", _minhash_oracle())
 def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6, threshold=0.5)
@@ -1153,29 +1204,109 @@ def q37_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------- graph analytics: PageRank (rows-only; iterative, no SQL)
-@query("q38_pagerank")
+# ---------------- graph analytics: PageRank with a full SQL oracle.
+# Fixed-iteration power iteration is deterministic arithmetic, so the oracle
+# unrolls the 5 iterations as chained CTEs (DuckDB forbids aggregates in
+# recursive terms). Every literal goes through all-DOUBLE arithmetic so SQL
+# reproduces Python's IEEE ops bit-for-bit, and per-iteration sums accumulate
+# in DECIMAL(38,18) on both sides (order-independent — the engine's _dsum
+# convention). The graph is deliberately asymmetric (modular edges, non-
+# uniform in-degree) with node 24 dangling, so uniform-rank symmetry can't
+# mask a wrong implementation, and the dangling-mass path is exercised.
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"""
+WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+edges AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST((n_nationkey * 5 + 1) % 25 AS BIGINT) AS dst
+  FROM nation WHERE n_nationkey <> 24
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT), CAST((n_nationkey + 1) % 25 AS BIGINT)
+  FROM nation WHERE n_nationkey <> 24),
+od AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY src),
+it0 AS (SELECT id, CAST(1 AS DOUBLE) / CAST(25 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        p = f"it{k - 1}"
+        parts.append(
+            f"""
+d{k} AS (
+  SELECT COALESCE(CAST(SUM(CAST(p.rank AS DECIMAL(38,18))) AS DOUBLE),
+                  CAST(0 AS DOUBLE)) AS dang
+  FROM {p} p LEFT JOIN od ON od.id = p.id WHERE od.id IS NULL),
+it{k} AS (
+  SELECT n.id,
+         (CAST(1 AS DOUBLE) - {d}) / CAST(25 AS DOUBLE)
+         + {d} * (COALESCE(c.recv, CAST(0 AS DOUBLE))
+                  + (SELECT dang FROM d{k}) / CAST(25 AS DOUBLE)) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id,
+           CAST(SUM(CAST(p.rank / od.od AS DECIMAL(38,18))) AS DOUBLE) AS recv
+    FROM edges e JOIN {p} p ON e.src = p.id JOIN od ON od.id = e.src
+    GROUP BY e.dst) c ON n.id = c.id)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM it{iters}"
+    )
+
+
+@query("q38_pagerank", _pagerank_oracle())
 def q38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.graph.pagerank import pagerank
 
     n = _t(spark, sf_dir, "nation")
-    a = n.alias("a")
-    b = n.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
-        & (F.col("a.n_nationkey") != F.col("b.n_nationkey")),
-    ).select(
-        F.col("a.n_nationkey").cast("long").alias("src"),
-        F.col("b.n_nationkey").cast("long").alias("dst"),
-    )
     nodes = n.select(F.col("n_nationkey").cast("long").alias("id"))
+    # asymmetric modular graph over the 25 nations: a bijective successor
+    # edge plus a many-to-one 5a+1 edge (in-degree varies 1..6); node 24's
+    # out-edges are dropped so it is dangling (exercises mass redistribution)
+    e1 = nodes.select(
+        F.col("id").alias("src"), ((F.col("id") * 5 + 1) % 25).alias("dst")
+    )
+    e2 = nodes.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 25).alias("dst")
+    )
+    edges = e1.unionByName(e2).filter(F.col("src") != 24)
     pr = pagerank(nodes, edges, iters=5)
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
-# --------- ANN scale path: LSH-bucketed cosine top-k (rows-only; see q27)
-@query("q39_ann_lsh")
+# --------- ANN scale path: LSH-bucketed cosine top-k. The hyperplanes are a
+# deterministic LCG (similarity._hyperplanes), so the oracle embeds the
+# literal 6x64 plane matrix: each weight rendered with repr() and parsed via
+# CAST(str AS DOUBLE), which round-trips to the identical IEEE double; the
+# sign-bit fold and the cosine/topk arithmetic mirror q27's oracle exactly.
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    from crossbar_data_process_spark.operators.similarity import _hyperplanes
+
+    def bit(plane: list[float]) -> str:
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+        return (
+            f"(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]), "
+            f"(x, y) -> x + y) >= 0 THEN '1' ELSE '0' END)"
+        )
+
+    bucket = " || ".join(bit(p) for p in _hyperplanes(dim, n_planes))
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM sig WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cosine_sql('q.qv', 'c.embedding')} AS cosine
+  FROM sig c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= {k}
+"""
+
+
+@query("q39_ann_lsh", _ann_lsh_oracle())
 def q39_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.operators.similarity import cosine_topk_lsh
 
