@@ -1,0 +1,99 @@
+"""DGI (drug–gene interaction) pipeline — reference ``process_ctd_data``
+(node_data/drug.py:863-925) feeding ``get_dgi_edges`` (drug.py:1255-1289).
+
+Reference semantics reproduced:
+- keep CTD records whose InteractionActions contain EXACTLY ONE of
+  {increases_expression, decreases_expression} (≥1 required at drug.py:871,
+  >1 skipped as a bad entry at drug.py:875-880);
+- map CasRN → DrugBank id, dropping unmapped rows (drug.py:872 dict gate);
+- PubMedIDs '|'-joined (drug.py:883-886);
+- group by (drugbank_id, entrez_id): X6 conflict detection on action_type —
+  distinct values in the group → NULL → dropped (drug.py:902-913,917);
+  references "first" (engine: deterministic min — the reference depended on
+  input order);
+- source "CTD" (drug.py:919);
+- edge label derivation (drug.py:1267-1270): decreases_expression →
+  drug_downregulates_gene, else drug_upregulates_gene (F9 when-ladder).
+
+Scale: the CAS→DrugBank mapping is a J4 lookup join (size-aware broadcast);
+the conflict aggregate is one hash shuffle on the composite key with
+map-side partials; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.aggregates import conflict_resolve
+from crossbar_data_process_spark.operators.mapping import broadcast_map
+
+_EXPR_ACTIONS = ["increases_expression", "decreases_expression"]
+
+
+def process_ctd_dgi(
+    ctd: DataFrame,
+    cas_to_drugbank: DataFrame,
+    actions_col: str = "interaction_actions",
+) -> DataFrame:
+    """CTD chemical–gene rows → deduped, conflict-resolved DGI table.
+
+    ``ctd``: (entrez_id, cas_rn, interaction_actions: array<string>,
+    pubmed_ids: array<string>). ``cas_to_drugbank``: (cas_rn, drugbank_id).
+    """
+    relevant = F.array_intersect(
+        F.col(actions_col), F.array(*[F.lit(a) for a in _EXPR_ACTIONS])
+    )
+    filtered = (
+        ctd.filter(F.col("entrez_id").isNotNull() & F.col("cas_rn").isNotNull())
+        .withColumn("__rel", relevant)
+        .filter(F.size("__rel") == 1)  # 0 → no expression action; 2 → conflict row
+        .withColumn("action_type", F.element_at("__rel", 1))
+        .withColumn("references", F.array_join("pubmed_ids", "|"))
+        .drop("__rel")
+    )
+    mapped = broadcast_map(
+        filtered,
+        cas_to_drugbank,
+        on=[("cas_rn", "cas_rn")],
+        value_col="drugbank_id",
+        out_col="drugbank_id",
+        how="inner",  # drug.py:872: unmapped CasRN rows are dropped
+    )
+    resolved = (
+        mapped.groupBy("drugbank_id", "entrez_id")
+        .agg(
+            conflict_resolve("action_type").alias("action_type"),
+            F.min("references").alias("references"),
+        )
+        .filter(F.col("action_type").isNotNull())  # drug.py:917 dropna
+        .withColumn("source", F.lit("CTD"))
+    )
+    return resolved
+
+
+def dgi_edge_label(action_col: str = "action_type") -> Column:
+    """F9 label derivation (drug.py:1267-1270)."""
+    return F.when(
+        F.col(action_col) == "decreases_expression",
+        F.lit("drug_downregulates_gene"),
+    ).otherwise(F.lit("drug_upregulates_gene"))
+
+
+def get_dgi_edges(
+    ctd: DataFrame, cas_to_drugbank: DataFrame
+) -> DataFrame:
+    """The get_dgi_edges surface (drug.py:1255-1289): CURIE-prefixed
+    endpoints, derived label, per-edge props."""
+    from crossbar_data_process_spark.functions.ids import add_curie_prefix
+
+    dgi = process_ctd_dgi(ctd, cas_to_drugbank)
+    return dgi.select(
+        add_curie_prefix("drugbank_id", "drugbank").alias("source_id"),
+        add_curie_prefix(F.col("entrez_id").cast("string"), "ncbigene").alias(
+            "target_id"
+        ),
+        dgi_edge_label().alias("label"),
+        "references",
+        F.col("source").alias("provenance"),
+    )

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q27_cosine_topk",
     "q28_events_hourly",
     "q41_sessionize",
+    "q43_ddi_merge",
 ]
 
 
@@ -1432,6 +1433,71 @@ def q42_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(
         joined, ["l_partkey"], [F.asc("s_acctbal"), F.asc("s_suppkey")]
     ).select("l_partkey", "s_suppkey", "s_acctbal")
+
+
+# ------- DDI composition (plans/ddi.py): per-source symmetric dedup (A4)
+# then directed outer merge with X4 source union — the drug.py:1177-1189
+# pipeline exercised end-to-end over TPC-H stand-ins
+@query(
+    "q43_ddi_merge",
+    """
+WITH kegg AS (
+  SELECT drug1, drug2, recommendation FROM (
+    SELECT *, row_number() OVER (PARTITION BY u, v
+              ORDER BY recommendation, drug1, drug2) AS rn
+    FROM (
+      SELECT o_custkey % 40 AS drug1, o_orderkey % 40 AS drug2,
+             o_orderpriority AS recommendation,
+             least(o_custkey % 40, o_orderkey % 40) AS u,
+             greatest(o_custkey % 40, o_orderkey % 40) AS v
+      FROM orders WHERE o_orderstatus = 'O'))
+  WHERE rn = 1),
+ddinter AS (
+  SELECT drug1, drug2, interaction_level, interaction_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY u, v
+              ORDER BY interaction_level, interaction_type, drug1, drug2) AS rn
+    FROM (
+      SELECT c_custkey % 40 AS drug1, (c_nationkey * 3) % 40 AS drug2,
+             c_mktsegment AS interaction_level,
+             CAST(c_nationkey AS VARCHAR) AS interaction_type,
+             least(c_custkey % 40, (c_nationkey * 3) % 40) AS u,
+             greatest(c_custkey % 40, (c_nationkey * 3) % 40) AS v
+      FROM customer))
+  WHERE rn = 1)
+SELECT COALESCE(k.drug1, d.drug1) AS drug1,
+       COALESCE(k.drug2, d.drug2) AS drug2,
+       k.recommendation, d.interaction_level, d.interaction_type,
+       CASE WHEN k.drug1 IS NOT NULL AND d.drug1 IS NOT NULL
+            THEN 'Kegg|DDInter'
+            WHEN k.drug1 IS NOT NULL THEN 'Kegg' ELSE 'DDInter' END AS source
+FROM kegg k FULL OUTER JOIN ddinter d
+  ON k.drug1 = d.drug1 AND k.drug2 = d.drug2
+""",
+)
+def q43_ddi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.plans.ddi import (
+        merge_all_ddis,
+        normalize_ddinter_ddi,
+        normalize_kegg_ddi,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    kegg = o.filter(F.col("o_orderstatus") == "O").select(
+        (F.col("o_custkey") % 40).alias("drug1"),
+        (F.col("o_orderkey") % 40).alias("drug2"),
+        F.col("o_orderpriority").alias("recommendation"),
+    )
+    ddinter = c.select(
+        (F.col("c_custkey") % 40).alias("drug1"),
+        ((F.col("c_nationkey") * 3) % 40).alias("drug2"),
+        F.col("c_mktsegment").alias("interaction_level"),
+        F.col("c_nationkey").cast("string").alias("interaction_type"),
+    )
+    merged = merge_all_ddis(
+        normalize_kegg_ddi(kegg), normalize_ddinter_ddi(ddinter)
+    )
+    return merged.withColumn("source", F.array_join("source", "|"))
 
 
 # ---------------- grouping sets / rollup (free Spark built-in, SURVEY §2.4)
