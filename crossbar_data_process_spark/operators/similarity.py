@@ -84,9 +84,14 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane signature: concat of sign bits of <v, plane_i>."""
-    planes = _hyperplanes(dim, n_planes)
+def lsh_bucket_signature(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
+    """Random-hyperplane signature: concat of sign bits of <v, plane_i>.
+    ``plane_offset`` selects a disjoint plane slice from the deterministic
+    series — table t of a multi-table scheme uses offset t*n_planes, so
+    tables are independent but reproducible (and SQL-oracle-able)."""
+    planes = _hyperplanes(dim, plane_offset + n_planes)[plane_offset:]
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")
@@ -94,6 +99,72 @@ def lsh_bucket_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def _probe_signatures(bucket: Column, n_planes: int) -> Column:
+    """Multi-probe set: the signature itself plus every 1-bit flip (the
+    standard Hamming-1 probe sequence). A vector near a hyperplane falls on
+    either side by chance; probing adjacent buckets recovers those misses
+    for n_planes extra lookups instead of doubling the table."""
+    flips = [
+        F.concat(
+            F.substring(bucket, 1, j),
+            F.when(F.substring(bucket, j + 1, 1) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substring(bucket, j + 2, n_planes - j - 1),
+        )
+        for j in range(n_planes)
+    ]
+    return F.array(bucket, *flips)
+
+
+def _table_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """(id, table, key) bucket assignments for a multi-table LSH scheme:
+    table t signs the vector against its own disjoint slice of the
+    deterministic hyperplane series. Recall of the OR-construction is
+    1-(1-p^m)^L for per-plane agreement p — tuning (m=n_planes, L=tables)
+    sets the operating point; a single AND-only table (L=1) cannot reach
+    high recall for moderate-similarity neighbors (p^m collapses).
+    ``multiprobe`` adds every Hamming-1 key per table (m extra probes)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            lsh_bucket_signature(
+                F.col(vec_col), dim, n_planes, plane_offset=t * n_planes
+            ).alias(f"__b{t}")
+            for t in range(tables)
+        ],
+    )
+    if multiprobe:
+        # NB: the HOF lambda must stay unary — pyspark binds a second
+        # parameter to the element INDEX, so a `lambda key, t=t` default-arg
+        # closure would silently replace the table number with the index
+        def probe_structs(t: int):
+            return F.transform(
+                _probe_signatures(F.col(f"__b{t}"), n_planes),
+                lambda key: F.struct(F.lit(t).alias("t"), key.alias("key")),
+            )
+
+        band_arr = F.flatten(F.array(*[probe_structs(t) for t in range(tables)]))
+    else:
+        band_arr = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("key"))
+                for t in range(tables)
+            ]
+        )
+    return sigs.select("id", F.explode(band_arr).alias("bk")).select(
+        "id", F.col("bk.t").alias("t"), F.col("bk.key").alias("key")
+    )
 
 
 def cosine_topk_lsh(
@@ -104,28 +175,101 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Approximate cosine top-k: compare only vectors in the same
-    random-hyperplane bucket. Trades recall for a candidate set ~n/2^planes
-    per bucket; at 100 TB this is the difference between a broadcast-scan and
-    an infeasible cross product. Multi-probe (flip one bit) would raise
-    recall; kept single-probe for clarity."""
-    sig = lambda df, idn, vn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(vn),
-        lsh_bucket_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    """Approximate cosine top-k: compare only (query, corpus) pairs sharing
+    a bucket in at least one of ``tables`` random-hyperplane tables.
+
+    Scale shape: the corpus is bucketed once per table (linear scan, one
+    shuffle on the band key), queries are broadcast; candidates per query
+    ≈ L·n/2^m instead of n. The (m, L) trade is the standard OR-of-ANDs:
+    recall 1-(1-p^m)^L. Measured operating points are recorded in
+    COVERAGE.md — including the honest negative result that for
+    weak-similarity neighbors (cosine ≈ 0.4, p ≈ 0.6) no setting prunes
+    much below brute force; the construction earns its keep when neighbor
+    similarity is high (true near-dups, p ≥ 0.85). ``multiprobe`` probes
+    Hamming-1 query buckets per table (m extra probes per table)."""
+    c = _table_buckets(vectors, dim, n_planes, tables, id_col, vec_col)
+    qb = _table_buckets(
+        queries, dim, n_planes, tables, id_col, vec_col, multiprobe=multiprobe
     )
-    c = sig(vectors, "neighbor_id", "cv")
-    q = sig(queries, "query_id", "qv")
-    scored = (
+    cand = (
         c.join(
-            F.broadcast(q.withColumnRenamed("bucket", "qbucket")),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
+            F.broadcast(qb.select(F.col("id").alias("qid"), "t", "key")),
+            on=["t", "key"],
         )
+        .filter(F.col("id") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("id").alias("neighbor_id"))
+    )
+    if tables > 1 or multiprobe:
+        cand = cand.distinct()  # a pair can collide in several tables/probes
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
         .select("query_id", "neighbor_id", "cosine")
     )
     return top_k_per_group(
         scored, ["query_id"], [F.desc("cosine"), F.asc("neighbor_id")], k, rank_col="rnk"
+    )
+
+
+def neighbor_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 1,
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the DECLARED near-dup
+    operator (the brute-force all-pairs q27b form is a bounded oracle
+    fixture only; an O(n²) cross join is not a 100 TB plan).
+
+    Self-join within per-table signature buckets (same banding shape as
+    MinHash-LSH in textdedup): the shuffle is keyed on (table, key),
+    candidates ≈ L·n²/2^m instead of n², each surviving candidate pays one
+    exact cosine. ``tables``/``multiprobe`` set the recall operating point
+    exactly as in :func:`cosine_topk_lsh` (measured points in COVERAGE.md).
+    """
+    buckets = _table_buckets(vectors, dim, n_planes, tables, id_col, vec_col)
+    a = buckets.alias("a")
+    b = (
+        _table_buckets(
+            vectors, dim, n_planes, tables, id_col, vec_col, multiprobe=multiprobe
+        ).alias("b")
+        if multiprobe
+        else buckets.alias("b")
+    )
+    # shuffle-hash: both sides are corpus-sized — refuse a broadcast that
+    # local stats would allow but scale forbids (same rule as textdedup)
+    cand = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("vec_a"), F.col("b.id").alias("vec_b"))
+    )
+    if tables > 1 or multiprobe:
+        cand = cand.distinct()
+    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

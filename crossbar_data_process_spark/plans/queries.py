@@ -935,11 +935,11 @@ WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.4
 """,
 )
 def q27b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force all-pairs cosine with threshold — the correctness
-    baseline for embedding near-dup; the scale path is the LSH-bucketed
-    variant (q39). The self cross join is deliberate and bounded to the
-    embeddings dimension table; production would bucket by LSH signature
-    first."""
+    """Brute-force all-pairs cosine with threshold — a BOUNDED ORACLE
+    FIXTURE (recall baseline), not the declared near-dup operator. The
+    declared surface is q49 (``neighbor_pairs_lsh``), which buckets by LSH
+    signature instead of the O(n²) cross join; this form exists so the LSH
+    path's recall is measurable against exact ground truth."""
     from crossbar_data_process_spark.operators.similarity import cosine
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1279,7 +1279,9 @@ def q38_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal 6x64 plane matrix: each weight rendered with repr() and parsed via
 # CAST(str AS DOUBLE), which round-trips to the identical IEEE double; the
 # sign-bit fold and the cosine/topk arithmetic mirror q27's oracle exactly.
-def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+def _lsh_bucket_sql(dim: int, n_planes: int) -> str:
+    """The random-hyperplane signature as a SQL expression over a column
+    named ``embedding`` (shared by the q39 and q49 oracles)."""
     from crossbar_data_process_spark.operators.similarity import _hyperplanes
 
     def bit(plane: list[float]) -> str:
@@ -1290,7 +1292,11 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
             f"(x, y) -> x + y) >= 0 THEN '1' ELSE '0' END)"
         )
 
-    bucket = " || ".join(bit(p) for p in _hyperplanes(dim, n_planes))
+    return " || ".join(bit(p) for p in _hyperplanes(dim, n_planes))
+
+
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, k: int = 5) -> str:
+    bucket = _lsh_bucket_sql(dim, n_planes)
     return f"""
 WITH sig AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
@@ -1317,6 +1323,32 @@ def q39_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# -------- the DECLARED embedding near-dup surface: LSH-bucketed threshold
+# pairs (operators.similarity.neighbor_pairs_lsh). q27b keeps the brute-force
+# all-pairs form as a bounded oracle fixture; this is the plan that survives
+# 100 TB — candidates come from signature buckets, never the cross product.
+def _neardup_lsh_oracle(
+    dim: int = 64, n_planes: int = 6, threshold: float = 0.4
+) -> str:
+    bucket = _lsh_bucket_sql(dim, n_planes)
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+@query("q49_embedding_neardup_lsh", _neardup_lsh_oracle())
+def q49_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.similarity import neighbor_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return neighbor_pairs_lsh(e, dim=64, threshold=0.4, n_planes=6)
 
 
 # -------- X4 order-preserving union (merge_source_column, ppi.py:414-428):

@@ -1,0 +1,118 @@
+"""Recall regression tests for the multi-table LSH ANN operators
+(VERDICT r01 item 5: the LSH path must have a measured recall vs the exact
+baseline, target ≥0.95). Two regimes:
+
+- planted near-dups (cosine ≥ 0.9, per-plane agreement p ≈ 0.9): the real
+  near-dup workload — strong AND-bucketing (m=8) prunes hard and the
+  OR-construction (L=6) holds recall at 1.0;
+- the synthetic corpus at threshold 0.4 (p ≈ 0.63): weak-similarity regime
+  where wide-OR settings (m=3, L=12) are needed; candidate volume
+  approaches brute force here — documented honestly in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    cosine_topk_lsh,
+    neighbor_pairs_lsh,
+)
+
+from tests.conftest import SF_DIR_MID
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(1000, 64))
+    idx = rng.choice(1000, 200, replace=False)
+    noise = base[idx] + 0.12 * rng.normal(size=(200, 64))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (int(1000 + j), [float(x) for x in noise[j]]) for j in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 150  # the perturbed copies are the planted pairs
+    return df, truth
+
+
+def test_neardup_lsh_recall_planted(spark, planted):
+    df, truth = planted
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in neighbor_pairs_lsh(
+            df, dim=64, threshold=0.9, n_planes=8, tables=6
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95
+    # no false positives: every reported pair really clears the threshold
+    assert found <= truth
+
+
+def test_neardup_lsh_recall_corpus(spark):
+    e = spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    found = {
+        (r.vec_a, r.vec_b)
+        for r in neighbor_pairs_lsh(
+            e, dim=64, threshold=0.4, n_planes=3, tables=12
+        ).collect()
+    }
+    assert len(found & truth) / len(truth) >= 0.95
+
+
+def test_topk_lsh_recall_corpus(spark):
+    e = spark.read.parquet(f"{SF_DIR_MID}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_lsh(
+            e, q, dim=64, k=5, n_planes=3, tables=12, multiprobe=True
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.95
+
+
+def test_multiprobe_is_monotone(spark, planted):
+    """Multiprobe may only ADD candidates — a regression guard for the
+    table-identity bug where a binary HOF lambda bound the probe index as
+    the table number."""
+    df, _ = planted
+    base = {
+        (r.vec_a, r.vec_b)
+        for r in neighbor_pairs_lsh(
+            df, dim=64, threshold=0.9, n_planes=8, tables=3
+        ).collect()
+    }
+    probed = {
+        (r.vec_a, r.vec_b)
+        for r in neighbor_pairs_lsh(
+            df, dim=64, threshold=0.9, n_planes=8, tables=3, multiprobe=True
+        ).collect()
+    }
+    assert base <= probed
