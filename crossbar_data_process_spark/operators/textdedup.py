@@ -120,14 +120,24 @@ def ngram_jaccard_pairs(
     semantics, used as the MinHash-LSH recall oracle.
     """
     idx = _shingle_index(docs, text_col, id_col, n)
-    ex = idx.select("doc", "nsh", F.explode("sh").alias("s")).persist()
+    # materialized via non-eager localCheckpoint rather than persist():
+    # same multi-consumer reuse, but the blocks are owned by the RDD and
+    # released by the ContextCleaner when the plan is GC'd — persist() pins
+    # entries in the CacheManager until an explicit unpersist that a
+    # returned-DataFrame operator has no safe place to issue (ADVICE r01).
+    # Trade: lineage is truncated, so executor loss means job retry instead
+    # of recompute — at production scale this intermediate is a silver
+    # table on disk anyway (see _shingle_index docstring).
+    ex = idx.select("doc", "nsh", F.explode("sh").alias("s")).localCheckpoint(
+        eager=False
+    )
     if max_doc_freq is not None:
         freq_w = Window.partitionBy("s")
         ex = (
             ex.withColumn("__df", F.count(F.lit(1)).over(freq_w))
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
-            .persist()
+            .localCheckpoint(eager=False)
         )
     a = ex.alias("a")
     b = ex.alias("b")
@@ -208,9 +218,10 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+    # GC-managed materialization — see the ngram_jaccard_pairs comment
     buckets = sigs.select("doc", F.explode(band_arr).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -227,7 +238,7 @@ def minhash_lsh_pairs(
     # exact verify: join shingle sets back on and compute true jaccard
     idx = _shingle_index(docs, text_col, id_col, n).select(
         "doc", "sh", "nsh"
-    ).persist()
+    ).localCheckpoint(eager=False)
     ia = idx.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     ib = idx.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))
     out = (

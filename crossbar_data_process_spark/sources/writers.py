@@ -14,8 +14,19 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+
+
+def _props_dict(value) -> dict:
+    """Normalize a props column value to a plain dict: MapType arrives as a
+    dict, StructType as a Row (which has no ``.items()`` — asDict it),
+    NULL as empty."""
+    if value is None:
+        return {}
+    if isinstance(value, Row):
+        return value.asDict()
+    return dict(value)
 
 
 def write_gold(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -54,9 +65,9 @@ def biocypher_tuples(
     (drug.py:1239) happens only here at the export edge."""
     if nodes is not None:
         for row in nodes.toLocalIterator():
-            props = {k: v for k, v in (row["props"] or {}).items() if v is not None}
+            props = {k: v for k, v in _props_dict(row["props"]).items() if v is not None}
             yield (row["id"], row["label"], props)
     if edges is not None:
         for row in edges.toLocalIterator():
-            props = {k: v for k, v in (row["props"] or {}).items() if v is not None}
+            props = {k: v for k, v in _props_dict(row["props"]).items() if v is not None}
             yield (None, row["src"], row["tgt"], row["label"], props)

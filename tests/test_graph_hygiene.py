@@ -138,3 +138,27 @@ def test_fallback_map_auto_respects_threshold(spark):
         assert "BroadcastHashJoin" in plan_forced
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_textdedup_caches_released_after_gc(spark):
+    """ngram/minhash near-dup intermediates must not pin storage for the
+    session lifetime (ADVICE r01): materialization goes through non-eager
+    localCheckpoint, whose blocks the ContextCleaner frees once the plan is
+    garbage-collected."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta tok{i % 7} epsilon zeta")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    before = _storage_entries(spark)
+    out = ngram_jaccard_pairs(docs, threshold=0.2)
+    out.count()
+    out2 = minhash_lsh_pairs(docs, threshold=0.2)
+    out2.count()
+    del out, out2
+    assert _settled_storage_delta(spark, before) <= 0

@@ -45,3 +45,23 @@ def test_biocypher_tuples(spark):
         None, "uniprot:P1", "uniprot:P2",
         "protein_protein_interaction", {"score": "0.9"},
     )
+
+
+def test_biocypher_tuples_struct_props(spark):
+    """Struct-typed props columns (pyspark Row has no .items()) must honor
+    the documented '(id, label, props:map/struct)' contract (ADVICE r01)."""
+    nodes = spark.createDataFrame(
+        [(("aspirin", None), "drugbank:DB1", "drug")],
+        "props struct<name:string,cas:string>, id string, label string",
+    )
+    edges = spark.createDataFrame(
+        [(("6.1", None), "drugbank:DB1", "uniprot:P1", "drug_targets_protein")],
+        "props struct<pchembl:string,known_action:string>, "
+        "src string, tgt string, label string",
+    )
+    tuples = list(biocypher_tuples(nodes, edges))
+    assert tuples[0] == ("drugbank:DB1", "drug", {"name": "aspirin"})
+    assert tuples[1] == (
+        None, "drugbank:DB1", "uniprot:P1", "drug_targets_protein",
+        {"pchembl": "6.1"},
+    )
