@@ -94,3 +94,71 @@ def doc_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
     return F.substring(F.md5(norm), 1, bits_hex)
+
+
+# BPE-style pre-tokenizer pattern (the GPT-2 split shape, ASCII classes so
+# Java regex and RE2/DuckDB agree): contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# residual whitespace. A real tokenizer's merges would run as a Pandas UDF;
+# the PRE-tokenization (where token counts come from) is pure regex.
+BPE_SPLIT_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^ A-Za-z0-9]+"
+)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: the number of pre-tokenizer segments — the
+    standard cheap proxy for LLM token budgets (whitespace counts
+    under-estimate punctuation-heavy text). JVM regex, linear scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0)))
+
+
+# Rolling-hash document fingerprinting (winnowing): hash every k-char window
+# of the normalized text, then keep the MINIMUM hash per stride-sized block —
+# the classic local fingerprint set for plagiarism/overlap detection. Two
+# documents sharing a run of ≥ k+stride chars share at least one fingerprint.
+# Split into two expressions because Catalyst does not CSE inside
+# higher-order-function lambdas: inlining the window-hash array into the
+# block-min transform would recompute ALL window hashes once per block
+# (quadratic per doc). Pipelines must materialize rolling_window_hashes into
+# a column, then apply winnow_min to that column. Cost is O(len·k) character
+# work instead of the sequential O(len) Rabin-Karp recurrence — the rolling
+# state can't vectorize across a Column; at small k the scan stays in
+# whole-stage codegen and the constant is cheap.
+
+
+def rolling_window_hashes(col: Column | str, k: int = 8) -> Column:
+    """32-bit md5-prefix hash (the engine's cross-engine hash) of every
+    ``k``-char window of the whitespace-normalized lowercase text; empty
+    array for texts shorter than ``k``."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    starts = F.sequence(F.lit(1), F.length(norm) - (k - 1))
+    hashes = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    # guard: sequence(1, n) is DESCENDING [1, 0] for n <= 0, not empty
+    return F.when(F.length(norm) >= k, hashes).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_min(hashes: Column | str, stride: int = 16) -> Column:
+    """Winnowing reduction over a MATERIALIZED window-hash column: distinct
+    per-block minimum hashes (block = ``stride`` consecutive windows)."""
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    n_blocks = F.ceil(F.size(h) / stride).cast("int")
+    block_mins = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda b: F.array_min(F.slice(h, (b - 1) * stride + 1, stride)),
+    )
+    return F.when(F.size(h) > 0, F.array_distinct(block_mins)).otherwise(
+        F.array().cast("array<bigint>")
+    )

@@ -1351,6 +1351,89 @@ def q49_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_pairs_lsh(e, dim=64, threshold=0.4, n_planes=6)
 
 
+# ----- BPE-ish token counting (charter text-analysis item: "whitespace + a
+# BPE-ish regex"): pre-tokenizer segment count — the cheap LLM-token-budget
+# proxy. The pattern uses ASCII classes only so Java regex (Spark) and RE2
+# (DuckDB) agree; both engines use leftmost-first alternation.
+def _bpe_oracle() -> str:
+    from crossbar_data_process_spark.functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+@query("q50_bpe_tokens", _bpe_oracle())
+def q50_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    )
+
+
+# ----- rolling-hash document fingerprinting (charter text-analysis item):
+# winnowed k-gram fingerprint set. The window-hash array is materialized
+# into a column before the block-min reduction — Catalyst does not CSE
+# inside HOF lambdas, so the one-expression form would recompute every
+# window hash per block (see functions/text.py). Rendered as a sorted
+# '|'-joined string at the boundary (list order is not cross-engine stable).
+def _winnow_oracle(k: int = 8, stride: int = 16) -> str:
+    hash32 = (
+        "list_sum(list_transform(range(1, 9), "
+        f"j -> (strpos('0123456789abcdef', md5(t[i:i+{k - 1}])[j:j]) - 1) "
+        "* (1::BIGINT << (4 * (8 - j)))))"
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k - 2}), i -> {hash32})
+              ELSE [] END AS hs
+  FROM n)
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_distinct(
+           CASE WHEN len(hs) > 0
+                THEN list_transform(
+                       range(1, CAST(ceil(len(hs) / {stride}.0) AS INT) + 1),
+                       b -> list_min(hs[(b-1)*{stride}+1 : b*{stride}]))
+                ELSE [] END)), '|') AS fingerprints
+FROM h
+"""
+
+
+@query("q51_rolling_fingerprints", _winnow_oracle())
+def q51_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.functions.text import (
+        rolling_window_hashes,
+        winnow_min,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    with_hashes = d.select(
+        "doc_id", rolling_window_hashes("text", k=8).alias("__h")
+    )
+    fp = winnow_min(F.col("__h"), stride=16)
+    return with_hashes.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(fp).cast("array<string>"), "|"
+        ).alias("fingerprints"),
+    )
+
+
 # -------- X4 order-preserving union (merge_source_column, ppi.py:414-428):
 # first-occurrence dedup across two ordered provenance lists
 @query(
