@@ -96,11 +96,15 @@ def doc_fingerprint(col: Column | str, bits_hex: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, bits_hex)
 
 
-# BPE-style pre-tokenizer pattern (the GPT-2 split shape, ASCII classes so
-# Java regex and RE2/DuckDB agree): contraction suffixes, space-prefixed
-# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
-# residual whitespace. A real tokenizer's merges would run as a Pandas UDF;
-# the PRE-tokenization (where token counts come from) is pure regex.
+# BPE-style pre-tokenizer pattern (GPT-2-inspired split shape, ASCII classes
+# so Java regex and RE2/DuckDB agree): contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs.
+# DELIBERATE deviation from GPT-2: there is no residual-whitespace branch, so
+# runs of extra whitespace are dropped (uncounted) rather than emitted as
+# whitespace tokens — Spark and the DuckDB oracle agree with each other, and
+# for token-BUDGET estimation whitespace tokens are noise. A real tokenizer's
+# merges would run as a Pandas UDF; the PRE-tokenization (where token counts
+# come from) is pure regex.
 BPE_SPLIT_PATTERN = (
     "'(?:[sdmt]|ll|ve|re)"
     "| ?[A-Za-z]+"

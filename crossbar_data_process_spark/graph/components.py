@@ -30,9 +30,10 @@ def connected_components(
     ``nodes``: one column ``id_col``; ``edges``: ``src_col``/``dst_col``
     (undirected semantics — both directions are propagated).
 
-    Cache hygiene: the superseded iteration's labels are unpersisted once the
-    new iteration materializes (the ``isEmpty`` convergence probe already
-    forces materialization), so storage is O(1) in iteration count; lineage
+    Cache hygiene: the superseded iteration's labels are unpersisted only
+    after the new iteration is FULLY materialized (``count()`` — an
+    ``isEmpty`` probe alone computes partitions only up to the first hit),
+    so storage is O(1) in iteration count with no recompute cascade; lineage
     is truncated with ``localCheckpoint`` every ``checkpoint_every``
     iterations so long propagation chains don't grow the plan unboundedly.
     """
@@ -69,8 +70,12 @@ def connected_components(
             released, prev = prev, None
         else:
             updated = updated.persist()
-            # isEmpty materializes `updated`; only then is the predecessor safe
-            # to drop without recompute
+            # count() computes EVERY partition into the cache (isEmpty alone
+            # stops at the first match, leaving most partitions uncomputed —
+            # dropping the predecessor then forces a recompute cascade through
+            # uncached lineage); the convergence probe afterwards reads from
+            # the now-complete cache.
+            updated.count()
             changed = not updated.filter(F.col("__changed")).isEmpty()
             released, prev = prev, updated
         if released is not None:

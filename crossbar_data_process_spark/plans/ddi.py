@@ -55,7 +55,11 @@ def normalize_kegg_ddi(
         "drug1",
         "drug2",
         order_by=order_by
-        or [F.asc("recommendation"), F.asc("drug1"), F.asc("drug2")],
+        # nulls_last so an orientation carrying a real recommendation beats a
+        # blank→NULL one (Spark asc defaults NULLS FIRST, which would keep the
+        # least-informative row); matches DuckDB's ASC NULLS LAST default so
+        # the q43 oracle tie-breaks identically if NULLs appear.
+        or [F.asc_nulls_last("recommendation"), F.asc("drug1"), F.asc("drug2")],
     )
 
 
@@ -73,8 +77,8 @@ def normalize_ddinter_ddi(
         "drug2",
         order_by=order_by
         or [
-            F.asc("interaction_level"),
-            F.asc("interaction_type"),
+            F.asc_nulls_last("interaction_level"),
+            F.asc_nulls_last("interaction_type"),
             F.asc("drug1"),
             F.asc("drug2"),
         ],

@@ -41,13 +41,18 @@ def process_ctd_dgi(
     ``ctd``: (entrez_id, cas_rn, interaction_actions: array<string>,
     pubmed_ids: array<string>). ``cas_to_drugbank``: (cas_rn, drugbank_id).
     """
-    relevant = F.array_intersect(
-        F.col(actions_col), F.array(*[F.lit(a) for a in _EXPR_ACTIONS])
+    # F.filter (not array_intersect, which would deduplicate) so a row listing
+    # the same expression action TWICE counts 2 raw occurrences and is skipped
+    # as a bad entry — exact parity with the reference's occurrence count
+    # (drug.py:875-880).
+    relevant = F.filter(
+        F.col(actions_col),
+        lambda a: a.isin(*_EXPR_ACTIONS),
     )
     filtered = (
         ctd.filter(F.col("entrez_id").isNotNull() & F.col("cas_rn").isNotNull())
         .withColumn("__rel", relevant)
-        .filter(F.size("__rel") == 1)  # 0 → no expression action; 2 → conflict row
+        .filter(F.size("__rel") == 1)  # 0 → no expression action; ≥2 → bad entry
         .withColumn("action_type", F.element_at("__rel", 1))
         .withColumn("references", F.array_join("pubmed_ids", "|"))
         .drop("__rel")

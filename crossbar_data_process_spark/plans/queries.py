@@ -1559,7 +1559,7 @@ def q42_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH kegg AS (
   SELECT drug1, drug2, recommendation FROM (
     SELECT *, row_number() OVER (PARTITION BY u, v
-              ORDER BY recommendation, drug1, drug2) AS rn
+              ORDER BY recommendation NULLS LAST, drug1, drug2) AS rn
     FROM (
       SELECT o_custkey % 40 AS drug1, o_orderkey % 40 AS drug2,
              o_orderpriority AS recommendation,
@@ -1570,7 +1570,8 @@ WITH kegg AS (
 ddinter AS (
   SELECT drug1, drug2, interaction_level, interaction_type FROM (
     SELECT *, row_number() OVER (PARTITION BY u, v
-              ORDER BY interaction_level, interaction_type, drug1, drug2) AS rn
+              ORDER BY interaction_level NULLS LAST, interaction_type NULLS LAST,
+                       drug1, drug2) AS rn
     FROM (
       SELECT c_custkey % 40 AS drug1, (c_nationkey * 3) % 40 AS drug2,
              c_mktsegment AS interaction_level,
