@@ -30,13 +30,18 @@ _B = [97, 193, 389, 769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism before CPU-heavy
-    per-row expressions. A single parquet file scans as one partition
-    locally, serializing tokenize/hash work onto one core; on a real
-    cluster the many-files layout provides this for free, and the round-
-    robin exchange here is cheap relative to the per-row compute it
-    parallelizes."""
+    per-row expressions — but ONLY when the input is pathologically
+    under-partitioned (fewer than a quarter of the cores would be busy).
+    A single parquet file scans as one partition locally, serializing
+    tokenize/hash work onto one core — that case pays for the round-robin
+    exchange many times over. A well-partitioned cluster input (the normal
+    100 TB layout) passes through untouched: an unconditional repartition
+    would be a wasted full-corpus exchange (ADVICE r02)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 4):
+        return df
+    return df.repartition(target)
 
 
 def _hash32(c: Column) -> Column:
@@ -255,25 +260,89 @@ def minhash_lsh_pairs(
     return out
 
 
+def resolve_neardups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup cluster resolution: scored pairs → connected components →
+    one surviving representative per cluster (the min id, mirroring
+    ``dedup_exact``'s survivors contract and the reference's
+    drop_duplicates-returns-rows semantics, edge_data/ppi.py:142).
+
+    ``pairs`` is any near-dup pair table (``minhash_lsh_pairs``,
+    ``ngram_jaccard_pairs``, ``similarity.neighbor_pairs_lsh``); extra
+    columns (jaccard/cosine) are ignored. Returns
+    (``id_col``, cluster_size) covering the WHOLE corpus: cluster
+    representatives carry their cluster's member count, untouched docs
+    survive with cluster_size 1.
+
+    Scale: min-label propagation runs only over the docs that appear in at
+    least one pair — the duplicate-involved subset, typically a small
+    fraction of the corpus — never the full document set; the corpus is
+    touched once by an anti-join on the id (one shuffle, AQE may broadcast
+    the pair-node side when small). Iteration count is the duplicate-cluster
+    diameter, which for near-dup graphs is tiny (clusters are quasi-cliques:
+    LSH links most members pairwise, so propagation converges in 2-3 rounds).
+    """
+    from crossbar_data_process_spark.graph.components import connected_components
+
+    nodes = (
+        pairs.select(F.col(a_col).alias("id"))
+        .unionByName(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    comps = connected_components(nodes, edges)
+    clusters = comps.groupBy("component").agg(
+        F.min("id").alias(id_col), F.count(F.lit(1)).alias("cluster_size")
+    )
+    singles = docs.join(
+        nodes, docs[id_col] == nodes["id"], "left_anti"
+    ).select(F.col(id_col), F.lit(1).cast("long").alias("cluster_size"))
+    return clusters.select(id_col, "cluster_size").unionByName(singles)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-token 32-bit md5 hash; for each bit position,
     sum +1/−1 over tokens (with multiplicity); sign vector → integer
     fingerprint. Near-dup = small Hamming distance between fingerprints.
-    Pure expressions: one transform per doc + a per-bit fold, no shuffle."""
+
+    Single-pass formulation: ONE fold over the token-hash array carrying a
+    ``bits``-wide count vector (zip_with inside the accumulator), then one
+    fold turning signs into the integer — instead of ``bits`` independent
+    folds each re-traversing the array (the r02 shape: ~32× the array
+    traversals and a much larger codegen'd expression tree). Same result
+    bit-for-bit; the q26b oracle is unchanged. Pure expressions, no shuffle.
+    """
     docs = _spread(docs).withColumn("__toks", tokens(text_col))
-    toks = F.col("__toks")
-    hashed = F.transform(toks, lambda t: _hash32(t))
-    def bit_sum(j: int) -> Column:
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-    fingerprint = None
-    for j in range(bits):
-        bit = F.when(bit_sum(j) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        fingerprint = term if fingerprint is None else fingerprint + term
+    hashed = F.transform(F.col("__toks"), lambda t: _hash32(t))
+    zero_vec = F.array_repeat(F.lit(0).cast("long"), bits)
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    counts = F.aggregate(
+        hashed,
+        zero_vec,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # counts → integer: fold carrying (power-of-two, partial sum) so no
+    # shiftleft-by-column is needed (the Python API only shifts by literals)
+    fingerprint = F.aggregate(
+        counts,
+        F.struct(
+            F.lit(1).cast("long").alias("p"), F.lit(0).cast("long").alias("s")
+        ),
+        lambda acc, c: F.struct(
+            (acc["p"] * 2).alias("p"),
+            (acc["s"] + F.when(c > 0, acc["p"]).otherwise(F.lit(0).cast("long"))).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
     return docs.select(
         F.col(id_col).alias("doc"), fingerprint.alias("simhash")
     )

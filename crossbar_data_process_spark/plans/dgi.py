@@ -85,6 +85,53 @@ def dgi_edge_label(action_col: str = "action_type") -> Column:
     ).otherwise(F.lit("drug_upregulates_gene"))
 
 
+def dgi_input_label(action_col: str = "action_type") -> Column:
+    """The INPUT label the schema contract keys the fan-out on
+    (schema_config.yaml:379 ``label_in_input``)."""
+    return F.when(
+        F.col(action_col) == "decreases_expression",
+        F.lit("drug_decreases_expression_gene"),
+    ).otherwise(F.lit("drug_increases_expression_gene"))
+
+
+def get_dgi_edges_by_label(
+    ctd: DataFrame,
+    cas_to_drugbank: DataFrame,
+    registry=None,
+) -> dict[str, DataFrame]:
+    """Schema-driven label fan-out of the DGI association
+    (schema_config.yaml:373-382): ONE logical table splits into the
+    ``decreases_expression`` / ``increases_expression`` gold outputs, each
+    conformed to the declared StructType (src/dst + source: str[],
+    references: str[]). This is the declarative replacement for the ad-hoc
+    when-ladder in ``dgi_edge_label`` — the schema, not the plan, owns the
+    label mapping."""
+    import os
+
+    from crossbar_data_process_spark.functions.ids import add_curie_prefix
+    from crossbar_data_process_spark.schema import SchemaRegistry
+
+    if registry is None:
+        registry = SchemaRegistry.from_yaml(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "schema",
+                "example_schema.yaml",
+            )
+        )
+    dgi = process_ctd_dgi(ctd, cas_to_drugbank)
+    edges = dgi.select(
+        add_curie_prefix("drugbank_id", "drugbank").alias("src"),
+        add_curie_prefix(F.col("entrez_id").cast("string"), "ncbigene").alias(
+            "dst"
+        ),
+        dgi_input_label().alias("label"),
+        F.array(F.col("source")).alias("source"),
+        F.split("references", "\\|").alias("references"),
+    )
+    return registry.fanout(edges, "small molecule to gene association")
+
+
 def get_dgi_edges(
     ctd: DataFrame, cas_to_drugbank: DataFrame
 ) -> DataFrame:

@@ -1,0 +1,124 @@
+"""Multi-hop KG pattern queries (motifs) — the composition CROssBAR's KG
+serves: the reference emits the constituent edge tables
+(drug→target at node_data/drug.py:1222-1251, gene→disease at
+node_data/disease.py:1423-1466) and leaves traversal to the graph DB; the
+engine provides the 2-hop join as a named, scale-shaped operator so the
+same question (which diseases does a drug reach through its targets?) runs
+as one Catalyst plan over the gold edge tables.
+
+Plan shape (designed, not incidental):
+- hop join keyed on the INTERMEDIATE node (one shuffle per edge table —
+  at scale these are the silver tables, bucketed on the hop key, making
+  the join shuffle-free);
+- then ONE repartition on the source key, reused by BOTH the per-(src,dst)
+  path aggregation and the per-src top-k window: HashPartitioning(src)
+  satisfies ClusteredDistribution(src, dst) (partitioning exprs ⊆ grouping
+  keys) and the window's PARTITION BY src, so Catalyst inserts no further
+  exchange — verified by tests/test_kg_motifs.py counting exchanges.
+  Trade: partitioning by src alone is more skew-prone than (src, dst);
+  hub sources (promiscuous drugs) are AQE-split, and the aggregation
+  still map-side-combines before the exchange.
+- no cartesian anywhere: both hops are equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def two_hop_paths(
+    edges_ab: DataFrame,
+    edges_bc: DataFrame,
+    src: str = "src",
+    mid: str = "mid",
+    dst: str = "dst",
+    score_ab: str | None = None,
+    score_bc: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """A→B→C path aggregation with optional per-source top-k.
+
+    ``edges_ab``: (src, mid [, score_ab]); ``edges_bc``: (mid, dst
+    [, score_bc]). Returns one row per (src, dst) pair with
+    ``n_paths`` (count of distinct intermediate witnesses) and, when both
+    score columns are given, ``best_score`` = max over paths of
+    score_ab·score_bc (max of per-path products — no float-sum
+    order-dependence, so the result is bit-stable across engines). With
+    ``k``, keeps the top-k destinations per source by (best_score desc,
+    dst asc) as ``rnk``.
+    """
+    a = edges_ab.alias("ab")
+    b = edges_bc.alias("bc")
+    joined = a.join(b, F.col(f"ab.{mid}") == F.col(f"bc.{mid}"))
+
+    path_score: Column | None = None
+    if score_ab is not None and score_bc is not None:
+        path_score = F.col(f"ab.{score_ab}") * F.col(f"bc.{score_bc}")
+
+    aggs = [F.count(F.lit(1)).alias("n_paths")]
+    if path_score is not None:
+        joined = joined.withColumn("__ps", path_score)
+        aggs.append(F.max("__ps").alias("best_score"))
+
+    paths = (
+        joined.select(
+            F.col(f"ab.{src}").alias(src),
+            F.col(f"bc.{dst}").alias(dst),
+            *([F.col("__ps")] if path_score is not None else []),
+        )
+        # the ONE post-join exchange: reused by groupBy(src, dst) AND the
+        # top-k window (see module docstring)
+        .repartition(src)
+        .groupBy(src, dst)
+        .agg(*aggs)
+    )
+    if k is None:
+        return paths
+    order = (
+        [F.desc("best_score"), F.asc(dst)]
+        if path_score is not None
+        else [F.desc("n_paths"), F.asc(dst)]
+    )
+    w = Window.partitionBy(src).orderBy(*order)
+    return (
+        paths.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def drug_target_disease_paths(
+    dti_edges: DataFrame,
+    gda_edges: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """The named CROssBAR composition: drug→target (DTI gold,
+    plans/dti.py) ⋈ target→disease (gene–disease gold,
+    plans/gene_disease.py), scored by affinity·association, top-``k``
+    diseases per drug.
+
+    ``dti_edges``: (drug, target, affinity); ``gda_edges``:
+    (target, disease, assoc).
+    """
+    return two_hop_paths(
+        dti_edges.select(
+            F.col("drug").alias("src"),
+            F.col("target").alias("mid"),
+            F.col("affinity").alias("s1"),
+        ),
+        gda_edges.select(
+            F.col("target").alias("mid"),
+            F.col("disease").alias("dst"),
+            F.col("assoc").alias("s2"),
+        ),
+        score_ab="s1",
+        score_bc="s2",
+        k=k,
+    ).select(
+        F.col("src").alias("drug"),
+        F.col("dst").alias("disease"),
+        "n_paths",
+        "best_score",
+        "rnk",
+    )

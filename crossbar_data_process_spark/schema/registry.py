@@ -57,7 +57,24 @@ class EntityDecl:
     source: str | None = None
     target: str | None = None
     input_labels: list[str] = field(default_factory=list)
+    labels_as_edge: list[str] = field(default_factory=list)
     properties: dict[str, DataType] = field(default_factory=dict)
+
+    def label_map(self) -> dict[str, str]:
+        """Input-label → output-edge-label pairing. The YAML contract pairs
+        ``label_in_input`` with ``label_as_edge`` POSITIONALLY (reference
+        schema_config.yaml:242-246 located_in/part_of/is_active_in ↔ the
+        three protein_*_cellular_component input labels; :373-382
+        decreases/increases_expression ↔ drug_*_expression_gene). A
+        singleton ``label_as_edge`` applies to every input label; with
+        neither declared the input label passes through unchanged."""
+        if self.labels_as_edge and len(self.labels_as_edge) == len(
+            self.input_labels
+        ):
+            return dict(zip(self.input_labels, self.labels_as_edge))
+        if len(self.labels_as_edge) == 1:
+            return {lbl: self.labels_as_edge[0] for lbl in self.input_labels}
+        return {lbl: lbl for lbl in self.input_labels}
 
     def struct_type(self) -> StructType:
         base: list[StructField] = (
@@ -94,6 +111,9 @@ class SchemaRegistry:
             labels = spec.get("label_in_input", [])
             if isinstance(labels, str):
                 labels = [labels]
+            as_edge = spec.get("label_as_edge", [])
+            if isinstance(as_edge, str):
+                as_edge = [as_edge]
             props = {
                 k: parse_type(str(v))
                 for k, v in (spec.get("properties") or {}).items()
@@ -105,6 +125,7 @@ class SchemaRegistry:
                 source=spec.get("source"),
                 target=spec.get("target"),
                 input_labels=list(labels),
+                labels_as_edge=list(as_edge),
                 properties=props,
             )
         return cls(decls)
@@ -124,3 +145,27 @@ class SchemaRegistry:
             else:
                 cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
         return df.select(*cols)
+
+    def fanout(
+        self, df: DataFrame, name: str, label_col: str = "label"
+    ) -> dict[str, DataFrame]:
+        """Label fan-out: split ONE association table into per-output-label
+        gold tables, as a list-valued ``label_in_input`` declares (one
+        logical association, several output edge labels — reference
+        schema_config.yaml:242-246, 263-269, 373-382).
+
+        Rows whose ``label_col`` is an input label land in the output keyed
+        by the paired ``label_as_edge`` name, conformed to the declared
+        StructType; undeclared labels are dropped. Each output is a plain
+        filter over the same plan — Catalyst pushes the label predicate to
+        the scan, and a pipeline writing all outputs does it in one pass
+        with ``.write.partitionBy(label_col)`` (the per-label frames here
+        are the API surface; the physical split costs one scan either way).
+        """
+        decl = self.decls[name]
+        return {
+            out_label: self.conform(
+                df.filter(F.col(label_col) == in_label), name
+            )
+            for in_label, out_label in decl.label_map().items()
+        }

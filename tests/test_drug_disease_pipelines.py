@@ -335,3 +335,44 @@ def test_drug_node_assembly(spark):
     db2 = nodes["drugbank:DB2"]
     # empty-string name dropped; no overlays
     assert db2.props == {"cas_number": "64-17-5"}
+
+
+def test_dgi_label_fanout(spark, dgi_inputs):
+    # schema-driven fan-out (schema_config.yaml:373-382): one association
+    # table -> per-output-label gold tables, both labels represented
+    from crossbar_data_process_spark.plans.dgi import get_dgi_edges_by_label
+
+    ctd, cas_map = dgi_inputs
+    outs = get_dgi_edges_by_label(ctd, cas_map)
+    assert set(outs) == {"decreases_expression", "increases_expression"}
+    inc = {r.dst: r for r in outs["increases_expression"].collect()}
+    dec = {r.dst: r for r in outs["decreases_expression"].collect()}
+    assert set(inc) == {"ncbigene:2"} and set(dec) == {"ncbigene:3"}
+    assert inc["ncbigene:2"].src == "drugbank:DB1"
+    assert inc["ncbigene:2"].source == ["CTD"]
+    assert inc["ncbigene:2"].references == ["p1", "p2"]
+    for df in outs.values():  # schema-validated output shape
+        assert [f.name for f in df.schema.fields] == [
+            "src", "dst", "source", "references",
+        ]
+
+
+def test_dgi_duplicated_same_action_skipped(spark):
+    # ADVICE r02: a row listing the SAME expression action twice is a bad
+    # entry (raw occurrence count 2), exactly like the reference's
+    # drug.py:875-880 gate — array_intersect would have deduped it to 1
+    from pyspark.sql import Row as R
+
+    ctd = spark.createDataFrame(
+        [
+            R(entrez_id=1, cas_rn="C1",
+              interaction_actions=["increases_expression",
+                                   "increases_expression"],
+              pubmed_ids=["p"]),
+            R(entrez_id=2, cas_rn="C1",
+              interaction_actions=["increases_expression"], pubmed_ids=[]),
+        ]
+    )
+    cas_map = spark.createDataFrame([R(cas_rn="C1", drugbank_id="DB1")])
+    out = process_ctd_dgi(ctd, cas_map)
+    assert [r.entrez_id for r in out.collect()] == [2]

@@ -1,0 +1,76 @@
+"""2-hop KG motif (plans/kg.py): path semantics + the designed plan shape
+(equi-joins only, and the single post-join exchange on the source key is
+reused by both the path aggregation and the top-k window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.plans.kg import (
+    drug_target_disease_paths,
+    two_hop_paths,
+)
+
+
+def _edges(spark):
+    dti = spark.createDataFrame(
+        [
+            ("d1", "t1", 0.9),
+            ("d1", "t2", 0.5),
+            ("d2", "t1", 0.4),
+        ],
+        "drug string, target string, affinity double",
+    )
+    gda = spark.createDataFrame(
+        [
+            ("t1", "flu", 0.8),
+            ("t1", "asthma", 0.2),
+            ("t2", "flu", 1.0),
+        ],
+        "target string, disease string, assoc double",
+    )
+    return dti, gda
+
+
+def test_two_hop_path_aggregation(spark):
+    dti, gda = _edges(spark)
+    out = drug_target_disease_paths(dti, gda, k=3).collect()
+    rows = {(r.drug, r.disease): r for r in out}
+    # d1→flu has two witnesses: via t1 (0.9*0.8=0.72) and t2 (0.5*1.0=0.5)
+    assert rows[("d1", "flu")].n_paths == 2
+    assert abs(rows[("d1", "flu")].best_score - 0.72) < 1e-9
+    assert rows[("d1", "flu")].rnk == 1
+    assert rows[("d1", "asthma")].n_paths == 1
+    assert rows[("d2", "flu")].rnk == 1
+    # top-k ordering: d1 flu (0.72) then asthma (0.18)
+    assert rows[("d1", "asthma")].rnk == 2
+
+
+def test_two_hop_counts_only_without_scores(spark):
+    dti, gda = _edges(spark)
+    out = two_hop_paths(
+        dti.select(F.col("drug").alias("src"), F.col("target").alias("mid")),
+        gda.select(F.col("target").alias("mid"), F.col("disease").alias("dst")),
+    ).collect()
+    rows = {(r.src, r.dst): r.n_paths for r in out}
+    assert rows[("d1", "flu")] == 2 and rows[("d2", "asthma")] == 1
+    assert "best_score" not in out[0].asDict()
+
+
+def test_plan_no_cartesian_and_reused_exchange(spark):
+    dti, gda = _edges(spark)
+    plan = (
+        drug_target_disease_paths(dti, gda, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges: ≤2 to feed the hop join (broadcast may remove one) + exactly
+    # 1 post-join repartition(src); the groupBy(src,dst) and the window
+    # PARTITION BY src must NOT add further exchanges
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+    # the window sort exists but no exchange sits between agg and window
+    assert "Window" in plan

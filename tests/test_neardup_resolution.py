@@ -1,0 +1,80 @@
+"""Near-dup cluster resolution (operators.textdedup.resolve_neardups):
+pairs → connected components → exactly one surviving representative per
+cluster, singletons pass through — the survivors contract of dedup_exact
+and the reference's drop_duplicates-returns-rows semantics
+(/root/reference/edge_data/ppi.py:142)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.textdedup import (
+    minhash_lsh_pairs,
+    resolve_neardups,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chain_pairs_resolve_transitively(spark):
+    # pair graph is a CHAIN (1-2, 2-3): components must merge transitively
+    # even though (1,3) was never emitted as a pair
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(1, 6)])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = resolve_neardups(docs, pairs).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.cluster_size) for r in out] == [
+        (1, 3),  # survivor of {1,2,3}, min id, full member count
+        (4, 1),
+        (5, 1),
+    ]
+
+
+def test_k_cluster_keeps_exactly_one(spark):
+    # 3 clusters of sizes 4, 3, 2 plus 2 singletons: exactly one survivor
+    # per cluster, total survivors = n_clusters + n_singletons
+    clusters = [[10, 11, 12, 13], [20, 21, 22], [30, 31]]
+    all_ids = [i for c in clusters for i in c] + [40, 50]
+    docs = _docs(spark, [(i, f"doc {i}") for i in all_ids])
+    pair_rows = [
+        (a, b) for c in clusters for a, b in zip(c, c[1:])
+    ]  # chains again — worst case for propagation
+    pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+    out = resolve_neardups(docs, pairs).collect()
+    by_id = {r.doc_id: r.cluster_size for r in out}
+    assert len(out) == len(clusters) + 2
+    for c in clusters:
+        assert by_id[min(c)] == len(c)  # min-id representative, right size
+        for other in c[1:]:
+            assert other not in by_id  # non-representatives removed
+    assert by_id[40] == 1 and by_id[50] == 1
+
+
+def test_extra_pair_columns_ignored(spark):
+    docs = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "doc_a long, doc_b long, jaccard double"
+    )
+    out = {r.doc_id: r.cluster_size for r in resolve_neardups(docs, pairs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_end_to_end_with_minhash_pairs(spark):
+    # near-identical texts land in one LSH cluster; distinct texts survive
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        (1, base),
+        (2, base + "extra"),
+        (3, base + "extra word"),
+        (4, "completely different text about spark engines and parquet files"),
+        (5, "yet another unrelated document mentioning nothing shared at all"),
+    ]
+    docs = _docs(spark, rows)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    out = {r.doc_id: r.cluster_size for r in resolve_neardups(docs, pairs).collect()}
+    assert out[1] == 3  # 1 survives for {1,2,3}
+    assert 2 not in out and 3 not in out
+    assert out[4] == 1 and out[5] == 1

@@ -45,3 +45,43 @@ def test_conform_casts_and_fills(spark):
     assert row.length == 321          # cast str -> int
     assert row.sequence is None       # missing nullable filled
     assert "extra" not in out.columns # undeclared dropped
+
+
+def test_label_map_positional_pairing():
+    reg = SchemaRegistry.from_yaml(YAML)
+    decl = reg.decls["small molecule to gene association"]
+    assert decl.label_map() == {
+        "drug_decreases_expression_gene": "decreases_expression",
+        "drug_increases_expression_gene": "increases_expression",
+    }
+    # no label_as_edge -> input labels pass through
+    assert reg.decls["protein"].label_map() == {"protein": "protein"}
+
+
+def test_fanout_splits_one_table_into_per_label_outputs(spark):
+    # input with BOTH labels lands in BOTH outputs, schema-validated;
+    # undeclared labels are dropped
+    reg = SchemaRegistry.from_yaml(YAML)
+    df = spark.createDataFrame(
+        [
+            Row(src="drugbank:DB1", dst="ncbigene:2",
+                label="drug_increases_expression_gene",
+                source=["CTD"], references=["p1", "p2"]),
+            Row(src="drugbank:DB2", dst="ncbigene:3",
+                label="drug_decreases_expression_gene",
+                source=["CTD"], references=[]),
+            Row(src="drugbank:DB3", dst="ncbigene:4",
+                label="not_a_declared_label",
+                source=["CTD"], references=[]),
+        ]
+    )
+    outs = reg.fanout(df, "small molecule to gene association")
+    assert set(outs) == {"decreases_expression", "increases_expression"}
+    inc = outs["increases_expression"].collect()
+    dec = outs["decreases_expression"].collect()
+    assert [r.src for r in inc] == ["drugbank:DB1"]
+    assert [r.src for r in dec] == ["drugbank:DB2"]
+    # conformed to the declared StructType: src/dst + typed props, no label
+    expect = ["src", "dst", "source", "references"]
+    assert [f.name for f in outs["increases_expression"].schema.fields] == expect
+    assert inc[0].references == ["p1", "p2"]
