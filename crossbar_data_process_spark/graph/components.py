@@ -70,13 +70,12 @@ def connected_components(
             released, prev = prev, None
         else:
             updated = updated.persist()
-            # count() computes EVERY partition into the cache (isEmpty alone
-            # stops at the first match, leaving most partitions uncomputed —
-            # dropping the predecessor then forces a recompute cascade through
-            # uncached lineage); the convergence probe afterwards reads from
-            # the now-complete cache.
-            updated.count()
-            changed = not updated.filter(F.col("__changed")).isEmpty()
+            # ONE job doubling as materialization and convergence probe:
+            # counting the changed rows scans EVERY partition of `updated`
+            # into the cache (an isEmpty probe alone stops at the first hit,
+            # leaving most partitions uncomputed — dropping the predecessor
+            # then forces a recompute cascade through uncached lineage).
+            changed = updated.filter(F.col("__changed")).count() > 0
             released, prev = prev, updated
         if released is not None:
             released.unpersist(blocking=False)

@@ -168,6 +168,32 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def _signatures_from_index(idx: DataFrame, num_hashes: int) -> DataFrame:
+    """(doc, sh, nsh) index → (doc, sig). The 32-bit shingle-hash array is
+    materialized into a column FIRST: Catalyst does not CSE across the
+    ``num_hashes`` permutation expressions, so inlining ``transform(sh,
+    md5…)`` into each would re-md5 every shingle once per permutation —
+    ``num_hashes``× the dominant cost (the same HOF-CSE trap as
+    ``shingles_of``). The permutations then make ``num_hashes`` cheap
+    arithmetic passes over a long array."""
+    assert num_hashes <= len(_A)
+    hashed = idx.filter(F.col("nsh") > 0).withColumn(
+        "__hs", F.transform(F.col("sh"), lambda s: _hash32(s))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P),
+                )
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return hashed.select("doc", sig.alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -178,21 +204,8 @@ def minhash_signatures(
     """MinHash signature per document: k independent linear permutations over
     32-bit shingle hashes, min per permutation. Pure Column expressions
     (transform + array_min) — no UDF, no shuffle."""
-    assert num_hashes <= len(_A)
-    sh = F.col("sh")
-    hashed = F.transform(sh, lambda s: _hash32(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(hashed, lambda h: (F.lit(_A[i]) * h + F.lit(_B[i])) % F.lit(_P))
-            ).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    return (
-        _shingle_index(docs, text_col, id_col, n)
-        .filter(F.col("nsh") > 0)
-        .select("doc", sig.alias("sig"))
+    return _signatures_from_index(
+        _shingle_index(docs, text_col, id_col, n), num_hashes
     )
 
 
@@ -213,7 +226,13 @@ def minhash_lsh_pairs(
     candidate verification touches only bucket-collision pairs, never n².
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    # ONE shingle pass feeds both the signature path and the exact-Jaccard
+    # verify (r02 computed the index twice — a second full tokenize+shingle
+    # scan of the corpus). GC-managed materialization, multi-consumer.
+    idx = _shingle_index(docs, text_col, id_col, n).localCheckpoint(
+        eager=False
+    )
+    sigs = _signatures_from_index(idx, num_hashes)
     band_arr = F.array(
         *[
             F.struct(
@@ -240,10 +259,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verify: join shingle sets back on and compute true jaccard
-    idx = _shingle_index(docs, text_col, id_col, n).select(
-        "doc", "sh", "nsh"
-    ).localCheckpoint(eager=False)
+    # exact verify: join the SAME materialized shingle index back on
     ia = idx.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     ib = idx.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))
     out = (
@@ -289,6 +305,12 @@ def resolve_neardups(
     """
     from crossbar_data_process_spark.graph.components import connected_components
 
+    # materialize the pair table BEFORE iterating: the component loop joins
+    # labels⋈edges once per iteration, and an unmaterialized `pairs` plan
+    # (e.g. the whole MinHash-LSH pipeline) would be re-executed every
+    # round — measured 10× the total runtime at sf0.1. GC-managed
+    # localCheckpoint, same policy as the LSH intermediates above.
+    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=False)
     nodes = (
         pairs.select(F.col(a_col).alias("id"))
         .unionByName(pairs.select(F.col(b_col).alias("id")))

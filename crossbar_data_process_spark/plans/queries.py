@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "q28_events_hourly",
     "q41_sessionize",
     "q43_ddi_merge",
+    # r03 additions: the new named surfaces, benchmarked from day one
+    "q52_kg_two_hop",
+    "q53_neardup_resolve",
 ]
 
 
