@@ -1,0 +1,91 @@
+"""IVF ANN (operators/ivf.py): recall against brute-force ground truth on
+a clustered corpus — the workload where a data-adaptive quantizer must
+beat data-oblivious hyperplanes — plus determinism and pruning checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.ivf import (
+    ivf_assign,
+    ivf_fit,
+    ivf_topk,
+)
+from crossbar_data_process_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 well-separated gaussian clusters of 150 vectors (dim 32) — model
+    embeddings are clustered, which is the case IVF exists for."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(150):
+            v = c + rng.normal(size=32) * 0.6
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, clustered):
+    q = clustered.filter(F.col("vec_id") % 150 == 0)  # one query per cluster
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, q, dim=32, k=10, nlist=16, nprobe=4, iters=3
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+
+
+def test_ivf_fit_deterministic(spark, clustered):
+    c1 = ivf_fit(clustered, dim=32, nlist=8, iters=2)
+    c2 = ivf_fit(clustered, dim=32, nlist=8, iters=2)
+    assert c1 == c2  # md5-ordered seeding + fixed iterations: no RNG state
+    for c in c1:  # spherical: unit centroids
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_ivf_assignment_prunes_candidates(spark, clustered):
+    # the quantizer must actually separate the corpus: every cluster id in
+    # [0, nlist) occupied by at most a modest fraction of the corpus
+    cents = ivf_fit(clustered, dim=32, nlist=8, iters=3)
+    sizes = (
+        clustered.select(ivf_assign(F.col("embedding"), cents).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    assert total == 1200
+    assert all(0 <= r.c < 8 for r in sizes)
+    # 8 planted clusters, nlist=8: the biggest list must hold well under
+    # half the corpus (a degenerate quantizer collapses everything into one)
+    assert max(r["count"] for r in sizes) < total * 0.5
+
+
+def test_ivf_fit_on_sample_still_recalls(spark, clustered):
+    q = clustered.filter(F.col("vec_id") % 300 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, q, dim=32, k=5, nlist=8, nprobe=3, iters=2,
+            sample_fraction=0.3,
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
