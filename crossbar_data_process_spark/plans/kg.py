@@ -88,6 +88,75 @@ def two_hop_paths(
     )
 
 
+def chain_paths(
+    edges: list[DataFrame],
+    src: str = "src",
+    dst: str = "dst",
+    score: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """N-hop generalization of :func:`two_hop_paths`: fold of hop joins,
+    each keyed on its intermediate node. Every frame in ``edges`` has
+    (``src``, ``dst`` [, ``score``]); hop i's ``dst`` joins hop i+1's
+    ``src``. Returns (src, dst, n_paths [, best_score]) per endpoint pair,
+    where best_score = max over full paths of the product of hop scores
+    (products only — no float-sum order dependence). With ``k``, top-k
+    destinations per source.
+
+    Scale: hop i's join shuffles on the hop-i intermediate key (bucketed
+    silver edge tables make each shuffle-free); the fold keeps the running
+    frame narrow (src, frontier-node, running score product), so state per
+    hop is one row per PATH — for high fan-out graphs aggregate
+    intermediate hops ((src, node) distinct/max) before the next hop to
+    bound growth; the 2-hop named form needs no such cap.
+    """
+    assert len(edges) >= 2
+    cur = edges[0].select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__m"),
+        *([F.col(score).alias("__p")] if score else []),
+    )
+    for hop in edges[1:]:
+        nxt = hop.select(
+            F.col(src).alias("__m2"),
+            F.col(dst).alias("__d"),
+            *([F.col(score).alias("__q")] if score else []),
+        )
+        cur = cur.join(nxt, F.col("__m") == F.col("__m2")).select(
+            "__s",
+            F.col("__d").alias("__m"),
+            *(
+                [(F.col("__p") * F.col("__q")).alias("__p")]
+                if score
+                else []
+            ),
+        )
+    aggs = [F.count(F.lit(1)).alias("n_paths")]
+    if score:
+        aggs.append(F.max("__p").alias("best_score"))
+    paths = (
+        cur.select(
+            F.col("__s").alias(src),
+            F.col("__m").alias(dst),
+            *([F.col("__p")] if score else []),
+        )
+        .repartition(src)  # reused by the agg AND the top-k window
+        .groupBy(src, dst)
+        .agg(*aggs)
+    )
+    if k is None:
+        return paths
+    order = (
+        [F.desc("best_score"), F.asc(dst)]
+        if score
+        else [F.desc("n_paths"), F.asc(dst)]
+    )
+    w = Window.partitionBy(src).orderBy(*order)
+    return paths.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= k)
+
+
 def drug_target_disease_paths(
     dti_edges: DataFrame,
     gda_edges: DataFrame,

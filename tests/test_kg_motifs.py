@@ -74,3 +74,35 @@ def test_plan_no_cartesian_and_reused_exchange(spark):
     assert n_exchanges <= 3, plan
     # the window sort exists but no exchange sits between agg and window
     assert "Window" in plan
+
+
+def test_chain_paths_three_hop(spark):
+    from crossbar_data_process_spark.plans.kg import chain_paths
+
+    e1 = spark.createDataFrame(
+        [("d1", "t1", 0.5), ("d1", "t2", 1.0)], "src string, dst string, s double"
+    )
+    e2 = spark.createDataFrame(
+        [("t1", "p1", 0.8), ("t2", "p1", 0.5)], "src string, dst string, s double"
+    )
+    e3 = spark.createDataFrame(
+        [("p1", "x1", 1.0), ("p1", "x2", 0.1)], "src string, dst string, s double"
+    )
+    out = {
+        (r.src, r.dst): r
+        for r in chain_paths([e1, e2, e3], score="s", k=2).collect()
+    }
+    # d1→x1 paths: d1-t1-p1-x1 (0.4) and d1-t2-p1-x1 (0.5)
+    assert out[("d1", "x1")].n_paths == 2
+    assert abs(out[("d1", "x1")].best_score - 0.5) < 1e-9
+    assert out[("d1", "x1")].rnk == 1
+    assert out[("d1", "x2")].rnk == 2
+
+
+def test_chain_paths_counts_without_scores(spark):
+    from crossbar_data_process_spark.plans.kg import chain_paths
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    e2 = spark.createDataFrame([("b", "z")], "src string, dst string")
+    out = chain_paths([e, e2]).collect()
+    assert [(r.src, r.dst, r.n_paths) for r in out] == [("a", "z", 1)]
