@@ -78,3 +78,55 @@ def test_end_to_end_with_minhash_pairs(spark):
     assert out[1] == 3  # 1 survives for {1,2,3}
     assert 2 not in out and 3 not in out
     assert out[4] == 1 and out[5] == 1
+
+
+# ---------- property: resolution matches a pure-python union-find oracle
+# on random pair graphs (cluster membership, survivor choice, sizes)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ids = st.integers(0, 14)
+_pair_lists = st.lists(
+    st.tuples(_ids, _ids).filter(lambda t: t[0] != t[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _union_find_survivors(n_docs, pair_list):
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    clusters = {}
+    for i in range(n_docs):
+        clusters.setdefault(find(i), []).append(i)
+    return {min(c): len(c) for c in clusters.values()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(pair_list=_pair_lists)
+def test_resolution_matches_union_find(spark, pair_list):
+    n_docs = 15
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(n_docs)])
+    if pair_list:
+        pairs = spark.createDataFrame(pair_list, "doc_a long, doc_b long")
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_size for r in resolve_neardups(docs, pairs).collect()
+    }
+    assert got == _union_find_survivors(n_docs, pair_list)
