@@ -1,0 +1,111 @@
+"""End-to-end training-data curation — the composition the LLM-pipeline
+charter exists for, as ONE named plan over the engine's own operators:
+
+    profile → language/quality gate → exact dedup → near-dup resolution
+
+Each stage is an operator with its own oracle-checked query (q22 profile,
+q21 exact dedup, q26 LSH pairs, q53 resolution); this module is the
+user-facing pipeline that chains them, plus the funnel report a curation
+run is judged by.
+
+Scale shape: the gates are scan-side filters (pushed below everything);
+exact dedup is one shuffle on the 16-byte fingerprint; near-dup candidates
+come from LSH band buckets (never n²) and the component loop runs only
+over pair-involved docs. The whole pipeline is a single lazy plan until
+the caller writes it; the intermediate `gated` frame is materialized once
+(GC-managed) because three stages consume it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crossbar_data_process_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from crossbar_data_process_spark.operators.textdedup import (
+    minhash_lsh_pairs,
+    resolve_neardups,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    languages: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the curated corpus: one row per SURVIVING document with its
+    profile and `cluster_size` (how many near-identical docs it stands
+    for). Survivor choice is deterministic throughout: min id per exact
+    fingerprint, min id per near-dup cluster."""
+    profiled = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_detected"),
+        doc_fingerprint(text_col).alias("fp"),
+    )
+    gated = profiled.filter(
+        (F.col("quality") >= min_quality)
+        & F.col("lang_detected").isin(*languages)
+    ).localCheckpoint(eager=False)  # consumed by exact dedup, LSH, and the join
+
+    # exact dedup: keep the min-id row per fingerprint (row-level form of
+    # dedup_exact's survivors)
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    exact_survivors = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+        .localCheckpoint(eager=False)  # consumed by LSH and the final join
+    )
+
+    pairs = minhash_lsh_pairs(
+        exact_survivors,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=neardup_threshold,
+    )
+    resolved = resolve_neardups(exact_survivors, pairs, id_col=id_col)
+    return exact_survivors.join(resolved, id_col).select(
+        id_col, text_col, "n_tokens", "quality", "lang_detected", "cluster_size"
+    )
+
+
+def curation_report(
+    docs: DataFrame,
+    curated: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    languages: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The funnel a curation run is judged by: docs in, docs surviving each
+    gate, final survivors, and how many raw docs the survivors represent.
+    One row; every count from one aggregation pass per stage."""
+    profiled = docs.select(
+        quality_score(text_col).alias("q"),
+        language_id(text_col).alias("lg"),
+    )
+    gate = profiled.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(
+            ((F.col("q") >= min_quality) & F.col("lg").isin(*languages)).cast(
+                "long"
+            )
+        ).alias("n_after_gate"),
+    )
+    out = curated.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("cluster_size").alias("n_represented"),
+    )
+    return gate.crossJoin(out)  # two 1-row frames

@@ -1,0 +1,65 @@
+"""End-to-end curation pipeline (plans/llm_curation.py): junk and foreign
+docs gated out, exact duplicates collapse to the min id, near-duplicates
+collapse to one representative carrying the cluster size, and the funnel
+report's numbers reconcile."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.plans.llm_curation import (
+    curate_documents,
+    curation_report,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the dog chases "
+    "the fox around the big green field for a while until both are tired "
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD * 2),                       # survivor
+        (2, GOOD * 2),                       # exact dup of 1 -> dropped
+        # near-dup of 1 (tiny tail edit -> Jaccard ~0.95, firmly inside the
+        # LSH operating point; a longer tail sits at J~0.78 where the FIXED
+        # permutation family can deterministically miss — that regime is the
+        # recall suite's job, not this pipeline test's)
+        (3, GOOD * 2 + "with one extra bit"),
+        (4, "der hund und die katze und das haus und ein baum " * 4),  # non-en
+        (5, "@@ ## !! ?? %% ^^ && ** (( ))"),  # junk -> quality gate
+        (6, "a completely different english document about the engine "
+            "design of the spark based analytics stack and its operators "
+            "which keeps going for long enough to pass the length gate"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_end_to_end(spark, corpus):
+    curated = curate_documents(corpus)
+    by_id = {r.doc_id: r for r in curated.collect()}
+    assert set(by_id) == {1, 6}
+    assert by_id[1].cluster_size == 2      # represents itself + near-dup 3
+    assert by_id[6].cluster_size == 1
+    assert by_id[1].lang_detected == "en"
+    assert by_id[1].quality >= 0.4
+
+
+def test_curation_report_reconciles(spark, corpus):
+    curated = curate_documents(corpus)
+    rep = curation_report(corpus, curated).collect()[0]
+    assert rep.n_input == 6
+    assert rep.n_after_gate == 4           # 1,2,3,6 pass quality+lang
+    assert rep.n_survivors == 2
+    # survivors represent every gated doc minus the exact dup (2), which
+    # the near-dup cluster count does not re-count
+    assert rep.n_represented == 3
+
+
+def test_curation_is_single_lazy_plan_until_action(spark, corpus):
+    # smoke: building the pipeline triggers no job until an action
+    df = curate_documents(corpus)
+    assert "doc_id" in df.columns and "cluster_size" in df.columns
