@@ -106,3 +106,46 @@ def test_chain_paths_counts_without_scores(spark):
     e2 = spark.createDataFrame([("b", "z")], "src string, dst string")
     out = chain_paths([e, e2]).collect()
     assert [(r.src, r.dst, r.n_paths) for r in out] == [("a", "z", 1)]
+
+
+# ---------- property: chain_paths matches brute-force path enumeration
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_nodes = st.sampled_from(["a", "b", "c", "d"])
+_edge_lists = st.lists(
+    st.tuples(_nodes, _nodes, st.integers(1, 4)), min_size=1, max_size=8
+).map(lambda rows: list({(s, d): w for s, d, w in rows}.items()))
+
+
+def _brute(e1, e2):
+    out = {}
+    for (s, m), w1 in e1:
+        for (m2, d), w2 in e2:
+            if m == m2:
+                key = (s, d)
+                n, best = out.get(key, (0, None))
+                p = float(w1 * w2)
+                out[key] = (n + 1, p if best is None else max(best, p))
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(l1=_edge_lists, l2=_edge_lists)
+def test_chain_paths_matches_bruteforce(spark, l1, l2):
+    from crossbar_data_process_spark.plans.kg import chain_paths
+
+    mk = lambda rows: spark.createDataFrame(
+        [(s, d, float(w)) for (s, d), w in rows],
+        "src string, dst string, s double",
+    )
+    got = {
+        (r.src, r.dst): (r.n_paths, r.best_score)
+        for r in chain_paths([mk(l1), mk(l2)], score="s").collect()
+    }
+    assert got == _brute(l1, l2)
