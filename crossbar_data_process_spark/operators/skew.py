@@ -37,13 +37,25 @@ def salted_join(
 
     Each big-side row carries exactly ONE salt value, so no duplicate
     matches are produced and any ``how`` that preserves the big side
-    (inner/left) is semantics-identical to the unsalted join. Cost: the
-    small side shuffles ``salt``× its size — worth it exactly when one
-    key's rows exceed an executor's share (the 100 TB hub-node case:
-    promiscuous kinases in DTI, ultra-common shingles).
+    (inner/left/left_semi/left_anti) is semantics-identical to the
+    unsalted join. Outer forms that preserve the SMALL side (right/full)
+    would emit each unmatched small-side row ``salt`` times, so they are
+    rejected. Cost: the small side shuffles ``salt``× its size — worth it
+    exactly when one key's rows exceed an executor's share (the 100 TB
+    hub-node case: promiscuous kinases in DTI, ultra-common shingles).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would replicate unmatched small-side "
+            f"rows {salt}x; only big-side-preserving joins are valid: "
+            "inner / left / left_semi / left_anti"
+        )
+    # pmod is already non-negative for negative inputs; wrapping the hash in
+    # abs() would ANSI-overflow on Integer.MIN_VALUE (p = 2^-32 per row).
     salt_col = F.pmod(
-        F.abs(F.hash(*[F.col(c) for c in big.columns])), F.lit(salt)
+        F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)
     ).cast("int")
     b = big.withColumn(_SALT, salt_col)
     s = small.withColumn(
@@ -69,7 +81,7 @@ def salted_collect_set(
     """
     partial = df.groupBy(
         *keys,
-        F.pmod(F.abs(F.hash(F.col(value_col))), F.lit(salt)).alias(_SALT),
+        F.pmod(F.hash(F.col(value_col)), F.lit(salt)).alias(_SALT),
     ).agg(F.collect_set(value_col).alias("__part"))
     return partial.groupBy(*keys).agg(
         F.array_sort(

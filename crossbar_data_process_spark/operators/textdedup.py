@@ -31,15 +31,37 @@ _B = [97, 193, 389, 769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613]
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition to the session's default parallelism before CPU-heavy
     per-row expressions — but ONLY when the input is pathologically
-    under-partitioned (fewer than a quarter of the cores would be busy).
-    A single parquet file scans as one partition locally, serializing
-    tokenize/hash work onto one core — that case pays for the round-robin
-    exchange many times over. A well-partitioned cluster input (the normal
-    100 TB layout) passes through untouched: an unconditional repartition
-    would be a wasted full-corpus exchange (ADVICE r02)."""
+    under-partitioned (a few-file narrow file scan). A single parquet file
+    scans as one partition locally, serializing tokenize/hash work onto one
+    core — that case pays for the round-robin exchange many times over.
+
+    The probe must not execute anything: ``df.rdd.getNumPartitions()`` on
+    an AQE plan materializes every upstream shuffle stage at plan-conversion
+    time, and those stages are NOT reused by the later action's fresh
+    QueryExecution — derived inputs would silently run their shuffles twice
+    (ADVICE r03). So the probe is plan-side only:
+
+    - streaming frames pass through (micro-batches are already spread);
+    - any plan containing a shuffle-inducing operator passes through — its
+      output partitioning is already ``spark.sql.shuffle.partitions`` wide;
+    - a pure narrow scan is probed via ``inputFiles()`` (logical-plan walk,
+      no job): fewer files than a quarter of the cores → repartition.
+    """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 4):
+    # optimizedPlan() runs analysis+optimization only — no stages execute.
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(tok in plan for tok in
+           ("Join", "Aggregate", "Repartition", "Window", "Deduplicate",
+            "Sort", "Expand")):
+        return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (e.g. local relation): nothing to fix
+        return df
+    if n_files == 0 or n_files >= max(2, target // 4):
         return df
     return df.repartition(target)
 

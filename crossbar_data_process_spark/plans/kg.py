@@ -42,7 +42,11 @@ def two_hop_paths(
 
     ``edges_ab``: (src, mid [, score_ab]); ``edges_bc``: (mid, dst
     [, score_bc]). Returns one row per (src, dst) pair with
-    ``n_paths`` (count of distinct intermediate witnesses) and, when both
+    ``n_paths`` — the number of A→B→C paths counted WITH edge
+    multiplicity: duplicate (src, mid) or (mid, dst) edge rows each
+    contribute a path, so feed deduplicated edge tables (the gold tables
+    are) if "distinct intermediate witnesses" is the intended reading —
+    and, when both
     score columns are given, ``best_score`` = max over paths of
     score_ab·score_bc (max of per-path products — no float-sum
     order-dependence, so the result is bit-stable across engines). With
@@ -88,12 +92,72 @@ def two_hop_paths(
     )
 
 
+def _fold_frontier(cur: DataFrame, score: str | None) -> DataFrame:
+    """Collapse the running path frame to one row per (src, frontier-node):
+    path counts sum, the running score product keeps its max. This is the
+    dynamic-programming step that makes N-hop state O(reachable pairs)
+    instead of O(paths)."""
+    aggs = [F.sum("__n").cast("long").alias("__n")]
+    if score:
+        aggs.append(F.max("__p").alias("__p"))
+    return cur.groupBy("__s", "__m").agg(*aggs)
+
+
+def chain_frontier(
+    edges: list[DataFrame],
+    src: str = "src",
+    dst: str = "dst",
+    score: str | None = None,
+    aggregate_hops: bool = False,
+) -> DataFrame:
+    """The running frame after folding all hops, BEFORE the final
+    per-(src, dst) aggregation: columns (``src``, ``node``, ``n_paths``
+    [, ``best_score``]). With ``aggregate_hops=False`` there is one row per
+    surviving PATH (n_paths is 1 per row); with ``True`` one row per
+    reachable (src, node) pair — the observable that
+    ``tests/test_kg_motifs.py`` uses to prove the growth cap."""
+    assert len(edges) >= 2
+    cur = edges[0].select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__m"),
+        F.lit(1).cast("long").alias("__n"),
+        *([F.col(score).alias("__p")] if score else []),
+    )
+    if aggregate_hops:
+        cur = _fold_frontier(cur, score)
+    for hop in edges[1:]:
+        nxt = hop.select(
+            F.col(src).alias("__m2"),
+            F.col(dst).alias("__d"),
+            *([F.col(score).alias("__q")] if score else []),
+        )
+        cur = cur.join(nxt, F.col("__m") == F.col("__m2")).select(
+            "__s",
+            F.col("__d").alias("__m"),
+            "__n",
+            *(
+                [(F.col("__p") * F.col("__q")).alias("__p")]
+                if score
+                else []
+            ),
+        )
+        if aggregate_hops:
+            cur = _fold_frontier(cur, score)
+    return cur.select(
+        F.col("__s").alias(src),
+        F.col("__m").alias("node"),
+        F.col("__n").alias("n_paths"),
+        *([F.col("__p").alias("best_score")] if score else []),
+    )
+
+
 def chain_paths(
     edges: list[DataFrame],
     src: str = "src",
     dst: str = "dst",
     score: str | None = None,
     k: int | None = None,
+    aggregate_hops: bool = False,
 ) -> DataFrame:
     """N-hop generalization of :func:`two_hop_paths`: fold of hop joins,
     each keyed on its intermediate node. Every frame in ``edges`` has
@@ -104,40 +168,34 @@ def chain_paths(
     destinations per source.
 
     Scale: hop i's join shuffles on the hop-i intermediate key (bucketed
-    silver edge tables make each shuffle-free); the fold keeps the running
-    frame narrow (src, frontier-node, running score product), so state per
-    hop is one row per PATH — for high fan-out graphs aggregate
-    intermediate hops ((src, node) distinct/max) before the next hop to
-    bound growth; the 2-hop named form needs no such cap.
+    silver edge tables make each shuffle-free). By default the running
+    frame carries one row per PATH, which explodes on hub-heavy graphs
+    (fan-out f over h hops ⇒ f^h rows). ``aggregate_hops=True`` bounds
+    state to one row per reachable (src, frontier-node) pair by folding
+    between hops — path counts SUM (exact: the matrix-power recurrence)
+    and the running product keeps its MAX. The max-product fold is exact
+    only for NON-NEGATIVE scores (a negative hop score could flip the
+    order of a pruned prefix); affinities/associations are non-negative.
+    One extra (src, node) shuffle per hop is the price of bounded state —
+    at 100 TB on a hub-heavy KG that trade is mandatory, not optional.
+    The 2-hop named form needs no cap.
     """
-    assert len(edges) >= 2
-    cur = edges[0].select(
+    cur = chain_frontier(
+        edges, src=src, dst=dst, score=score, aggregate_hops=aggregate_hops
+    ).select(
         F.col(src).alias("__s"),
-        F.col(dst).alias("__m"),
-        *([F.col(score).alias("__p")] if score else []),
+        F.col("node").alias("__m"),
+        F.col("n_paths").alias("__n"),
+        *([F.col("best_score").alias("__p")] if score else []),
     )
-    for hop in edges[1:]:
-        nxt = hop.select(
-            F.col(src).alias("__m2"),
-            F.col(dst).alias("__d"),
-            *([F.col(score).alias("__q")] if score else []),
-        )
-        cur = cur.join(nxt, F.col("__m") == F.col("__m2")).select(
-            "__s",
-            F.col("__d").alias("__m"),
-            *(
-                [(F.col("__p") * F.col("__q")).alias("__p")]
-                if score
-                else []
-            ),
-        )
-    aggs = [F.count(F.lit(1)).alias("n_paths")]
+    aggs = [F.sum("__n").cast("long").alias("n_paths")]
     if score:
         aggs.append(F.max("__p").alias("best_score"))
     paths = (
         cur.select(
             F.col("__s").alias(src),
             F.col("__m").alias(dst),
+            "__n",
             *([F.col("__p")] if score else []),
         )
         .repartition(src)  # reused by the agg AND the top-k window

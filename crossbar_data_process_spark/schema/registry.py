@@ -74,6 +74,15 @@ class EntityDecl:
             return dict(zip(self.input_labels, self.labels_as_edge))
         if len(self.labels_as_edge) == 1:
             return {lbl: self.labels_as_edge[0] for lbl in self.input_labels}
+        if self.labels_as_edge:
+            # A misdeclared schema must fail loudly: silently degrading to
+            # the identity mapping would emit gold tables under input-label
+            # names with no error (ADVICE r03).
+            raise ValueError(
+                f"label_as_edge has {len(self.labels_as_edge)} entries but "
+                f"label_in_input has {len(self.input_labels)}; they pair "
+                "positionally — declare equal lengths or a single edge label"
+            )
         return {lbl: lbl for lbl in self.input_labels}
 
     def struct_type(self) -> StructType:

@@ -144,8 +144,62 @@ def test_chain_paths_matches_bruteforce(spark, l1, l2):
         [(s, d, float(w)) for (s, d), w in rows],
         "src string, dst string, s double",
     )
-    got = {
-        (r.src, r.dst): (r.n_paths, r.best_score)
-        for r in chain_paths([mk(l1), mk(l2)], score="s").collect()
-    }
-    assert got == _brute(l1, l2)
+    expected = _brute(l1, l2)
+    for agg in (False, True):
+        got = {
+            (r.src, r.dst): (r.n_paths, r.best_score)
+            for r in chain_paths(
+                [mk(l1), mk(l2)], score="s", aggregate_hops=agg
+            ).collect()
+        }
+        assert got == expected, f"aggregate_hops={agg}"
+
+
+def _hub_edges(spark, fan: int):
+    """src --fan--> hubs --fan--> hubs --fan--> dst: a 3-hop chain where
+    every hop has ``fan`` parallel intermediate nodes fully connected to
+    the next layer — path count fan^3, reachable pairs per layer O(fan)."""
+    mk = lambda rows: spark.createDataFrame(
+        [(s, d, 1.0) for s, d in rows], "src string, dst string, s double"
+    )
+    e1 = mk([("s", f"a{i}") for i in range(fan)])
+    e2 = mk([(f"a{i}", f"b{j}") for i in range(fan) for j in range(fan)])
+    e3 = mk([(f"b{j}", "t") for j in range(fan)])
+    return [e1, e2, e3]
+
+
+def test_chain_paths_growth_cap_bounds_frontier(spark):
+    from crossbar_data_process_spark.plans.kg import chain_frontier, chain_paths
+
+    fan = 6
+    edges = _hub_edges(spark, fan)
+    # uncapped: one row per path = fan * fan * 1 after the last hop
+    uncapped = chain_frontier(edges, score="s", aggregate_hops=False)
+    assert uncapped.count() == fan * fan
+    # capped: one row per reachable (src, node) pair = 1 (only "t" reachable)
+    capped = chain_frontier(edges, score="s", aggregate_hops=True)
+    rows = capped.collect()
+    assert len(rows) == 1
+    # and the DP still counts every path exactly: fan^2 s→t paths via b_j
+    assert rows[0].n_paths == fan * fan
+    # end-to-end result identical in both modes
+    for agg in (False, True):
+        out = chain_paths(edges, score="s", aggregate_hops=agg).collect()
+        assert [(r.src, r.dst, r.n_paths, r.best_score) for r in out] == [
+            ("s", "t", fan * fan, 1.0)
+        ]
+
+
+def test_chain_frontier_intermediate_bounded(spark):
+    """After hop 2 (before the last hop) the capped frontier holds one row
+    per reachable (src, node) pair — ``fan`` rows — while the uncapped one
+    holds one row per path — ``fan²`` rows."""
+    from crossbar_data_process_spark.plans.kg import chain_frontier
+
+    fan = 5
+    e1, e2, _ = _hub_edges(spark, fan)
+    assert chain_frontier([e1, e2], score="s", aggregate_hops=True).count() == fan
+    assert (
+        chain_frontier([e1, e2], score="s", aggregate_hops=False).count()
+        == fan * fan
+    )

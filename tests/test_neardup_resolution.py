@@ -130,3 +130,36 @@ def test_resolution_matches_union_find(spark, pair_list):
         r.doc_id: r.cluster_size for r in resolve_neardups(docs, pairs).collect()
     }
     assert got == _union_find_survivors(n_docs, pair_list)
+
+
+def test_spread_is_plan_side_only(spark):
+    """ADVICE r03: the _spread probe must not execute upstream stages —
+    df.rdd.getNumPartitions() on an AQE plan materialized every upstream
+    shuffle at plan-conversion time (and those stages were not reused by
+    the later action). The probe is now plan-side: shuffle-shaped plans
+    and streaming frames pass through IDENTICALLY (no job, no extra
+    repartition)."""
+    from crossbar_data_process_spark.operators.textdedup import _spread
+
+    sc = spark.sparkContext
+    derived = (
+        _docs(spark, [(i, f"doc {i}") for i in range(10)])
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    sc.setJobGroup("spread-probe", "no jobs may run here")
+    try:
+        out = _spread(derived)
+        job_ids = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "spread-probe"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert out is derived  # aggregate upstream: pass-through, zero rewrites
+    assert list(job_ids) == []  # and the probe launched NO jobs
+
+    # streaming frames pass through untouched (old probe raised on .rdd)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    assert _spread(stream) is stream

@@ -58,6 +58,24 @@ def test_label_map_positional_pairing():
     assert reg.decls["protein"].label_map() == {"protein": "protein"}
 
 
+def test_label_map_length_mismatch_raises():
+    """A misdeclared schema (label_as_edge length ∉ {0, 1, len(input)})
+    must fail loudly, not silently emit input-label-named tables
+    (ADVICE r03)."""
+    import pytest
+
+    from crossbar_data_process_spark.schema.registry import EntityDecl
+
+    decl = EntityDecl(
+        name="bad",
+        kind="edge",
+        input_labels=["a", "b", "c"],
+        labels_as_edge=["x", "y"],
+    )
+    with pytest.raises(ValueError, match="positionally"):
+        decl.label_map()
+
+
 def test_fanout_splits_one_table_into_per_label_outputs(spark):
     # input with BOTH labels lands in BOTH outputs, schema-validated;
     # undeclared labels are dropped
