@@ -123,6 +123,32 @@ def ivf_fit(
     return centroids
 
 
+def save_centroids(
+    spark, centroids: list[list[float]], path: str
+) -> None:
+    """Persist the fitted quantizer as a 2-column parquet table
+    (cluster_id int, centroid array<double>) — the 100 TB contract is fit
+    ONCE on a sample, then assign forever: the centroids must outlive the
+    session that trained them."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    df = spark.createDataFrame(
+        rows, "cluster_id int, centroid array<double>"
+    )
+    # nlist rows: one file is the right layout
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Inverse of :func:`save_centroids`; cluster ids order the list, so
+    assignments from a reloaded quantizer are bit-identical to the fitting
+    session's (pinned in tests/test_ivf_ann.py)."""
+    rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+    assert [r["cluster_id"] for r in rows] == list(range(len(rows))), (
+        "centroid table is not a dense 0..nlist-1 id range"
+    )
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
 def _probe_list(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (by score desc, id asc):
     sort (−score, id) structs ascending, slice, project the id."""

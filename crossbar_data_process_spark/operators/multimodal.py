@@ -7,11 +7,15 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the only operators in the engine allowed to enter
 Python, because codec work is genuinely not expressible in Spark SQL.
 
-The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so the
-decode kernel is stubbed behind ``_decode_stub`` — a deterministic fake
-that derives pseudo-pixels from the bytes. Everything around the stub
-(schemas, batch iteration, partition sizing, output contract) is the real
-production plumbing and is tested.
+Codec status (r04): header-level metadata is REAL for recognized formats —
+``_parse_media_header`` reads BMP and PNG dimensions and WAV RIFF
+sample-rate/channels/bit-depth from magic bytes with pure stdlib, and
+``wav_audio_stats`` decodes 16-bit PCM WAV samples (numpy ``frombuffer``)
+for real amplitude statistics. Only full pixel decode for compressed
+formats (PNG inflate, JPEG DCT) remains behind ``_decode_stub`` — a
+deterministic fake, because Pillow/ffmpeg are NOT in this container.
+Everything around it (schemas, batch iteration, partition sizing, output
+contract) is the real production plumbing and is tested.
 
 Scale notes: media rows are large — keep ``spark.sql.files.maxPartitionBytes``
 low for media tables so a partition's batch fits executor memory, and
@@ -60,6 +64,167 @@ FEATURE_SCHEMA = StructType(
         StructField("features", ArrayType(FloatType())),
     ]
 )
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+    ]
+)
+
+_UNKNOWN = {
+    "mime": None,
+    "width": None,
+    "height": None,
+    "sample_rate": None,
+    "n_channels": None,
+    "bits_per_sample": None,
+}
+
+
+def _wav_fmt_chunk(payload: bytes) -> tuple[int, int] | None:
+    """(offset, size) of the ``fmt `` chunk, walking the RIFF chunk list —
+    never assume fmt sits at byte 12 (LIST/INFO chunks may precede it)."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            return pos + 8, size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    return None
+
+
+def _parse_media_header(payload: bytes | None) -> dict:
+    """Pure-stdlib header probe: BMP / PNG dimensions, WAV RIFF audio
+    parameters, straight from the magic bytes — no codec library needed.
+    Unknown or truncated payloads get the all-NULL row (no exception: a
+    100 TB probe pass must classify garbage, not die on it)."""
+    if payload is None or len(payload) < 12:
+        return dict(_UNKNOWN)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        # BITMAPINFOHEADER: int32 LE width at 18, height at 22 (negative
+        # height = top-down row order; magnitude is the pixel height)
+        return dict(
+            _UNKNOWN,
+            mime="image/bmp",
+            width=int.from_bytes(payload[18:22], "little", signed=True),
+            height=abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        )
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        # IHDR is always the first chunk: uint32 BE width at 16, height at 20
+        return dict(
+            _UNKNOWN,
+            mime="image/png",
+            width=int.from_bytes(payload[16:20], "big"),
+            height=int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        fmt = _wav_fmt_chunk(payload)
+        if fmt is None or fmt[1] < 16 or fmt[0] + 16 > len(payload):
+            return dict(_UNKNOWN, mime="audio/wav")
+        off = fmt[0]
+        return dict(
+            _UNKNOWN,
+            mime="audio/wav",
+            n_channels=int.from_bytes(payload[off + 2 : off + 4], "little"),
+            sample_rate=int.from_bytes(payload[off + 4 : off + 8], "little"),
+            bits_per_sample=int.from_bytes(
+                payload[off + 14 : off + 16], "little"
+            ),
+        )
+    return dict(_UNKNOWN)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Header-probe every payload via Arrow-batched ``mapInPandas``:
+    recognized formats (BMP, PNG, WAV) get REAL dimensions / audio
+    parameters parsed from their headers; unknown formats get NULLs. This
+    is the de-stubbed metadata path — prefer it over trusting a ``meta``
+    struct supplied upstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_parse_media_header(p) for p in pdf["payload"]]
+            out = {"media_id": pdf["media_id"]}
+            for field in (
+                "mime", "width", "height",
+                "sample_rate", "n_channels", "bits_per_sample",
+            ):
+                out[field] = pd.array(
+                    [d[field] for d in parsed],
+                    dtype="string" if field == "mime" else "Int32",
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", FloatType()),
+        StructField("peak", FloatType()),
+    ]
+)
+
+
+def wav_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode for 16-bit PCM WAV — numpy ``frombuffer`` over the
+    ``data`` chunk, amplitude normalized to [-1, 1] — rms/peak per file.
+    Non-WAV / non-16-bit payloads yield the NULL-stats row. This is the
+    audio analogue of the probe: everything a quality gate needs (silence
+    detection, clipping) without any codec dependency."""
+    import numpy as np
+
+    def _stats(payload: bytes | None):
+        hdr = _parse_media_header(payload)
+        if hdr["mime"] != "audio/wav" or hdr["bits_per_sample"] != 16:
+            return None, None, None
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            if cid == b"data":
+                raw = payload[pos + 8 : pos + 8 + size]
+                x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+                if x.size == 0:
+                    return 0, 0.0, 0.0
+                a = x.astype("float64") / 32768.0
+                return (
+                    int(x.size),
+                    float(np.sqrt(np.mean(a * a))),
+                    float(np.max(np.abs(a))),
+                )
+            pos += 8 + size + (size & 1)
+        return None, None, None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_stats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(
+                        [s[0] for s in stats], dtype="Int32"
+                    ),
+                    "rms": pd.array(
+                        [s[1] for s in stats], dtype="Float32"
+                    ),
+                    "peak": pd.array(
+                        [s[2] for s in stats], dtype="Float32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
 def _decode_stub(payload: bytes, dim: int = 8) -> list[float]:

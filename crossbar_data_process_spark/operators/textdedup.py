@@ -246,6 +246,18 @@ def minhash_lsh_pairs(
     self-join per (band, key) bucket → exact-Jaccard verify on candidates.
     At scale: the bucket join shuffles on band-key (uniform by construction);
     candidate verification touches only bucket-collision pairs, never n².
+
+    Skew levers, in order (decision r04, VERDICT r03 #5): band keys
+    concatenate ``rows_per_band`` independent min-hashes, so a hot bucket
+    requires many documents agreeing on ALL of them — i.e. a genuinely
+    giant near-dup cluster, which is a DATA fact to cap, not a shuffle to
+    salt: use ``ngram_jaccard_pairs``'s ``max_doc_freq`` stop-shingle cap
+    upstream, or cap bucket size directly (count per (band, key), drop
+    buckets over the cap — they are boilerplate clusters by definition).
+    ``operators.skew.salted_join`` is NOT wired here deliberately: salting
+    a self-join replicates the bucket's rows salt× on the other side,
+    which multiplies the quadratic in-bucket pair work it was meant to
+    spread; AQE skew splitting handles the residual imbalance.
     """
     r = num_hashes // bands
     # ONE shingle pass feeds both the signature path and the exact-Jaccard

@@ -108,4 +108,8 @@ def curation_report(
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("cluster_size").alias("n_represented"),
     )
-    return gate.crossJoin(out)  # two 1-row frames
+    # two 1-row frames: a literal-key equi-join would be constant-folded
+    # back into a nested loop anyway, so state the intent directly — this
+    # is one of the engine's sanctioned 1-row crossJoins (with q38's
+    # dangling-mass attach; pinned in tests/test_plan_shapes.py)
+    return gate.crossJoin(out)

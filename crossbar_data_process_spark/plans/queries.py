@@ -63,7 +63,9 @@ BENCH_QUERIES = [
     "q02_nation_revenue",
     "q03_shipping_priority",
     "q07_undirected_dedup",
-    "q13_middle_row",
+    # r04: q13_middle_row folded into q12_median_middle (same orders groupBy
+    # plus the median column) — the bench slot follows the fold
+    "q12_median_middle",
     "q16_brand_revenue",
     "q17_multi_source_merge",
     "q21_doc_exact_dedup",
@@ -76,6 +78,9 @@ BENCH_QUERIES = [
     # r03 additions: the new named surfaces, benchmarked from day one
     "q52_kg_two_hop",
     "q53_neardup_resolve",
+    # r04 additions
+    "q54_ivf_topk",
+    "q55_curation_funnel",
 ]
 
 
@@ -246,39 +251,33 @@ def q04_keep_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey", "o_orderkey", "o_totalprice")
 
 
-# -------------------------------------- P4 semi-join membership (ppi.py:126)
+# ------------- P4 semi-join membership (ppi.py:126) + P5 anti-join exclusion
+# (compound.py:179) in ONE query — both are the membership-filter shape, so
+# they share an oracle row (r04 fold freeing a slot for q54; the former
+# q05_semi_urgent_customers and q06_anti_customers_no_orders verbatim,
+# tagged and unioned).
 @query(
-    "q05_semi_urgent_customers",
+    "q05_membership_filters",
     """
-SELECT c_custkey, c_name, c_acctbal FROM customer
+SELECT c_custkey, c_name, 'urgent' AS tag FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-""",
-)
-def q05_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return semi_filter(c, urgent, [("c_custkey", "o_custkey")]).select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
-
-
-# ----------------------------------- P5 anti-join exclusion (compound.py:179)
-@query(
-    "q06_anti_customers_no_orders",
-    """
-SELECT c_custkey, c_name FROM customer
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
 )
-def q06_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_membership_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return anti_filter(c, o, [("c_custkey", "o_custkey")]).select(
-        "c_custkey", "c_name"
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = semi_filter(c, urgent, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name", F.lit("urgent").alias("tag")
     )
+    anti = anti_filter(c, o, [("c_custkey", "o_custkey")]).select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionByName(anti)
 
 
 # ------------------- A4 symmetric-pair dedup with keep-best (ppi.py:135+142)
@@ -403,40 +402,28 @@ def q11_effect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id", "day").agg(tf_effect_resolve("eff").alias("effect"))
 
 
-# ---------------------------- X1 median aggregate (compound.py:461-462)
+# ---------- X1 median aggregate (compound.py:461-462) + X2 middle-row pick
+# (compound.py:464-474, len//2) in ONE query — both are single-groupBy custom
+# aggregates, so one pass over orders exercises both against one oracle
+# (r04 fold freeing a slot for q55; the former q12_median's agg_median and
+# q13_middle_row's agg_middle_row verbatim, same group keys).
 @query(
-    "q12_median",
-    """
-SELECT l_returnflag,
-       round(median(l_quantity), 3) AS med_qty,
-       round(median(l_extendedprice), 3) AS med_price
-FROM lineitem GROUP BY l_returnflag
-""",
-)
-def q12_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        agg_median("l_quantity").alias("med_qty"),
-        agg_median("l_extendedprice").alias("med_price"),
-    )
-
-
-# ---------------------- X2 middle-row pick (compound.py:464-474, len//2)
-@query(
-    "q13_middle_row",
+    "q12_median_middle",
     """
 SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       round(median(o_totalprice), 3) AS med_price,
        (list(o_totalprice ORDER BY o_totalprice))[CAST(COUNT(*) // 2 AS INT) + 1]
          AS middle_price
 FROM orders GROUP BY o_orderpriority, yr
 """,
 )
-def q13_middle_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_median_middle(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").withColumn(
         "yr", F.year("o_orderdate").cast("long")
     )
     return o.groupBy("o_orderpriority", "yr").agg(
-        agg_middle_row("o_totalprice").alias("middle_price")
+        agg_median("o_totalprice").alias("med_price"),
+        agg_middle_row("o_totalprice").alias("middle_price"),
     )
 
 
@@ -674,39 +661,54 @@ def _stop_pat() -> str:
 # one row per doc, every charter text-analysis function exercised by one
 # oracle (r02 folded the former q22/q23/q24/q50 so the declared set fits
 # the driver's 50-row CORRECTNESS window without losing operator coverage).
-def _doc_profile_oracle() -> str:
-    from crossbar_data_process_spark.functions.text import BPE_SPLIT_PATTERN
+_FP_SQL = (
+    "substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)"
+)
 
-    bpe = BPE_SPLIT_PATTERN.replace("'", "''")
+_QUALITY_SQL = """round(
+         (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+         + least((CASE WHEN ntok > 0 THEN round(swhits * 1.0 / ntok, 6) ELSE 0.0 END) * 2, 0.3)
+         - least(CASE WHEN nch > 0 THEN round(njunk * 1.0 / nch, 6) ELSE 0.0 END, 0.2)
+         + 0.2, 6)"""
+
+
+def _profile_ctes(src: str = "documents") -> str:
+    """The s/h/best CTE chain behind the per-document profile (token count,
+    stopword/junk ratios, language-marker hits) — shared by the q22 profile
+    oracle and the q55 curation-funnel oracle so the gate expressions cannot
+    drift between them."""
     selects = []
     for lang, words in sorted(LANG_MARKERS.items()):
         pat = r"\b(" + "|".join(words) + r")\b"
         selects.append(
-            f"SELECT doc_id, '{lang}' AS lang, len(regexp_extract_all(lower(text), '{pat}')) AS hits FROM documents"
+            f"SELECT doc_id, '{lang}' AS lang, len(regexp_extract_all(lower(text), '{pat}')) AS hits FROM {src}"
         )
     union = "\nUNION ALL\n".join(selects)
-    return f"""
-WITH s AS (
+    return f"""s AS (
   SELECT doc_id, text, lang, n_chars,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok,
          len(regexp_extract_all(lower(text), '{_stop_pat()}')) AS swhits,
          length(text) AS nch,
          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS njunk
-  FROM documents),
+  FROM {src}),
 h AS ({union}),
 best AS (
   SELECT doc_id, lang FROM h WHERE hits > 0
-  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1)"""
+
+
+def _doc_profile_oracle() -> str:
+    from crossbar_data_process_spark.functions.text import BPE_SPLIT_PATTERN
+
+    bpe = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+WITH {_profile_ctes()}
 SELECT s.doc_id,
        CAST(ntok AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS bpe_tokens,
-       substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+       {_FP_SQL} AS fp,
        n_chars,
-       round(
-         (CASE WHEN ntok BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
-         + least((CASE WHEN ntok > 0 THEN round(swhits * 1.0 / ntok, 6) ELSE 0.0 END) * 2, 0.3)
-         - least(CASE WHEN nch > 0 THEN round(njunk * 1.0 / nch, 6) ELSE 0.0 END, 0.2)
-         + 0.2, 6) AS quality,
+       {_QUALITY_SQL} AS quality,
        COALESCE(best.lang, 'und') AS lang_detected,
        s.lang AS lang_labeled
 FROM s LEFT JOIN best ON s.doc_id = best.doc_id
@@ -761,10 +763,11 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as q26b, the same 12 (A*h + B) mod P permutations (constants imported from
 # operators.textdedup so Spark and SQL can never drift), the same 6 bands of
 # 2 rows, and the same exact-Jaccard verify as q25.
-def _minhash_ctes(num_hashes: int = 12, bands: int = 6) -> str:
+def _minhash_ctes(num_hashes: int = 12, bands: int = 6, src: str = "documents") -> str:
     """The shared CTE chain ending in ``j`` (candidate pairs + exact-Jaccard
-    terms) — composed by both the q26 oracle and the q53 cluster-resolution
-    oracle so Spark and SQL can never drift on the pair set."""
+    terms) — composed by the q26 oracle, the q53 cluster-resolution oracle,
+    and (over the gated/exact-deduped ``src`` CTE) the q55 curation-funnel
+    oracle, so Spark and SQL can never drift on the pair set."""
     r = num_hashes // bands
     hash32 = (
         "list_sum(list_transform(range(1, 9), "
@@ -780,7 +783,7 @@ def _minhash_ctes(num_hashes: int = 12, bands: int = 6) -> str:
     )
     return f"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
-  FROM documents),
+  FROM {src}),
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
@@ -855,6 +858,83 @@ def q53_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(d, n=3, num_hashes=12, bands=6, threshold=0.5)
     return resolve_neardups(d, pairs)
+
+
+# ---------- end-to-end curation funnel (plans/llm_curation.py): profile →
+# quality/language gate → exact dedup → MinHash-LSH near-dup resolution,
+# plus the funnel report, all in ONE oracle — the composed CTE chain reuses
+# _profile_ctes (gate expressions) and _minhash_ctes (pair set) verbatim,
+# so no stage can drift from its individually-oracled form (q22/q21/q26/q53).
+def _curation_funnel_oracle(
+    min_quality: float = 0.4, language: str = "en", threshold: float = 0.5
+) -> str:
+    return f"""
+WITH RECURSIVE {_profile_ctes()},
+profiled AS (
+  SELECT s.doc_id, s.text,
+         CAST(ntok AS BIGINT) AS n_tokens,
+         {_QUALITY_SQL} AS quality,
+         COALESCE(best.lang, 'und') AS lang_detected,
+         {_FP_SQL} AS fp
+  FROM s LEFT JOIN best ON s.doc_id = best.doc_id),
+gated AS (
+  SELECT * FROM profiled
+  WHERE quality >= {min_quality} AND lang_detected IN ('{language}')),
+exact AS (
+  SELECT doc_id, text, n_tokens, quality, lang_detected FROM gated
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+{_minhash_ctes(src='exact')},
+pairs AS (
+  SELECT doc_a, doc_b FROM j
+  WHERE round(i * 1.0 / (na + nb - i), 6) >= {threshold}),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+pnodes AS (SELECT DISTINCT a AS id FROM sym),
+walk(id, r) AS (
+  SELECT id, id FROM pnodes
+  UNION
+  SELECT w.id, sy.b FROM walk w JOIN sym sy ON w.r = sy.a),
+comp AS (SELECT id, MIN(r) AS component FROM walk GROUP BY id),
+clusters AS (SELECT MIN(id) AS doc_id, COUNT(*) AS cluster_size
+             FROM comp GROUP BY component),
+survivors AS (
+  SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size FROM clusters
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size FROM exact
+  WHERE doc_id NOT IN (SELECT id FROM pnodes)),
+curated AS (
+  SELECT e.doc_id, e.n_tokens, e.quality, e.lang_detected, sv.cluster_size
+  FROM survivors sv JOIN exact e USING (doc_id)),
+report AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+         CAST(SUM(CASE WHEN quality >= {min_quality}
+                        AND lang_detected IN ('{language}')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gate
+  FROM profiled),
+surv_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+         CAST(SUM(cluster_size) AS BIGINT) AS n_represented
+  FROM curated)
+SELECT c.doc_id, c.n_tokens, c.quality, c.lang_detected, c.cluster_size,
+       r.n_input, r.n_after_gate, sa.n_survivors, sa.n_represented
+FROM curated c CROSS JOIN report r CROSS JOIN surv_agg sa
+"""
+
+
+@query("q55_curation_funnel", _curation_funnel_oracle())
+def q55_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.plans.llm_curation import (
+        curate_documents,
+        curation_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    curated = curate_documents(d)
+    report = curation_report(d, curated)
+    # the report is ONE row — broadcasting it onto the survivors is the
+    # sanctioned bounded nested-loop case (a literal-key equi-join gets
+    # constant-folded back to a nested loop, so say what we mean)
+    return curated.drop("text").crossJoin(F.broadcast(report))
 
 
 # ---------- named 2-hop KG motif (drug→target→disease, plans/kg.py):
@@ -941,9 +1021,11 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-@query(
-    "q27_cosine_topk",
-    f"""
+# Exact cosine top-k over the sub-10 query set — shared by q27 (brute-force
+# cosine_topk) and q54 (IVF with nprobe == nlist: every list probed means the
+# candidate set is the whole corpus minus self, so the data-adaptive
+# fit→assign→probe plan must reproduce the exact answer bit-for-bit).
+_COSINE_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
@@ -953,12 +1035,32 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM scored) WHERE rnk <= 5
-""",
-)
+"""
+
+
+@query("q27_cosine_topk", _COSINE_TOPK_ORACLE)
 def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     out = cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ---------- IVF ANN with every list probed (operators/ivf.py): nprobe ==
+# nlist makes IVF exactly equivalent to brute-force cosine top-k, so the
+# whole data-adaptive plan — deterministic md5-seeded spherical k-means fit,
+# corpus assignment, probe-list explode, bucket equi-join, in-list exact
+# scoring — is hash-checked against the same oracle as q27. Recall at
+# nprobe < nlist is measured separately (tests/test_ivf_ann.py ≥ 0.95).
+@query("q54_ivf_topk", _COSINE_TOPK_ORACLE)
+def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.ivf import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = ivf_topk(e, q, dim=64, k=5, nlist=8, nprobe=8, iters=2)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
@@ -1749,19 +1851,26 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registration-order defense. The r02 driver recorded CORRECTNESS rows for
-# exactly the first 50 registered queries, silently skipping the rest; the
-# declared set is now exactly 50, and on top of that the names that lacked an
-# r02 row (q45/q47) plus this round's new/reshaped surfaces (q52/q53/q22)
-# are moved to the FRONT of the registration order, so any harness
-# truncation falls on queries with multi-round green history rather than the
-# coverage-critical ones.
+# Registration-order defense + registry discipline. The driver records
+# CORRECTNESS rows for AT MOST the first 50 registered queries (observed in
+# r02: the rest were silently skipped), so the declared set must stay at
+# EXACTLY 50 — to add a query, FOLD two redundant rows into one (precedent:
+# r03 q22/q45 folds, r04 q05+q06 → q05_membership_filters and q12+q13 →
+# q12_median_middle making room for q54/q55) — never append past 50.
+# `tests/test_plan_shapes.py::test_registry_is_exactly_fifty` pins the count.
+# On top of that, the newest/reshaped surfaces are moved to the FRONT of the
+# registration order, so any harness truncation falls on queries with
+# multi-round green history rather than the coverage-critical ones.
 _FRONT = [
-    "q45_set_ops_attach",
-    "q47_pair_normalize",
+    "q54_ivf_topk",
+    "q55_curation_funnel",
+    "q05_membership_filters",
+    "q12_median_middle",
     "q52_kg_two_hop",
     "q53_neardup_resolve",
     "q22_doc_profile",
+    "q45_set_ops_attach",
+    "q47_pair_normalize",
 ]
 
 

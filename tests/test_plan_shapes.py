@@ -48,6 +48,17 @@ def test_q02_broadcasts_are_dimension_sided(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_registry_is_exactly_fifty():
+    """The driver records CORRECTNESS rows for at most the first 50
+    registered queries (r02 silently skipped the rest). The declared set
+    must stay at EXACTLY 50 — add by folding, never by appending past 50
+    (see the registry comment in plans/queries.py)."""
+    from crossbar_data_process_spark.plans.queries import ORACLES
+
+    assert len(QUERIES) == 50, sorted(QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(QUERIES),
@@ -55,12 +66,15 @@ def test_q02_broadcasts_are_dimension_sided(spark):
 def test_no_cartesian_in_any_declared_query(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
-    # sanctioned nested-loops, both with a broadcast bounded side:
+    # sanctioned nested-loops, all with a broadcast bounded side:
     # - q38_pagerank: the 1-row dangling-mass frame (avoids a per-iteration
     #   driver collect);
     # - q27_cosine_topk: the brute-force baseline's contract IS corpus ×
     #   broadcast(query set) on a non-equi self-exclusion — Q is small and
-    #   broadcast, the corpus streams once (the scale path is q39/IVF).
+    #   broadcast, the corpus streams once (the scale path is q39/IVF);
+    # - q55_curation_funnel: the 1-row funnel report attached to the
+    #   survivors (a literal-key equi-join is constant-folded back to a
+    #   nested loop, so the crossJoin states the intent).
     # Anything else is a plan regression.
-    if name not in ("q38_pagerank", "q27_cosine_topk"):
+    if name not in ("q38_pagerank", "q27_cosine_topk", "q55_curation_funnel"):
         assert "BroadcastNestedLoopJoin" not in plan, name
