@@ -123,6 +123,65 @@ def ivf_fit(
     return centroids
 
 
+def write_assigned_corpus(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The 100 TB silver layout: assign every vector to its list ONCE (a
+    pure projection — no join) and write partitioned BY the cluster id.
+    Probe-time reads then touch only the probed lists' directories (static
+    or dynamic partition pruning) instead of scanning the corpus."""
+    vectors.withColumn(
+        "cluster", ivf_assign(F.col(vec_col), centroids)
+    ).write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def ivf_topk_assigned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a pre-assigned, cluster-partitioned corpus (see
+    :func:`write_assigned_corpus`): the probe join keys on the PARTITION
+    column, so Spark's dynamic partition pruning restricts the scan to the
+    probed lists — the I/O is ≈ nprobe/nlist of the corpus, not a full
+    scan followed by a filter (pinned in tests/test_ivf_ann.py by the
+    ``dynamicpruning`` marker in the scan node)."""
+    corpus = spark.read.parquet(path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            _probe_list(F.col(vec_col), centroids, nprobe)
+        ).alias("cluster"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k,
+        rank_col="rnk",
+    )
+
+
 def save_centroids(
     spark, centroids: list[list[float]], path: str
 ) -> None:

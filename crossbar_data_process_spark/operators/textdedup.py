@@ -239,6 +239,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 6,
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -252,8 +253,13 @@ def minhash_lsh_pairs(
     requires many documents agreeing on ALL of them — i.e. a genuinely
     giant near-dup cluster, which is a DATA fact to cap, not a shuffle to
     salt: use ``ngram_jaccard_pairs``'s ``max_doc_freq`` stop-shingle cap
-    upstream, or cap bucket size directly (count per (band, key), drop
-    buckets over the cap — they are boilerplate clusters by definition).
+    upstream, or ``max_bucket_size`` here — buckets with more members are
+    dropped BEFORE the self-join (they are boilerplate clusters by
+    definition: a b-member bucket contributes b(b-1)/2 candidate pairs,
+    so one 10⁶-doc boilerplate bucket is 5·10¹¹ pairs — the cap turns
+    that into zero work while every normal bucket is untouched; recall
+    loss is confined to members of the dropped mega-clusters, which at
+    100 TB you handle by exact-fingerprint or URL dedup, not MinHash).
     ``operators.skew.salted_join`` is NOT wired here deliberately: salting
     a self-join replicates the bucket's rows salt× on the other side,
     which multiplies the quadratic in-bucket pair work it was meant to
@@ -280,6 +286,15 @@ def minhash_lsh_pairs(
     buckets = sigs.select("doc", F.explode(band_arr).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     ).localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        # one count per (band, key) over a window — same partitioning as
+        # the self-join shuffle, so the cap costs no extra exchange shape
+        wb = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -401,4 +416,77 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     )
     return docs.select(
         F.col(id_col).alias("doc"), fingerprint.alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: split each fingerprint into ``bands``
+    equal-width chunks; docs sharing ANY chunk are candidates (pigeonhole:
+    two fingerprints within Hamming distance d < bands must agree on at
+    least one chunk, so with ``max_hamming < bands`` recall is EXACT, not
+    probabilistic — the standard 64-bit/4-band/d≤3 web-dedup setup);
+    verify with ``bit_count(xor)``.
+
+    Scale shape mirrors :func:`minhash_lsh_pairs`: the bucket self-join
+    shuffles on (band, chunk) — never n² — and the verify is one integer
+    xor+popcount per candidate, far cheaper than MinHash's exact-Jaccard
+    set intersection. Use SimHash pairs when token-ORDER-insensitive
+    near-duplication at small Hamming radii is the contract; MinHash when
+    you need a Jaccard threshold.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee; raise bands or lower max_hamming"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} must divide evenly into {bands} bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+    sigs = simhash(docs, text_col, id_col, bits).localCheckpoint(eager=False)
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "doc", F.explode(chunk_arr).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("__ha"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("__hb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -112,3 +112,31 @@ def test_centroid_save_load_roundtrip(spark, clustered, tmp_path):
         "vec_id", ivf_assign(F.col("embedding"), loaded).alias("c")
     ).collect()
     assert {(r.vec_id, r.c) for r in a1} == {(r.vec_id, r.c) for r in a2}
+
+
+def test_assigned_corpus_partition_pruning(spark, clustered, tmp_path):
+    """The silver-table scale path: corpus written partitionBy(cluster),
+    probe join keys on the partition column — results identical to the
+    in-memory form AND the scan is dynamically pruned to the probed lists."""
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_topk,
+        ivf_topk_assigned,
+        write_assigned_corpus,
+    )
+
+    fitted = ivf_fit(clustered, dim=32, nlist=8, iters=2)
+    path = str(tmp_path / "assigned.parquet")
+    write_assigned_corpus(clustered, fitted, path)
+
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    assigned = ivf_topk_assigned(
+        spark, path, q, fitted, k=10, nprobe=2
+    )
+    inmem = ivf_topk(
+        clustered, q, dim=32, k=10, nlist=8, nprobe=2, centroids=fitted
+    )
+    assert {(r.query_id, r.neighbor_id, r.rnk) for r in assigned.collect()} == {
+        (r.query_id, r.neighbor_id, r.rnk) for r in inmem.collect()
+    }
+    plan = assigned._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, "probe join must prune corpus partitions"

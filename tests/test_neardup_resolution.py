@@ -163,3 +163,64 @@ def test_spread_is_plan_side_only(spark):
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     )
     assert _spread(stream) is stream
+
+
+def test_max_bucket_size_drops_mega_buckets_only(spark):
+    """The LSH skew lever: identical boilerplate docs form one giant band
+    bucket; with the cap they contribute ZERO candidate pairs while a
+    normal near-dup pair elsewhere still surfaces."""
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(1, 21)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = _docs(spark, boiler + near)
+
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+
+    unc = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in unc and (100, 101) in cap  # normal pair survives
+    # the 20-doc boilerplate cluster: 190 pairs uncapped, none capped
+    assert any(a < 100 and b < 100 for a, b in unc)
+    assert not any(a < 100 and b < 100 for a, b in cap)
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """With max_hamming < bands the banded candidate generation is EXACT
+    (pigeonhole), so the operator must equal brute-force all-pairs
+    popcount over the same fingerprints."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # identical to 1
+        (5, "spark engines process completely different document styles"),
+    ]
+    docs = _docs(spark, rows)
+    sigs = {r.doc: r.simhash for r in simhash(docs).collect()}
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, bands=4, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert (1, 4, 0) in got  # identical docs at hamming 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, bands=3, max_hamming=3)
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_pairs(docs, bits=32, bands=5, max_hamming=2)
