@@ -1,0 +1,94 @@
+"""Bucketed range join (operators/rangejoin.py): exact containment
+semantics vs a naive reference, dedup-free by construction, and the plan
+property the operator exists for — an equi-join shuffle on the bucket id,
+never a nested loop or cartesian."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.rangejoin import (
+    bucketed_range_join,
+)
+
+
+def _frames(spark, pts, ivs):
+    p = spark.createDataFrame([(i, float(v)) for i, v in enumerate(pts)],
+                              "pid long, v double")
+    iv = spark.createDataFrame(
+        [(j, float(lo), float(hi)) for j, (lo, hi) in enumerate(ivs)],
+        "iid long, lo double, hi double",
+    )
+    return p, iv
+
+
+def _naive(pts, ivs):
+    return {
+        (i, j)
+        for i, v in enumerate(pts)
+        for j, (lo, hi) in enumerate(ivs)
+        if lo <= hi and lo <= v <= hi
+    }
+
+
+def test_inner_matches_naive_and_is_dedup_free(spark):
+    pts = [0.5, 3.0, 7.2, -2.5, 10.0]
+    # intervals spanning multiple buckets, nested, negative, degenerate
+    ivs = [(0.0, 8.0), (2.9, 3.1), (-5.0, -1.0), (9.0, 9.5), (4.0, 2.0)]
+    p, iv = _frames(spark, pts, ivs)
+    rows = bucketed_range_join(p, iv, "v", "lo", "hi", bucket_width=1.0).collect()
+    got = [(r.pid, r.iid) for r in rows]
+    assert sorted(got) == sorted(_naive(pts, ivs))  # no duplicates, exact set
+
+
+def test_left_keeps_unmatched_points(spark):
+    p, iv = _frames(spark, [1.0, 100.0], [(0.0, 2.0)])
+    out = {r.pid: r.iid for r in bucketed_range_join(
+        p, iv, "v", "lo", "hi", 1.0, how="left").collect()}
+    assert out == {0: 0, 1: None}
+
+
+def test_plan_is_equi_join_not_nested_loop(spark):
+    p, iv = _frames(spark, [1.0, 2.0], [(0.0, 5.0)])
+    plan = (
+        bucketed_range_join(p, iv, "v", "lo", "hi", 1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__rj_bucket" in plan  # the join really keys on the bucket
+
+
+def test_rejects_overlapping_schemas_and_bad_width(spark):
+    p = spark.createDataFrame([(1, 1.0)], "pid long, v double")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "pid long, lo double, hi double")
+    with pytest.raises(ValueError, match="share column names"):
+        bucketed_range_join(p, iv, "v", "lo", "hi", 1.0)
+    iv2 = iv.withColumnRenamed("pid", "iid")
+    with pytest.raises(ValueError, match="positive"):
+        bucketed_range_join(p, iv2, "v", "lo", "hi", 0.0)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pts=st.lists(st.integers(-20, 20), min_size=1, max_size=8),
+    ivs=st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+        min_size=1, max_size=6,
+    ),
+    width=st.sampled_from([0.5, 1.0, 3.0, 10.0]),
+)
+def test_property_matches_naive(spark, pts, ivs, width):
+    p, iv = _frames(spark, pts, ivs)
+    got = sorted(
+        (r.pid, r.iid)
+        for r in bucketed_range_join(p, iv, "v", "lo", "hi", width).collect()
+    )
+    assert got == sorted(_naive(pts, ivs))
