@@ -42,10 +42,17 @@ def bucketed_range_join(
     ``[lo_col, hi_col]`` (inclusive both ends) contains ``point_col``.
 
     ``how='inner'`` emits matches only; ``how='left'`` keeps unmatched
-    points with NULL interval columns (implemented as inner + anti-join
-    union so the bucket replication can never duplicate an unmatched
-    point). Intervals with ``lo > hi`` or NULL bounds match nothing;
-    NULL points match nothing.
+    points with NULL interval columns. Both forms are a SINGLE join with
+    the containment predicate folded into the join condition — the equi
+    part (bucket id) drives the shuffle, the range part rides along as
+    the join's residual condition, so Spark still plans a
+    SortMergeJoin/ShuffledHashJoin, never a nested loop. The left form
+    therefore scans ``points`` exactly once and never compares data
+    columns for equality (an earlier anti-join formulation mis-handled
+    NULL-bearing point rows, because ``NULL = NULL`` is not true in join
+    equality). Intervals with ``lo > hi`` or NULL bounds match nothing;
+    NULL points match nothing (under ``how='left'`` they surface once,
+    NULL-padded).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"bucketed_range_join: how={how!r} not supported")
@@ -59,6 +66,7 @@ def bucketed_range_join(
         )
 
     w = float(bucket_width)
+    iv_bucket = _BUCKET + "_iv"
     p = points.withColumn(
         _BUCKET, F.floor(F.col(point_col) / F.lit(w)).cast("long")
     )
@@ -69,7 +77,7 @@ def bucketed_range_join(
             & (F.col(lo_col) <= F.col(hi_col))
         )
         .withColumn(
-            _BUCKET,
+            iv_bucket,
             F.explode(
                 F.sequence(
                     F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
@@ -78,20 +86,13 @@ def bucketed_range_join(
             ),
         )
     )
-    matched = (
-        p.join(iv, _BUCKET)
-        .filter(
-            (F.col(point_col) >= F.col(lo_col))
-            & (F.col(point_col) <= F.col(hi_col))
-        )
-        .drop(_BUCKET)
+    # Equi key (bucket) + residual range predicate in ONE join condition:
+    # Catalyst extracts the equality as the shuffle key and keeps the
+    # BETWEEN as the join's residual filter, so 'left' needs no second
+    # scan of `points` and no equality comparison on data columns.
+    cond = (
+        (F.col(_BUCKET) == F.col(iv_bucket))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
     )
-    if how == "inner":
-        return matched
-    # left: unmatched points get NULLs for every interval column
-    unmatched = points.join(
-        matched.select(*points.columns), points.columns, "left_anti"
-    )
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
-    return matched.unionByName(unmatched)
+    return p.join(iv, cond, how).drop(_BUCKET, iv_bucket)
