@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from crossbar_data_process_spark.sources.readers import load_events
+
 from crossbar_data_process_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -85,15 +87,10 @@ BENCH_QUERIES = [
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts type drifts across testdata generations (TIMESTAMP(NANOS) vs
+    # TIMESTAMP(MICROS)); load_events branches on the actual footer schema.
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark 4 reader
-        # rejects unless nanos are surfaced as long. Set the legacy conf at
-        # runtime — the driver calls these queries with ITS OWN session, so
-        # we cannot rely on our session factory having set it. Then truncate
-        # to micros (what the DuckDB oracle sees) and restore a timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

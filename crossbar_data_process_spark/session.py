@@ -47,8 +47,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
-        # reader rejects by default; read as long and convert at the boundary
+        # some testdata generations ship events.ts as TIMESTAMP(NANOS), which
+        # the Spark reader rejects by default; surfacing nanos as long is a
+        # no-op for MICROS-era files, and sources.readers.load_events branches
+        # on the actual footer type either way
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # InferFiltersFromGenerate duplicates the generator expression into a
         # pushed-down size()>0 filter; for heavyweight array builders

@@ -36,7 +36,43 @@ def read_table(
 
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     assert table in TESTDATA_TABLES, table
+    if table == "events":
+        return load_events(spark, f"{sf_dir}/{table}.parquet")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-aware events loader. ``events.ts`` has shipped as both parquet
+    TIMESTAMP(MICROS) (reads natively) and TIMESTAMP(NANOS) (the Spark 4
+    reader rejects it unless nanos are surfaced as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``). Branch on what the footer
+    actually contains instead of hardcoding either era; always return ``ts``
+    as the session-TZ TIMESTAMP type every downstream plan was audited with.
+
+    The legacy conf is only mutated on the nanos path — never for a natively
+    readable file — and is left set there because executors re-read SQL confs
+    at job execution, so restoring it before the job runs would break the
+    scan mid-query.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    try:
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+    except Exception:
+        df, ts_type = None, None
+    if df is not None and isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        if isinstance(ts_type, TimestampNTZType):
+            # DuckDB reads the same file as a naive timestamp; with a UTC
+            # session this cast is render-identical and keeps downstream
+            # unix_micros/window/date_format call sites on TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+    # Legacy nanos era: surface INT64(NANOS) as long, truncate to micros
+    # (what the DuckDB oracle sees), restore a timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def parse_kegg_links(spark: SparkSession, path: str) -> DataFrame:

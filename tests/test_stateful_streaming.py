@@ -10,6 +10,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from crossbar_data_process_spark.sources.readers import load_events
 from crossbar_data_process_spark.streaming.pipelines import stream_events
 from crossbar_data_process_spark.streaming.stateful import running_user_totals
 
@@ -20,8 +21,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def chunks(spark):
     tmp = tempfile.mkdtemp(prefix="events_state_")
     (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_events(spark, f"{SF_DIR}/events.parquet")
         .repartition(4)
         .write.mode("overwrite")
         .parquet(tmp)

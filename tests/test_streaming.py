@@ -13,6 +13,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from crossbar_data_process_spark.sources.readers import load_events
 from crossbar_data_process_spark.streaming.pipelines import (
     stream_events,
     streaming_dedup,
@@ -27,10 +28,7 @@ def event_chunks_dir(spark):
     """Split the events table into 4 parquet files (replayed one per
     trigger), with ts converted from nanos at write time."""
     tmp = tempfile.mkdtemp(prefix="events_stream_")
-    events = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = load_events(spark, f"{SF_DIR}/events.parquet")
     events.repartition(4).write.mode("overwrite").parquet(tmp)
     yield tmp
     shutil.rmtree(tmp, ignore_errors=True)
