@@ -64,9 +64,15 @@ def bucketed_range_join(
             f"points and intervals share column names {sorted(overlap)}; "
             "rename one side first — the output carries both schemas"
         )
+    iv_bucket = _BUCKET + "_iv"
+    reserved = {_BUCKET, iv_bucket} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with the join's "
+            "internal bucket columns; rename them first"
+        )
 
     w = float(bucket_width)
-    iv_bucket = _BUCKET + "_iv"
     p = points.withColumn(
         _BUCKET, F.floor(F.col(point_col) / F.lit(w)).cast("long")
     )

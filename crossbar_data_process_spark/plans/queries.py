@@ -42,6 +42,7 @@ from crossbar_data_process_spark.operators.dedup import dedup_undirected
 from crossbar_data_process_spark.operators.filters import anti_filter, semi_filter
 from crossbar_data_process_spark.operators.mapping import fallback_map
 from crossbar_data_process_spark.operators.merge import CoalesceSpec, outer_merge
+from crossbar_data_process_spark.operators.rangejoin import bucketed_range_join
 from crossbar_data_process_spark.operators.similarity import cosine_topk
 from crossbar_data_process_spark.operators.textdedup import (
     dedup_exact as doc_dedup_exact,
@@ -579,29 +580,36 @@ def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------ U1 union-all of source tables
+# --------------- bucketed point-in-interval range join (engine extension;
+# SURVEY §2.3 time-series join family). q19_union_sources was folded out in
+# r6 (U1 remains oracled via q09/q40's unions) to keep the registry at 50.
 @query(
-    "q19_union_sources",
+    "q56_range_join",
     f"""
-WITH u AS (
-  SELECT o_custkey, o_totalprice, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
-  UNION ALL
-  SELECT o_custkey, o_totalprice, 'high' AS src FROM orders WHERE o_orderpriority = '2-HIGH')
-SELECT src, COUNT(*) AS n, {_dsum_sql('o_totalprice')} AS total FROM u GROUP BY src
+WITH bands AS (
+  SELECT i AS band_id, i * 10000 AS lo, i * 10000 + 15000 AS hi
+  FROM range(0, 60) t(i))
+SELECT band_id, COUNT(*) AS n_orders, {_dsum_sql('o_totalprice')} AS total
+FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+GROUP BY band_id
 """,
 )
-def q19_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    u = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_custkey", "o_totalprice", F.lit("urgent").alias("src")
+def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping price bands (width 15000, stride 10000 — most orders land
+    in two bands) joined to orders via the bucketed equi-join plan of
+    operators.rangejoin — never a nested loop, unlike what Spark plans for
+    a raw BETWEEN condition."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 60).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10000).cast("double").alias("lo"),
+        (F.col("id") * 10000 + 15000).cast("double").alias("hi"),
     )
-    h = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
-        "o_custkey", "o_totalprice", F.lit("high").alias("src")
+    joined = bucketed_range_join(
+        o, bands, "o_totalprice", "lo", "hi", bucket_width=15000.0
     )
-    return (
-        u.unionByName(h)
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"), _dsum("o_totalprice").alias("total")
     )
 
 

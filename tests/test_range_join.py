@@ -62,6 +62,33 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     assert "__rj_bucket" in plan  # the join really keys on the bucket
 
 
+def test_left_plan_is_equi_join_not_nested_loop(spark):
+    """The left form's key claim: same single equi join (bucket key drives
+    the shuffle, BETWEEN rides as residual), no second scan of points, no
+    nested loop."""
+    p, iv = _frames(spark, [1.0, 2.0], [(0.0, 5.0)])
+    plan = (
+        bucketed_range_join(p, iv, "v", "lo", "hi", 1.0, how="left")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__rj_bucket" in plan
+    # exactly one (equi) join operator → points scanned once
+    n_joins = sum(
+        plan.count(op)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
+
+
+def test_rejects_reserved_internal_names(spark):
+    p = spark.createDataFrame([(1, 1.0, 5)], "pid long, v double, __rj_bucket int")
+    iv = spark.createDataFrame([(1, 0.0, 2.0)], "iid long, lo double, hi double")
+    with pytest.raises(ValueError, match="internal bucket"):
+        bucketed_range_join(p, iv, "v", "lo", "hi", 1.0)
+
+
 def test_rejects_overlapping_schemas_and_bad_width(spark):
     p = spark.createDataFrame([(1, 1.0)], "pid long, v double")
     iv = spark.createDataFrame([(1, 0.0, 2.0)], "pid long, lo double, hi double")
