@@ -202,9 +202,8 @@ def load_centroids(spark, path: str) -> list[list[float]]:
     assignments from a reloaded quantizer are bit-identical to the fitting
     session's (pinned in tests/test_ivf_ann.py)."""
     rows = spark.read.parquet(path).orderBy("cluster_id").collect()
-    assert [r["cluster_id"] for r in rows] == list(range(len(rows))), (
-        "centroid table is not a dense 0..nlist-1 id range"
-    )
+    if [r["cluster_id"] for r in rows] != list(range(len(rows))):
+        raise ValueError("centroid table is not a dense 0..nlist-1 id range")
     return [[float(x) for x in r["centroid"]] for r in rows]
 
 

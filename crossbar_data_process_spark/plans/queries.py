@@ -54,6 +54,7 @@ from crossbar_data_process_spark.operators.textdedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from crossbar_data_process_spark.operators.topk import top_k_per_group
 
@@ -1000,18 +1001,62 @@ WITH t AS (
            tok -> list_sum(list_transform(range(1, 9),
                     i -> (strpos('0123456789abcdef', md5(tok)[i:i]) - 1)
                          * (1::BIGINT << (4 * (8 - i)))))) AS hs
-  FROM documents)
-SELECT doc_id AS doc,
-       CAST(list_sum(list_transform(range(0, 32), j ->
-         CASE WHEN list_sum(list_transform(hs,
-                     h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-              THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
-FROM t
+  FROM documents),
+s AS (
+  SELECT doc_id AS doc,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(hs,
+                       h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM t),
+chunks AS (
+  SELECT doc, j AS band, (simhash >> CAST(8 * j AS INT)) & 255 AS key
+  FROM s, range(0, 4) r(j)),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+  FROM cand
+  JOIN s sa ON sa.doc = cand.doc_a
+  JOIN s sb ON sb.doc = cand.doc_b
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+sym AS (
+  SELECT doc_a AS doc, hamming FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, hamming FROM pairs)
+SELECT s.doc, s.simhash,
+       COALESCE(g.n_neardup, 0) AS n_neardup,
+       CAST(COALESCE(g.min_hamming, -1) AS INT) AS min_hamming
+FROM s LEFT JOIN (
+  SELECT doc, COUNT(*) AS n_neardup, MIN(hamming) AS min_hamming
+  FROM sym GROUP BY doc) g USING (doc)
 """,
 )
 def q26b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc's 32-bit SimHash fingerprint PLUS its near-dup pair profile
+    (count and min Hamming over simhash_pairs at bands=4, d<=3) — the one
+    result hash-checks both the fingerprint arithmetic and the banded
+    bucket-join + bit_count(xor) verify of operators.textdedup.simhash_pairs
+    (pigeonhole-exact recall: d < bands)."""
     d = _t(spark, sf_dir, "documents")
-    return simhash(d)
+    sigs = simhash(d)
+    pairs = simhash_pairs(d, bands=4, max_hamming=3)
+    sym = pairs.select(F.col("doc_a").alias("doc"), "hamming").unionByName(
+        pairs.select(F.col("doc_b").alias("doc"), "hamming")
+    )
+    agg = sym.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_neardup"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return sigs.join(agg, "doc", "left").select(
+        "doc",
+        "simhash",
+        F.coalesce("n_neardup", F.lit(0).cast("long")).alias("n_neardup"),
+        F.coalesce("min_hamming", F.lit(-1)).cast("int").alias("min_hamming"),
+    )
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1061,11 +1106,25 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nprobe < nlist is measured separately (tests/test_ivf_ann.py ≥ 0.95).
 @query("q54_ivf_topk", _COSINE_TOPK_ORACLE)
 def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crossbar_data_process_spark.operators.ivf import ivf_topk
+    """The PRODUCTION silver-layout path, not the in-memory shortcut:
+    fit → write_assigned_corpus (corpus partitioned by cluster id) →
+    ivf_topk_assigned (probe join keys on the partition column, so the
+    scan is dynamically pruned to the probed lists). nprobe == nlist makes
+    it exactly brute-force, hash-checked against the same oracle as q27."""
+    import tempfile
+
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_fit,
+        ivf_topk_assigned,
+        write_assigned_corpus,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    out = ivf_topk(e, q, dim=64, k=5, nlist=8, nprobe=8, iters=2)
+    cents = ivf_fit(e, dim=64, nlist=8, iters=2)
+    silver = tempfile.mkdtemp(prefix="ivf_silver_q54_")
+    write_assigned_corpus(e, cents, silver)
+    out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
