@@ -7,15 +7,18 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the only operators in the engine allowed to enter
 Python, because codec work is genuinely not expressible in Spark SQL.
 
-Codec status (r04): header-level metadata is REAL for recognized formats —
+Codec status (r06): header-level metadata is REAL for recognized formats —
 ``_parse_media_header`` reads BMP and PNG dimensions and WAV RIFF
-sample-rate/channels/bit-depth from magic bytes with pure stdlib, and
-``wav_audio_stats`` decodes 16-bit PCM WAV samples (numpy ``frombuffer``)
-for real amplitude statistics. Only full pixel decode for compressed
-formats (PNG inflate, JPEG DCT) remains behind ``_decode_stub`` — a
-deterministic fake, because Pillow/ffmpeg are NOT in this container.
-Everything around it (schemas, batch iteration, partition sizing, output
-contract) is the real production plumbing and is tested.
+sample-rate/channels/bit-depth from magic bytes with pure stdlib;
+``wav_audio_stats`` decodes 16-bit integer-PCM WAV samples (numpy
+``frombuffer``, ``wFormatTag == 1`` enforced) for real amplitude
+statistics; and ``_decode_png`` does REAL pixel decode for 8-bit
+non-interlaced PNG (stdlib ``zlib`` IDAT inflate + numpy scanline
+unfiltering, all five filter types). Only formats whose codecs are
+genuinely absent from this container (JPEG DCT, video) remain behind
+``_decode_stub`` — a deterministic fake. Everything around it (schemas,
+batch iteration, partition sizing, output contract) is the real
+production plumbing and is tested.
 
 Scale notes: media rows are large — keep ``spark.sql.files.maxPartitionBytes``
 low for media tables so a partition's batch fits executor memory, and
@@ -188,6 +191,13 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
         hdr = _parse_media_header(payload)
         if hdr["mime"] != "audio/wav" or hdr["bits_per_sample"] != 16:
             return None, None, None
+        # frombuffer('<i2') is only valid for integer PCM (wFormatTag == 1);
+        # float/ADPCM/extensible WAVs would "decode" into garbage stats
+        fmt = _wav_fmt_chunk(payload)
+        if fmt is None or int.from_bytes(
+            payload[fmt[0] : fmt[0] + 2], "little"
+        ) != 1:
+            return None, None, None
         pos = 12
         while pos + 8 <= len(payload):
             cid = payload[pos : pos + 4]
@@ -227,8 +237,107 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse the per-scanline PNG filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) → (h, w, ch) uint8 pixel array, or None on an
+    unknown filter byte. Up is vectorized; Sub/Average/Paeth are serial
+    along x by definition (each byte's predictor uses the just-decoded
+    left neighbor)."""
+    import numpy as np
+
+    stride = w * ch
+    prev = np.zeros(stride, dtype=np.int32)
+    rows = []
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        line = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            return None
+        rows.append(cur)
+        prev = cur
+    return np.stack(rows).astype(np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(payload: bytes | None):
+    """REAL stdlib PNG pixel decode: walk the chunk list, inflate the IDAT
+    stream with ``zlib``, unfilter scanlines with numpy. Supports 8-bit
+    depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), no
+    interlace — i.e. what encoders emit by default. Returns an
+    (h, w, channels) uint8 array, or None for anything else (palette,
+    16-bit, Adam7, truncated, non-PNG) so the caller can fall back."""
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat = 8, b""
+    w = h = None
+    depth = ctype = interlace = -1
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR" and size >= 13:
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + payload + crc
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if not w or not h or depth != 8 or ch is None or interlace != 0:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * ch + 1):
+        return None
+    return _png_unfilter(raw, h, w, ch)
+
+
+def _pixel_features(img, dim: int) -> list[float]:
+    """``dim`` floats in [0, 1] from REAL pixels: channel-mean luminance
+    (alpha dropped) average-pooled into ``dim`` equal row-major buckets."""
+    import numpy as np
+
+    x = img.astype(np.float64)
+    if x.shape[2] in (2, 4):
+        x = x[:, :, :-1]
+    g = x.mean(axis=2).ravel() / 255.0
+    idx = (np.arange(g.size) * dim) // g.size
+    sums = np.bincount(idx, weights=g, minlength=dim)
+    counts = np.bincount(idx, minlength=dim)
+    return [float(v) for v in sums / np.maximum(counts, 1)]
+
+
 def _decode_stub(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake decoder: real deployments replace this with
+    """Deterministic fake decoder for formats whose codecs are NOT in this
+    container (JPEG DCT, video). Real deployments replace this with
     Pillow/torchvision/librosa. Derives ``dim`` floats from byte content so
     tests can assert exact outputs."""
     if payload is None:
@@ -242,7 +351,15 @@ def _decode_stub(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract via Arrow-batched mapInPandas. One Python
     worker per partition; batches stream through Arrow, so peak memory is
-    one batch of payloads, not the partition."""
+    one batch of payloads, not the partition.
+
+    Decodable payloads (8-bit non-interlaced PNG — see :func:`_decode_png`)
+    get features from REAL pixels (pooled luminance); everything else falls
+    back to the deterministic byte-content stub."""
+
+    def _features(p: bytes | None) -> list[float]:
+        img = _decode_png(p)
+        return _pixel_features(img, dim) if img is not None else _decode_stub(p, dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -252,9 +369,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: 0 if p is None else len(p)
                     ),
-                    "features": pdf["payload"].map(
-                        lambda p: _decode_stub(p, dim)
-                    ),
+                    "features": pdf["payload"].map(_features),
                 }
             )
 

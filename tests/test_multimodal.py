@@ -158,6 +158,144 @@ def test_probe_media_end_to_end(spark):
     assert out["junk"].mime is None and out["junk"].width is None
 
 
+# ---------- r06 de-stub: real PNG pixel decode (zlib IDAT + unfilter)
+
+
+def _encode_png(pixels, ctype, filters) -> bytes:
+    """Forward-filter a known pixel grid into a complete PNG, cycling the
+    given filter types per scanline — the decoder must invert every one."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    h, w = len(pixels), len(pixels[0])
+    flat = []
+    for row in pixels:
+        b = []
+        for px in row:
+            b.extend([px] if ch == 1 else list(px))
+        flat.append(b)
+    raw = b""
+    prev = [0] * (w * ch)
+    for y, cur in enumerate(flat):
+        f = filters[y % len(filters)]
+        out = []
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) >> 1
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+            out.append((cur[x] - pred) % 256)
+        raw += bytes([f]) + bytes(out)
+        prev = cur
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data))
+            + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data))
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrips_every_filter_and_color_type():
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.multimodal import _decode_png
+
+    rng = [(x * 37 + y * 91) % 256 for y in range(6) for x in range(5)]
+    gray = [[rng[y * 5 + x] for x in range(5)] for y in range(6)]
+    rgb = [
+        [((v := rng[y * 5 + x]), (v * 3) % 256, (v * 7) % 256) for x in range(5)]
+        for y in range(6)
+    ]
+    rgba = [[px + ((px[0] * 11) % 256,) for px in row] for row in rgb]
+    for pixels, ctype, ch in ((gray, 0, 1), (rgb, 2, 3), (rgba, 6, 4)):
+        # 6 rows cycle through all five filter types (and repeat Paeth)
+        payload = _encode_png(pixels, ctype, filters=[0, 1, 2, 3, 4])
+        img = _decode_png(payload)
+        assert img is not None and img.shape == (6, 5, ch)
+        expect = np.array(
+            [[([px] if ch == 1 else list(px)) for px in row] for row in pixels],
+            dtype=np.uint8,
+        ).reshape(6, 5, ch)
+        assert (img == expect).all(), (ctype, img, expect)
+
+
+def test_png_decode_rejects_unsupported_forms():
+    from crossbar_data_process_spark.operators.multimodal import _decode_png
+
+    assert _decode_png(None) is None
+    assert _decode_png(b"not png") is None
+    assert _decode_png(_tiny_png(7, 5)) is None  # header-only, no IDAT
+    # truncated IDAT → zlib error → None, never an exception
+    full = _encode_png([[1, 2], [3, 4]], 0, [0])
+    assert _decode_png(full[:-20]) is None
+
+
+def test_extract_features_uses_real_pixels_for_png(spark):
+    from crossbar_data_process_spark.operators.multimodal import (
+        _decode_png,
+        _pixel_features,
+    )
+
+    pixels = [[(x * 50 % 256, y * 60 % 256, 128) for x in range(4)] for y in range(4)]
+    payload = _encode_png(pixels, 2, filters=[0, 1, 2, 4])
+    rows = [
+        Row(media_id="png", payload=payload, meta=None),
+        Row(media_id="raw", payload=bytes(range(16)), meta=None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(df, dim=4).collect()}
+    expect = _pixel_features(_decode_png(payload), 4)
+    assert out["png"].features == pytest.approx(expect)
+    assert all(0.0 <= v <= 1.0 for v in out["png"].features)
+    # non-PNG still takes the deterministic stub path
+    assert out["raw"].features == pytest.approx(_decode_stub(bytes(range(16)), 4))
+
+
+def test_wav_stats_require_integer_pcm(spark):
+    import struct
+
+    from crossbar_data_process_spark.operators.multimodal import (
+        wav_audio_stats,
+    )
+
+    # hand-built WAV with wFormatTag=3 (IEEE float) but bits_per_sample=16:
+    # passes the header probe, must be refused by the PCM decode
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<4h", 0, 1000, -1000, 32767)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [Row(media_id="f32", payload=payload, meta=None)], schema=MEDIA_SCHEMA
+    )
+    out = wav_audio_stats(df).collect()[0]
+    assert out.n_samples is None and out.rms is None
+
+
 def test_wav_audio_stats_real_decode(spark):
     import math
 
