@@ -80,7 +80,7 @@ BENCH_QUERIES = [
     "q41_sessionize",
     "q43_ddi_merge",
     # r03 additions: the new named surfaces, benchmarked from day one
-    "q52_kg_two_hop",
+    "q52_kg_paths",
     "q53_neardup_resolve",
     # r04 additions
     "q54_ivf_topk",
@@ -943,36 +943,67 @@ def q55_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated.drop("text").crossJoin(F.broadcast(report))
 
 
-# ---------- named 2-hop KG motif (drug→target→disease, plans/kg.py):
-# the traversal CROssBAR's KG serves, as one Catalyst plan over gold edge
-# stand-ins. Scores are max-of-products (no float-sum order dependence).
+# ---------- KG path motifs (plans/kg.py): depth 2 is the named
+# drug→target→disease traversal CROssBAR's KG serves (two_hop_paths); depth
+# 3 is the variable-depth DP fold (chain_paths aggregate_hops=True — state
+# bounded to reachable (src, frontier) pairs, counts SUM, running product
+# keeps MAX) hash-checked against a DuckDB WITH RECURSIVE path enumeration,
+# which is equivalent exactly because scores are non-negative. Scores are
+# max-of-products (no float-sum order dependence).
 @query(
-    "q52_kg_two_hop",
+    "q52_kg_paths",
     """
-WITH dti AS (
-  SELECT l_suppkey % 40 AS drug, l_partkey % 100 AS target,
-         MAX(l_discount) AS affinity
+WITH RECURSIVE
+dti AS (
+  SELECT l_suppkey % 40 AS src, l_partkey % 100 AS dst, MAX(l_discount) AS s
   FROM lineitem GROUP BY 1, 2),
 gda AS (
-  SELECT p_partkey % 100 AS target, p_brand AS disease,
-         MAX(p_retailprice) AS assoc
+  SELECT p_partkey % 100 AS src, p_brand AS dst, MAX(p_retailprice) AS s
   FROM part GROUP BY 1, 2),
-paths AS (
-  SELECT drug, disease, COUNT(*) AS n_paths,
-         MAX(affinity * assoc) AS best_score
-  FROM dti JOIN gda USING (target) GROUP BY 1, 2),
-ranked AS (
-  SELECT drug, disease, n_paths, best_score,
-         row_number() OVER (PARTITION BY drug
-                            ORDER BY best_score DESC, disease) AS rnk
-  FROM paths)
-SELECT drug, disease, n_paths, round(best_score, 6) AS best_score,
+bc AS (
+  SELECT p_brand AS src, p_type AS dst, MAX(CAST(p_size AS DOUBLE)) AS s
+  FROM part GROUP BY 1, 2),
+edges AS (
+  SELECT 1 AS hop, CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst, s FROM dti
+  UNION ALL
+  SELECT 2, CAST(src AS VARCHAR), dst, s FROM gda
+  UNION ALL
+  SELECT 3, src, dst, s FROM bc),
+walk(hop, root, node, prod) AS (
+  SELECT 1, src, dst, s FROM edges WHERE hop = 1
+  UNION ALL
+  SELECT w.hop + 1, w.root, e.dst, w.prod * e.s
+  FROM walk w JOIN edges e ON e.hop = w.hop + 1 AND e.src = w.node
+  WHERE w.hop < 3),
+p3 AS (
+  SELECT CAST(root AS BIGINT) AS src, node AS dst,
+         COUNT(*) AS n_paths, MAX(prod) AS best
+  FROM walk WHERE hop = 3 GROUP BY 1, 2),
+r3 AS (
+  SELECT src, dst, n_paths, round(best, 6) AS best_score,
+         row_number() OVER (PARTITION BY src ORDER BY best DESC, dst) AS rnk
+  FROM p3),
+p2 AS (
+  SELECT d.src AS drug, g.dst AS disease, COUNT(*) AS n_paths,
+         MAX(d.s * g.s) AS best
+  FROM dti d JOIN gda g ON d.dst = g.src GROUP BY 1, 2),
+r2 AS (
+  SELECT drug, disease, n_paths, round(best, 6) AS best_score,
+         row_number() OVER (PARTITION BY drug ORDER BY best DESC, disease) AS rnk
+  FROM p2)
+SELECT 2 AS depth, drug AS src, disease AS dst, n_paths, best_score,
        CAST(rnk AS BIGINT) AS rnk
-FROM ranked WHERE rnk <= 3
+FROM r2 WHERE rnk <= 3
+UNION ALL
+SELECT 3 AS depth, src, dst, n_paths, best_score, CAST(rnk AS BIGINT) AS rnk
+FROM r3 WHERE rnk <= 3
 """,
 )
-def q52_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crossbar_data_process_spark.plans.kg import drug_target_disease_paths
+def q52_kg_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.plans.kg import (
+        chain_paths,
+        drug_target_disease_paths,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -984,8 +1015,45 @@ def q52_kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 100).alias("target"),
         F.col("p_brand").alias("disease"),
     ).agg(F.max("p_retailprice").alias("assoc"))
-    out = drug_target_disease_paths(dti, gda, k=3)
-    return out.withColumn("best_score", F.round("best_score", 6))
+    bc = p.groupBy(
+        F.col("p_brand").alias("src"), F.col("p_type").alias("dst")
+    ).agg(F.max(F.col("p_size").cast("double")).alias("s"))
+    two = drug_target_disease_paths(dti, gda, k=3)
+    chain = chain_paths(
+        [
+            dti.select(
+                F.col("drug").alias("src"),
+                F.col("target").alias("dst"),
+                F.col("affinity").alias("s"),
+            ),
+            gda.select(
+                F.col("target").alias("src"),
+                F.col("disease").alias("dst"),
+                F.col("assoc").alias("s"),
+            ),
+            bc,
+        ],
+        score="s",
+        k=3,
+        aggregate_hops=True,
+    )
+    p2 = two.select(
+        F.lit(2).alias("depth"),
+        F.col("drug").alias("src"),
+        F.col("disease").alias("dst"),
+        "n_paths",
+        F.round("best_score", 6).alias("best_score"),
+        "rnk",
+    )
+    p3 = chain.select(
+        F.lit(3).alias("depth"),
+        "src",
+        "dst",
+        "n_paths",
+        F.round("best_score", 6).alias("best_score"),
+        "rnk",
+    )
+    return p2.unionByName(p3)
 
 
 # SimHash oracle: per-token 32-bit md5-derived hash (hex→int via strpos
@@ -1930,7 +1998,7 @@ _FRONT = [
     "q55_curation_funnel",
     "q05_membership_filters",
     "q12_median_middle",
-    "q52_kg_two_hop",
+    "q52_kg_paths",
     "q53_neardup_resolve",
     "q22_doc_profile",
     "q45_set_ops_attach",
