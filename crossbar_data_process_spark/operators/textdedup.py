@@ -13,6 +13,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -52,10 +54,15 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     # optimizedPlan() runs analysis+optimization only — no stages execute.
+    # Operator names are matched at tree-node position (start of line after
+    # the `+- `/`:- ` tree art), not as substrings — a column literally
+    # named "JoinDate" inside a Project must not read as a Join node.
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(tok in plan for tok in
-           ("Join", "Aggregate", "Repartition", "Window", "Deduplicate",
-            "Sort", "Expand")):
+    if re.search(
+        r"(?m)^[\s+:|-]*(?:Join|Aggregate|Repartition|Window|Deduplicate"
+        r"|Sort|Expand)\b",
+        plan,
+    ):
         return df
     try:
         n_files = len(df.inputFiles())

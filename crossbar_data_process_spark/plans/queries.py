@@ -163,21 +163,37 @@ GROUP BY n_name, r_name
 """,
 )
 def q02_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.skew import salted_join
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
+    big = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
             s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    # The nation attach runs through salted_join: c_nationkey has only 25
+    # distinct values — exactly the hot-key shape salting exists for — and
+    # the oracle hash staying unchanged proves the salt is
+    # semantics-preserving. (At this dim size Spark still broadcasts the
+    # salted 25×8-row side, so the plan stays a BroadcastHashJoin; on a
+    # dim too big to broadcast the same call spreads each hot key over 8
+    # reducers.)
+    joined = salted_join(
+        big,
+        n.withColumnRenamed("n_nationkey", "c_nationkey"),
+        on=["c_nationkey"],
+        salt=8,
+    )
+    return (
+        joined.join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
