@@ -29,6 +29,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over ``salt`` shuffle
     partitions: the big side gets a deterministic value-hash salt in
@@ -52,10 +53,15 @@ def salted_join(
             f"rows {salt}x; only big-side-preserving joins are valid: "
             "inner / left / left_semi / left_anti"
         )
-    # pmod is already non-negative for negative inputs; wrapping the hash in
-    # abs() would ANSI-overflow on Integer.MIN_VALUE (p = 2^-32 per row).
+    # The salt must vary WITHIN a hot key's rows, so it hashes row content,
+    # not the join key. ``salt_cols`` limits the hash to a few
+    # per-row-varying columns — on a wide fact table, hashing every column
+    # (strings included) of every row is measurable CPU for no better
+    # spread. pmod is already non-negative for negative inputs; wrapping
+    # the hash in abs() would ANSI-overflow on Integer.MIN_VALUE
+    # (p = 2^-32 per row).
     salt_col = F.pmod(
-        F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)
+        F.hash(*[F.col(c) for c in (salt_cols or big.columns)]), F.lit(salt)
     ).cast("int")
     b = big.withColumn(_SALT, salt_col)
     s = small.withColumn(

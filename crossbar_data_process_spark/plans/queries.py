@@ -191,6 +191,7 @@ def q02_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.withColumnRenamed("n_nationkey", "c_nationkey"),
         on=["c_nationkey"],
         salt=8,
+        salt_cols=["o_orderkey", "l_linenumber"],
     )
     return (
         joined.join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
