@@ -53,3 +53,45 @@ def test_read_table_csv_with_schema(spark, tmp_path):
     df = read_table(spark, str(p), fmt="csv", inferSchema=True)
     assert df.count() == 2
     assert set(df.columns) == {"id", "score"}
+
+
+def test_load_events_handles_both_timestamp_eras(spark, tmp_path):
+    """events.ts has shipped as TIMESTAMP(MICROS) and TIMESTAMP(NANOS)
+    across testdata generations (the r5 regression): load_events must
+    return an identical session-TZ TIMESTAMP column for both footer
+    types."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampType
+
+    from crossbar_data_process_spark.sources.readers import load_events
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    epoch_us = [1_700_000_000_000_000, 1_700_000_001_500_000]
+    micros = tmp_path / "ev_us.parquet"
+    nanos = tmp_path / "ev_ns.parquet"
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(epoch_us, pa.timestamp("us"))}),
+        str(micros),
+    )
+    pq.write_table(
+        pa.table(
+            {**base, "ts": pa.array([v * 1000 for v in epoch_us], pa.timestamp("ns"))}
+        ),
+        str(nanos),
+        version="2.6",  # keeps INT64 TIMESTAMP(NANOS) instead of coercing
+    )
+    out = {}
+    for name, path in (("us", micros), ("ns", nanos)):
+        df = load_events(spark, str(path))
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        out[name] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert out["us"] == out["ns"]
