@@ -2005,7 +2005,9 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r02: the rest were silently skipped), so the declared set must stay at
 # EXACTLY 50 — to add a query, FOLD two redundant rows into one (precedent:
 # r03 q22/q45 folds, r04 q05+q06 → q05_membership_filters and q12+q13 →
-# q12_median_middle making room for q54/q55) — never append past 50.
+# q12_median_middle making room for q54/q55, r06 q19 folded out for
+# q56_range_join with unions still oracled via q09/q40) — never append
+# past 50.
 # `tests/test_plan_shapes.py::test_registry_is_exactly_fifty` pins the count.
 # On top of that, the newest/reshaped surfaces are moved to the FRONT of the
 # registration order, so any harness truncation falls on queries with
