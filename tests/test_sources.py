@@ -95,3 +95,45 @@ def test_load_events_handles_both_timestamp_eras(spark, tmp_path):
             (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
         )
     assert out["us"] == out["ns"]
+
+
+def test_with_retries_and_manifest_gated_landing(spark, tmp_path):
+    """S8 (SURVEY §2.1): bounded retry around the fetch; completed
+    landings are manifest-gated so re-runs skip the fetch entirely
+    (the reference's download cache as a data-layer property)."""
+    import pytest as _pytest
+
+    from crossbar_data_process_spark.sources.landing import (
+        land_bronze,
+        with_retries,
+    )
+
+    # retry: fails twice, succeeds third; deterministic backoff observed
+    calls, sleeps = [], []
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+    assert with_retries(flaky, attempts=3, backoff_s=0.5, sleep=sleeps.append) == "ok"
+    assert len(calls) == 3 and sleeps == [0.5, 1.0]
+    def always_fails():
+        raise OSError("x")
+    with _pytest.raises(OSError):
+        with_retries(always_fails, attempts=2, sleep=lambda _: None)
+
+    # landing: first call fetches (with one transient failure), second
+    # call must NOT invoke fetch at all; refresh=True forces it again
+    path = str(tmp_path / "bronze_t")
+    fetches = []
+    def fetch():
+        fetches.append(1)
+        if len(fetches) == 1:
+            raise OSError("transient fetch")
+        return spark.range(5).toDF("id")
+    out = land_bronze(spark, fetch, path, attempts=3, sleep=lambda _: None)
+    assert out.count() == 5 and len(fetches) == 2
+    again = land_bronze(spark, fetch, path, sleep=lambda _: None)
+    assert again.count() == 5 and len(fetches) == 2  # cache hit: no fetch
+    land_bronze(spark, fetch, path, refresh=True, sleep=lambda _: None)
+    assert len(fetches) == 3  # cache_off equivalent
