@@ -1206,7 +1206,10 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    cents = ivf_fit(e, dim=64, nlist=8, iters=2)
+    # derive dim from the data (1-row bounded collect) instead of pinning
+    # 64 — testdata schemas drift between rounds (the r5 events lesson)
+    dim = e.select(F.size("embedding")).first()[0]
+    cents = ivf_fit(e, dim=dim, nlist=8, iters=2)
     silver = tempfile.mkdtemp(prefix="ivf_silver_q54_")
     write_assigned_corpus(e, cents, silver)
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)

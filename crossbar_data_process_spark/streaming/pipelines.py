@@ -91,3 +91,37 @@ def windowed_counts(
             "sum_value",
         )
     )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation (streaming analogue of the
+    batch q41_sessionize gap logic): ``F.session_window`` merges events per
+    user into dynamic windows that close after ``gap`` of inactivity. State
+    is per OPEN session, evicted once the watermark passes a session's end
+    — the streaming answer to q41's lag-over-window batch formulation,
+    which needs the whole history sorted per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -149,3 +149,60 @@ def test_streaming_dedup_drops_duplicates(spark, event_chunks_dir):
         assert n_stream == n_expected
     finally:
         shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_session_window_matches_batch(spark, event_chunks_dir):
+    """Session-window aggregation (dynamic-gap windows, the streaming
+    analogue of batch q41): replayed as ONE micro-batch in complete mode
+    (session windows support append/complete, not update), the final
+    state equals the batch session_window result over the same data."""
+    import shutil
+    import tempfile
+
+    from crossbar_data_process_spark.streaming.pipelines import session_counts
+
+    one_file = tempfile.mkdtemp(prefix="events_sess_")
+    try:
+        spark.read.parquet(event_chunks_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(one_file)
+        stream = stream_events(spark, one_file)
+        q = (
+            session_counts(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        streamed = {tuple(r) for r in spark.table("sess").collect()}
+
+        batch = (
+            spark.read.parquet(one_file)
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_end"
+                ),
+                "n_events",
+                "sum_value",
+            )
+        )
+        expected = {tuple(r) for r in batch.collect()}
+        assert streamed == expected
+        # sessions really merge events: strictly fewer sessions than events
+        n_events = spark.read.parquet(one_file).count()
+        assert 0 < len(streamed) < n_events
+    finally:
+        shutil.rmtree(one_file, ignore_errors=True)
