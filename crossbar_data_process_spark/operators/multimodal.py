@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     StringType,
@@ -333,6 +334,87 @@ def _pixel_features(img, dim: int) -> list[float]:
     sums = np.bincount(idx, weights=g, minlength=dim)
     counts = np.bincount(idx, minlength=dim)
     return [float(v) for v in sums / np.maximum(counts, 1)]
+
+
+def _encode_png(img) -> bytes:
+    """Minimal PNG encoder (filter 0, one zlib-deflated IDAT) for the
+    output side of :func:`resize_images` — the exact inverse shape of
+    :func:`_decode_png`, stdlib-only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data))
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BooleanType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize (charter: "decode / feature-extract / resize /
+    frame-sample"): decodable PNGs larger than ``max_side`` on either axis
+    are nearest-neighbor downsampled (aspect preserved) and re-encoded as
+    PNG; already-small PNGs and undecodable payloads pass through
+    unchanged with ``resized = false``. Arrow-batched ``mapInPandas``,
+    same late-materialization posture as the other media kernels."""
+    import numpy as np
+
+    def _one(mid, p):
+        img = _decode_png(p)
+        if img is None:
+            return (mid, p, None, None, False)
+        h, w = img.shape[:2]
+        if max(h, w) <= max_side:
+            return (mid, p, w, h, False)
+        scale = max_side / max(h, w)
+        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+        ys = (np.arange(nh) * h // nh).astype(int)
+        xs = (np.arange(nw) * w // nw).astype(int)
+        out = img[ys][:, xs]
+        return (mid, _encode_png(out), nw, nh, True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_one(m, p) for m, p in zip(pdf["media_id"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                    "width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "resized": [r[4] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 def _decode_stub(payload: bytes, dim: int = 8) -> list[float]:

@@ -319,3 +319,42 @@ def test_wav_audio_stats_real_decode(spark):
     )
     assert out["wav"].peak == pytest.approx(32767 / 32768.0, rel=1e-6)
     assert out["junk"].n_samples is None
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize: an 8x6 PNG capped at max_side=4 comes back as a REAL 4x3
+    PNG whose pixels equal the nearest-neighbor downsample of the
+    original; small/undecodable payloads pass through untouched."""
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.multimodal import (
+        _decode_png,
+        resize_images,
+    )
+
+    pixels = [
+        [((x * 30) % 256, (y * 40) % 256, (x * y) % 256) for x in range(8)]
+        for y in range(6)
+    ]
+    payload = _encode_png(pixels, 2, filters=[0, 1, 2, 3, 4])
+    rows = [
+        Row(media_id="big", payload=payload, meta=None),
+        Row(media_id="small", payload=_encode_png([[1, 2], [3, 4]], 0, [0]), meta=None),
+        Row(media_id="junk", payload=b"not an image", meta=None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(df, max_side=4).collect()}
+
+    big = out["big"]
+    assert big.resized and (big.width, big.height) == (4, 3)
+    img = _decode_png(bytes(big.payload))
+    assert img is not None and img.shape == (3, 4, 3)
+    src = _decode_png(payload)
+    ys = (np.arange(3) * 6 // 3).astype(int)
+    xs = (np.arange(4) * 8 // 4).astype(int)
+    assert (img == src[ys][:, xs]).all()
+
+    assert not out["small"].resized and (out["small"].width, out["small"].height) == (2, 2)
+    assert bytes(out["small"].payload) == _encode_png([[1, 2], [3, 4]], 0, [0])
+    assert not out["junk"].resized and out["junk"].width is None
+    assert bytes(out["junk"].payload) == b"not an image"

@@ -138,3 +138,29 @@ def test_salted_collect_set_matches_unsalted(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_salt_cols_subset_is_semantics_preserving(spark):
+    """salt_cols (hash only a couple of per-row-varying columns instead
+    of the whole wide row) must not change the join result."""
+    from pyspark.sql import functions as F
+
+    from crossbar_data_process_spark.operators.skew import salted_join
+
+    big = spark.range(500).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("rowid"),
+        F.concat(F.lit("pad_"), F.col("id")).alias("wide1"),
+        (F.col("id") * 7).alias("wide2"),
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(
+            big, small, on=["k"], salt=8, salt_cols=["rowid"]
+        ).collect()
+    }
+    assert salted == plain
