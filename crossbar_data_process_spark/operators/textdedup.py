@@ -85,8 +85,16 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     Takes a *materialized token column*, not the raw text: Catalyst does not
     common-subexpression-eliminate inside higher-order-function lambdas, so
     inlining ``split(text)`` here would re-tokenize the document once per
-    shingle — O(len²) per doc."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle — O(len²) per doc.
+
+    Docs shorter than ``n`` tokens yield an EMPTY shingle set — guarded
+    explicitly, because ``sequence(1, 0)`` is a DESCENDING [1, 0] in Spark
+    and the 0 index would crash ``slice`` (latent until a wide ``n``, e.g.
+    the 8-gram contamination screen, met a short doc)."""
+    last = F.size(toks) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
@@ -496,4 +504,46 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination screen (training-data hygiene): flag
+    documents sharing at least ``min_hits`` distinct word ``n``-grams with
+    an evaluation/benchmark corpus — the standard n-gram decontamination
+    test applied before a pretraining mix is frozen.
+
+    Returns (id_col, n_contaminated_ngrams) for FLAGGED docs only (join
+    back for the clean set with a left-anti). ``n = 8`` is wide enough
+    that natural phrase reuse is rare but verbatim leakage still hits.
+
+    Scale shape: the benchmark side is shingled, made DISTINCT, and
+    BROADCAST — eval suites are thousands of documents against a corpus of
+    billions, so the contaminated-shingle set is the small side by
+    construction and the corpus is never shuffled at all; the per-doc hit
+    count aggregates map-side. A benchmark too big to broadcast degrades
+    gracefully to a shuffle equi-join on the shingle string.
+    """
+    corpus = _shingle_index(docs, text_col, id_col, n).select(
+        "doc", F.explode("sh").alias("s")
+    )
+    bench = (
+        _spread(benchmark)
+        .select(shingles(bench_text_col, n).alias("sh"))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
+        .filter(F.col("n_contaminated_ngrams") >= min_hits)
     )

@@ -224,3 +224,35 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
         simhash_pairs(docs, bands=3, max_hamming=3)
     with _pytest.raises(ValueError, match="divide"):
         simhash_pairs(docs, bits=32, bands=5, max_hamming=2)
+
+
+def test_contamination_flags_exact_ngram_overlap(spark):
+    """Decontamination screen: only docs containing a verbatim 8-gram
+    from the benchmark are flagged, with exact distinct-overlap counts."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        contamination_flags,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text {leak} and some trailing words"),
+            (2, "completely unrelated content about spark partitions"),
+            (3, leak),  # exact benchmark sentence
+            (4, "the quick brown fox jumps over a sleepy dog tonight"),  # near miss
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in contamination_flags(docs, bench, n=8, min_hits=1).collect()
+    }
+    # leak has 10 words -> 3 distinct 8-grams, all present in docs 1 and 3
+    assert out == {1: 3, 3: 3}
+    # raising the threshold prunes partial overlaps
+    strict = {
+        r.doc_id
+        for r in contamination_flags(docs, bench, n=8, min_hits=4).collect()
+    }
+    assert strict == set()
