@@ -2016,11 +2016,14 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order, so any harness truncation falls on queries with
 # multi-round green history rather than the coverage-critical ones.
 _FRONT = [
+    # r06 new/reshaped surfaces first
+    "q56_range_join",
+    "q26b_simhash",
+    "q52_kg_paths",
     "q54_ivf_topk",
     "q55_curation_funnel",
     "q05_membership_filters",
     "q12_median_middle",
-    "q52_kg_paths",
     "q53_neardup_resolve",
     "q22_doc_profile",
     "q45_set_ops_attach",
