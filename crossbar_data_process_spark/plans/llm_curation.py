@@ -29,6 +29,7 @@ from crossbar_data_process_spark.functions.text import (
     token_count,
 )
 from crossbar_data_process_spark.operators.textdedup import (
+    contamination_flags,
     minhash_lsh_pairs,
     resolve_neardups,
 )
@@ -41,11 +42,19 @@ def curate_documents(
     min_quality: float = 0.4,
     languages: tuple[str, ...] = ("en",),
     neardup_threshold: float = 0.5,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 8,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
     for). Survivor choice is deterministic throughout: min id per exact
-    fingerprint, min id per near-dup cluster."""
+    fingerprint, min id per near-dup cluster.
+
+    With ``benchmark``, documents sharing any ``contamination_ngram``-gram
+    with the benchmark corpus are dropped after the quality gate (the
+    standard pretraining decontamination stage,
+    ``operators.textdedup.contamination_flags``); default off so the q55
+    oracle pipeline is unchanged."""
     profiled = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -57,7 +66,16 @@ def curate_documents(
     gated = profiled.filter(
         (F.col("quality") >= min_quality)
         & F.col("lang_detected").isin(*languages)
-    ).localCheckpoint(eager=False)  # consumed by exact dedup, LSH, and the join
+    )
+    if benchmark is not None:
+        flagged = contamination_flags(
+            gated, benchmark, text_col=text_col, id_col=id_col,
+            n=contamination_ngram,
+        )
+        gated = gated.join(flagged, id_col, "left_anti")
+    gated = gated.localCheckpoint(
+        eager=False
+    )  # consumed by exact dedup, LSH, and the join
 
     # exact dedup: keep the min-id row per fingerprint (row-level form of
     # dedup_exact's survivors)

@@ -63,3 +63,21 @@ def test_curation_is_single_lazy_plan_until_action(spark, corpus):
     # smoke: building the pipeline triggers no job until an action
     df = curate_documents(corpus)
     assert "doc_id" in df.columns and "cluster_size" in df.columns
+
+
+def test_curation_with_decontamination_stage(spark):
+    """Optional benchmark stage: contaminated docs are dropped after the
+    quality gate; with no benchmark the pipeline is byte-identical to the
+    oracled q55 form."""
+    from crossbar_data_process_spark.plans.llm_curation import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = curate_documents(docs)
+    # use one surviving doc's own text as the "benchmark": that doc (and
+    # any near-identical text) must disappear; others survive unchanged
+    leak_row = base.orderBy("doc_id").select("doc_id", "text").first()
+    bench = spark.createDataFrame([(leak_row.text,)], "text string")
+    decon = curate_documents(docs, benchmark=bench)
+    survivors = {r.doc_id for r in decon.select("doc_id").collect()}
+    assert leak_row.doc_id not in survivors
+    assert decon.count() < base.count()
