@@ -125,3 +125,41 @@ def session_counts(
             "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    before: str = "1 hour",
+    after: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join (streaming counterpart of
+    the batch as-of/range-join family, q48/q56): pair left rows with right
+    rows of the same ``key`` whose ``right_ts`` lies in
+    ``[left_ts - before, left_ts + after]``.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, which is exactly what Spark needs to EVICT join state: a
+    buffered row can be dropped once the other side's watermark passes its
+    interval — without the time-range condition, stream-stream join state
+    grows forever. Column names (other than ``key``) must be disjoint;
+    rename upstream.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(overlap)}; rename "
+            "one side first — the output carries both schemas"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
+    )
+    return l.join(r, cond).drop(r[key])

@@ -206,3 +206,65 @@ def test_session_window_matches_batch(spark, event_chunks_dir):
         assert 0 < len(streamed) < n_events
     finally:
         shutil.rmtree(one_file, ignore_errors=True)
+
+
+def test_stream_interval_join_matches_batch(spark, event_chunks_dir):
+    """Stream-stream interval join (purchases x errors per user within
+    +/-2h): replayed as single-file streams, the appended result equals
+    the batch interval join over the same data."""
+    from crossbar_data_process_spark.streaming.pipelines import (
+        stream_interval_join,
+    )
+
+    one_file = tempfile.mkdtemp(prefix="events_ssj_")
+    try:
+        spark.read.parquet(event_chunks_dir).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(one_file)
+
+        def split(df):
+            p = df.filter(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            e = df.filter(F.col("event_type") == "error").select(
+                "user_id",
+                F.col("ts").alias("e_ts"),
+                F.col("event_id").alias("e_id"),
+            )
+            return p, e
+
+        sp, se = split(stream_events(spark, one_file))
+        joined = stream_interval_join(
+            sp, se, key="user_id", left_ts="p_ts", right_ts="e_ts",
+            before="2 hours", after="2 hours", watermark="40 days",
+        ).select("user_id", "p_id", "e_id")
+        q = (
+            joined.writeStream.format("memory").queryName("ssj")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(timeout=120)
+        streamed = {tuple(r) for r in spark.table("ssj").collect()}
+
+        bp, be = split(spark.read.parquet(one_file))
+        batch = bp.join(
+            be,
+            (bp.user_id == be.user_id)
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 hours"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 2 hours")),
+        ).select(bp.user_id, "p_id", "e_id")
+        expected = {tuple(r) for r in batch.collect()}
+        assert streamed == expected and len(expected) > 0
+    finally:
+        shutil.rmtree(one_file, ignore_errors=True)
+
+
+def test_stream_interval_join_rejects_column_overlap(spark, event_chunks_dir):
+    from crossbar_data_process_spark.streaming.pipelines import (
+        stream_interval_join,
+    )
+
+    s = stream_events(spark, event_chunks_dir)
+    with pytest.raises(ValueError, match="share non-key columns"):
+        stream_interval_join(s, s, key="user_id", left_ts="ts", right_ts="ts")
