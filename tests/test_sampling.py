@@ -1,0 +1,71 @@
+"""Deterministic sampling (operators/sampling.py): reproducible across
+runs AND partitionings — the property df.sample() cannot give."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.sampling import (
+    deterministic_sample,
+    source_mix,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_sample_is_deterministic_and_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    b = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    c = {
+        r.doc_id
+        for r in deterministic_sample(d.repartition(7), 0.3, "doc_id").collect()
+    }
+    assert a == b == c  # same draw every run, any partitioning
+    n = d.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # fraction is honored statistically
+
+
+def test_sample_is_nested_and_salt_independent(spark):
+    d = _docs(spark)
+    k30 = {r.doc_id for r in deterministic_sample(d, 0.3, "doc_id").collect()}
+    k10 = {r.doc_id for r in deterministic_sample(d, 0.1, "doc_id").collect()}
+    assert k10 < k30  # smaller fraction = strict subset (same hash order)
+    other = {
+        r.doc_id
+        for r in deterministic_sample(d, 0.3, "doc_id", salt="other").collect()
+    }
+    assert other != k30  # different salt draws an independent sample
+
+
+def test_sample_rejects_bad_fraction(spark):
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(_docs(spark), 1.5, "doc_id")
+
+
+def test_source_mix_is_a_weighted_whitelist(spark):
+    d = _docs(spark)
+    sources = [r[0] for r in d.select("source").distinct().collect()]
+    assert len(sources) >= 2, sources
+    keep_full, keep_frac = sources[0], sources[1]
+    mixed = source_mix(d, {keep_full: 1.0, keep_frac: 0.2})
+    out = mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    got = {r.source: r.n for r in out.collect()}
+    base = {
+        r.source: r.n
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(got) == {keep_full, keep_frac}  # others dropped (whitelist)
+    assert got[keep_full] == base[keep_full]  # weight 1.0 keeps everything
+    assert 0 < got[keep_frac] < base[keep_frac]  # 0.2 really downsamples
+    # scan-side: no shuffle in the sampling filter itself
+    plan = (
+        source_mix(d, {keep_full: 1.0})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
