@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     # r04 additions
     "q54_ivf_topk",
     "q55_curation_funnel",
+    # r06 addition: bucketed range join, benchmarked from day one
+    "q56_range_join",
 ]
 
 
