@@ -1,5 +1,6 @@
-"""Bucketed range join (engine extension; SURVEY §2.3 time-series family —
-as-of joins are q48, this is the interval cousin).
+"""Time-series joins (engine extension; SURVEY §2.3 family): the bucketed
+point-in-interval range join, and the generalized backward as-of join
+(:func:`asof_join` — q48 is its single-table oracled form).
 
 Spark plans a plain ``point BETWEEN lo AND hi`` join as a
 BroadcastNestedLoopJoin (small side) or a cartesian (neither side small) —
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _BUCKET = "__rj_bucket"
 
@@ -102,3 +104,73 @@ def bucketed_range_join(
         & (F.col(point_col) <= F.col(hi_col))
     )
     return p.join(iv, cond, how).drop(_BUCKET, iv_bucket)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    allow_exact: bool = False,
+) -> DataFrame:
+    """Backward as-of join (time-series family, the generalized form of the
+    oracled q48): for every ``left`` row, attach ``value_cols`` (and the
+    match time, as ``matched_<right_ts>``) from the LATEST ``right`` row of
+    the same ``by`` key with ``right_ts < left_ts`` (``<=`` when
+    ``allow_exact``). Unmatched left rows keep NULLs — left rows are never
+    dropped.
+
+    Plan shape — the shuffle-once union+window pattern, not a join: both
+    sides union into one frame, ONE shuffle on ``by`` sorts each key's
+    timeline, and a last-non-null window propagates the most recent right
+    values to each left row. A naive formulation (range join on
+    ``right_ts < left_ts`` + keep-latest) is O(n·m) comparisons per key
+    and a second aggregation; this is O((n+m) log(n+m)) per key and one
+    exchange. Equal-timestamp ties among MULTIPLE right rows are broken by
+    the last in (ts, value) sort order; give ``right`` unique
+    (by, right_ts) rows for fully defined semantics.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {by}
+    if overlap:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(overlap)}; rename "
+            "one side first"
+        )
+    matched_ts = f"matched_{right_ts}"
+    # right rows sort BEFORE the left row at equal ts iff exact matches
+    # count; the window ends at -1 (strictly preceding rows) either way
+    right_tie = 0 if allow_exact else 2
+    l = left.select(
+        "*",
+        F.lit(1).alias("__tie"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r = right.select(
+        F.col(by),
+        F.lit(right_tie).alias("__tie"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    combined = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__ts", "__tie", *[f"__v_{c}" for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = combined.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+        F.last("__rts", ignorenulls=True).over(w).alias(matched_ts),
+    )
+    return (
+        out.filter(F.col("__tie") == 1)
+        .drop("__tie", "__ts", "__rts", *[f"__v_{c}" for c in value_cols])
+    )

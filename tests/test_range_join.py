@@ -119,3 +119,67 @@ def test_property_matches_naive(spark, pts, ivs, width):
         for r in bucketed_range_join(p, iv, "v", "lo", "hi", width).collect()
     )
     assert got == sorted(_naive(pts, ivs))
+
+
+# ---------- generalized backward as-of join (union + window, one shuffle)
+
+
+def _naive_asof(lefts, rights, allow_exact):
+    """Per-row reference: latest right (ts, value) strictly before (or at,
+    when allow_exact) each left ts, same key."""
+    out = {}
+    for lid, key, lts in lefts:
+        best = None
+        for rkey, rts, val in rights:
+            if rkey != key:
+                continue
+            if rts < lts or (allow_exact and rts == lts):
+                if best is None or rts > best[0]:
+                    best = (rts, val)
+        out[lid] = best
+    return out
+
+
+@pytest.mark.parametrize("allow_exact", [False, True])
+def test_asof_join_matches_naive(spark, allow_exact):
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    lefts = [  # (lid, key, ts)
+        (1, "u1", 10.0), (2, "u1", 20.0), (3, "u1", 5.0),
+        (4, "u2", 10.0), (5, "u3", 50.0),  # u3 has no right rows
+        (6, "u1", 15.0),
+    ]
+    rights = [  # (key, ts, value)
+        ("u1", 5.0, 100.0), ("u1", 15.0, 200.0), ("u2", 10.0, 300.0),
+        ("u2", 2.0, 400.0),
+    ]
+    ldf = spark.createDataFrame(lefts, "lid long, key string, lts double")
+    rdf = spark.createDataFrame(rights, "key string, rts double, val double")
+    got = {
+        r.lid: (r.matched_rts, r.val)
+        for r in asof_join(
+            ldf, rdf, by="key", left_ts="lts", right_ts="rts",
+            value_cols=["val"], allow_exact=allow_exact,
+        ).collect()
+    }
+    expect = _naive_asof(lefts, rights, allow_exact)
+    assert set(got) == set(expect)  # every left row survives
+    for lid, best in expect.items():
+        assert got[lid] == (best if best else (None, None)), (lid, allow_exact)
+
+
+def test_asof_join_single_shuffle_no_join_operator(spark):
+    """The claimed plan: union + one window exchange on the key — no join
+    node at all."""
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    ldf = spark.createDataFrame([(1, "a", 1.0)], "lid long, key string, lts double")
+    rdf = spark.createDataFrame([("a", 0.5, 9.0)], "key string, rts double, val double")
+    plan = (
+        asof_join(ldf, rdf, "key", "lts", "rts", ["val"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert plan.count("Exchange hashpartitioning") == 1
