@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 _BUCKET = "__rj_bucket"
@@ -128,9 +129,12 @@ def asof_join(
     values to each left row. A naive formulation (range join on
     ``right_ts < left_ts`` + keep-latest) is O(n·m) comparisons per key
     and a second aggregation; this is O((n+m) log(n+m)) per key and one
-    exchange. Equal-timestamp ties among MULTIPLE right rows are broken by
-    the last in (ts, value) sort order; give ``right`` unique
-    (by, right_ts) rows for fully defined semantics.
+    exchange. All value columns + the match time travel in ONE struct, so
+    they always come from the SAME right row. Equal-timestamp ties among
+    MULTIPLE right rows are broken by the last in (ts, values) struct sort
+    order; give ``right`` unique (by, right_ts) rows for fully defined
+    semantics. Right rows with NULL ``right_ts`` are dropped (the as-of
+    predicate is unknowable for them).
     """
     overlap = (set(left.columns) & set(right.columns)) - {by}
     if overlap:
@@ -139,38 +143,61 @@ def asof_join(
             "one side first"
         )
     matched_ts = f"matched_{right_ts}"
+    internal = {"__tie", "__ts", "__pack", "__last"}
+    reserved = (set(left.columns) | set(right.columns)) & (
+        internal | {matched_ts}
+    )
+    if reserved:
+        raise ValueError(
+            f"input columns {sorted(reserved)} collide with asof_join's "
+            "internal/output names; rename them first"
+        )
+    if "__mts" in value_cols:
+        raise ValueError("value column '__mts' collides with the internal "
+                         "match-timestamp field; rename it first")
     # right rows sort BEFORE the left row at equal ts iff exact matches
     # count; the window ends at -1 (strictly preceding rows) either way
     right_tie = 0 if allow_exact else 2
+    # ONE struct carries all value columns + the match timestamp, so a
+    # single last(ignorenulls) picks ONE right row atomically — per-column
+    # windows could mix values from different right rows whenever the
+    # latest preceding row holds a NULL in some value column.
+    pack_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [T.StructField("__mts", right.schema[right_ts].dataType)]
+    )
     l = left.select(
         "*",
         F.lit(1).alias("__tie"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).alias(f"__v_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        F.lit(None).cast(pack_type).alias("__pack"),
     )
-    r = right.select(
+    # NULL right_ts rows would sort NULLS FIRST (i.e. before every left
+    # row) and propagate values despite the as-of predicate being
+    # unknowable for them — drop them up front.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(by),
         F.lit(right_tie).alias("__tie"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("__mts"),
+        ).alias("__pack"),
     )
     combined = l.unionByName(r, allowMissingColumns=True)
+    # struct ordering (field-by-field) deterministically breaks ties among
+    # multiple right rows at the same ts; left rows' NULL packs are
+    # skipped by ignorenulls so their relative order is irrelevant
     w = (
         Window.partitionBy(by)
-        .orderBy("__ts", "__tie", *[f"__v_{c}" for c in value_cols])
+        .orderBy("__ts", "__tie", "__pack")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = combined.select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias(matched_ts),
+    out = combined.withColumn(
+        "__last", F.last("__pack", ignorenulls=True).over(w)
     )
-    return (
-        out.filter(F.col("__tie") == 1)
-        .drop("__tie", "__ts", "__rts", *[f"__v_{c}" for c in value_cols])
+    return out.filter(F.col("__tie") == 1).select(
+        *left.columns,
+        *[F.col(f"__last.{c}").alias(c) for c in value_cols],
+        F.col("__last.__mts").alias(matched_ts),
     )

@@ -26,9 +26,16 @@ _BUCKETS = 1_000_000
 def _bucket(key: Column, salt: str) -> Column:
     """Stable per-row bucket in [0, 1e6): 32-bit md5 prefix of (salt, key)
     — md5, not xxhash, so any engine can reproduce the draw (same trick as
-    the MinHash/SimHash oracles)."""
+    the MinHash/SimHash oracles). NULL keys are coalesced to a sentinel
+    BEFORE hashing: ``concat_ws`` silently drops NULL arguments, which
+    would collapse every NULL-key row into the single bucket of the bare
+    salt string — the whole NULL population kept or dropped as one block.
+    The sentinel keeps the draw well-defined (all NULL keys still share
+    one bucket, as equal keys must) while making that behavior explicit
+    and collision-free with any real string key."""
+    safe_key = F.coalesce(key.cast("string"), F.lit("\x00__null_key__"))
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), key.cast("string"))), 1, 8),
+        F.substring(F.md5(F.concat_ws("\x1f", F.lit(salt), safe_key)), 1, 8),
         16,
         10,
     ).cast("long")

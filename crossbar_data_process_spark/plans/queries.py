@@ -1198,6 +1198,9 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk_assigned (probe join keys on the partition column, so the
     scan is dynamically pruned to the probed lists). nprobe == nlist makes
     it exactly brute-force, hash-checked against the same oracle as q27."""
+    import atexit
+    import os
+    import shutil
     import tempfile
 
     from crossbar_data_process_spark.operators.ivf import (
@@ -1212,7 +1215,13 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 — testdata schemas drift between rounds (the r5 events lesson)
     dim = e.select(F.size("embedding")).first()[0]
     cents = ivf_fit(e, dim=dim, nlist=8, iters=2)
-    silver = tempfile.mkdtemp(prefix="ivf_silver_q54_")
+    # ONE pid-scoped silver dir reused (overwrite) across invocations —
+    # repeated bench/correctness runs must not accumulate corpus copies in
+    # /tmp — and removed at interpreter exit.
+    silver = os.path.join(
+        tempfile.gettempdir(), f"ivf_silver_q54_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, silver, ignore_errors=True)
     write_assigned_corpus(e, cents, silver)
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
     return out.select(

@@ -183,3 +183,56 @@ def test_asof_join_single_shuffle_no_join_operator(spark):
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_value_cols_come_from_one_row(spark):
+    """All value columns + matched_ts must come from the SAME right row:
+    a NULL in one value column of the latest preceding right row must NOT
+    be backfilled from an older row (per-column windows would mix rows)."""
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    ldf = spark.createDataFrame([(1, "a", 10.0)], "lid long, key string, lts double")
+    rdf = spark.createDataFrame(
+        [("a", 1.0, 100.0, "old"), ("a", 5.0, None, "new")],
+        "key string, rts double, x double, tag string",
+    )
+    row = asof_join(
+        ldf, rdf, by="key", left_ts="lts", right_ts="rts",
+        value_cols=["x", "tag"],
+    ).collect()[0]
+    # latest preceding row is (5.0, NULL, 'new') — taken atomically
+    assert row.matched_rts == 5.0
+    assert row.x is None
+    assert row.tag == "new"
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """Right rows with NULL right_ts are unknowable under the as-of
+    predicate: they must never match (previously NULLS FIRST ordering made
+    them propagate to every left row)."""
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    ldf = spark.createDataFrame([(1, "a", 10.0)], "lid long, key string, lts double")
+    rdf = spark.createDataFrame(
+        [("a", None, 999.0)], "key string, rts double, val double"
+    )
+    row = asof_join(
+        ldf, rdf, by="key", left_ts="lts", right_ts="rts", value_cols=["val"]
+    ).collect()[0]
+    assert row.val is None and row.matched_rts is None
+
+
+def test_asof_join_rejects_reserved_column_names(spark):
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    rdf = spark.createDataFrame([("a", 1.0, 2.0)], "key string, rts double, val double")
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0, 0)], "lid long, key string, lts double, __ts int"
+    )
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(bad, rdf, "key", "lts", "rts", ["val"])
+    clash = spark.createDataFrame(
+        [(1, "a", 1.0, 0.0)], "lid long, key string, lts double, matched_rts double"
+    )
+    with pytest.raises(ValueError, match="internal"):
+        asof_join(clash, rdf, "key", "lts", "rts", ["val"])

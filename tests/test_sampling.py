@@ -69,3 +69,23 @@ def test_source_mix_is_a_weighted_whitelist(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_null_keys_hash_to_sentinel_not_bare_salt(spark):
+    """NULL keys are coalesced to a sentinel before hashing: they share ONE
+    bucket (equal keys must draw identically) but that bucket must differ
+    from the bare-salt string's and from any real key's."""
+    from crossbar_data_process_spark.operators.sampling import _bucket
+
+    d = spark.createDataFrame(
+        [(None,), ("",), ("\x00__null_key__",)], "k string"
+    ).select(_bucket(F.col("k"), "mix").alias("b"))
+    null_b, empty_b, sentinel_b = [r.b for r in d.collect()]
+    assert null_b is not None  # never the concat_ws-dropped bare salt
+    assert null_b == sentinel_b  # documented: NULL == the sentinel literal
+    assert null_b != empty_b  # distinct from the empty string key
+    # and the sampling decision is well-defined (kept under a high enough
+    # fraction, deterministically)
+    nd = spark.createDataFrame([(None, 1), (None, 2)], "k string, v int")
+    kept = deterministic_sample(nd, 1.0, "k").count()
+    assert kept == 2
