@@ -757,6 +757,16 @@ def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The DECLARED form carries the stop-shingle cap (max_doc_freq=20): shingles
+# in more than 20 documents are dropped from candidate generation AND the
+# intersection count (jaccard becomes a lower bound — |A|,|B| stay full-size).
+# A constant cap bounds candidate volume to Σ_{df≤τ} df² ≤ τ·|index|, i.e.
+# LINEAR in corpus size — the unbounded exact form measured slope 41 on the
+# 10× sf1 probe (Σdf² grows quadratically in duplicate density) and survives
+# only as the test-side recall oracle (max_doc_freq=None, the operator
+# default). τ=20 ≈ the 99.9th-percentile doc-frequency at sf0.1 (max 25), so
+# at the sf0.01 correctness gate (max df 7) the cap is exercised-but-no-op
+# and the oracle pins identical semantics by implementing the same df filter.
 @query(
     "q25_ngram_jaccard",
     """
@@ -768,7 +778,10 @@ sh AS (
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                                       i -> array_to_string(t[i:i+2], ' '))) AS s
   FROM toks),
-ex AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS tok FROM sh),
+ex0 AS (SELECT doc_id, len(s) AS nsh, unnest(s) AS tok FROM sh),
+df AS (SELECT tok, COUNT(*) AS c FROM ex0 GROUP BY tok),
+ex AS (SELECT e.doc_id, e.nsh, e.tok
+       FROM ex0 e JOIN df ON e.tok = df.tok WHERE df.c <= 20),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.nsh AS na, b.nsh AS nb,
          COUNT(*) AS i
@@ -780,7 +793,7 @@ FROM pairs WHERE round(i * 1.0 / (na + nb - i), 6) >= 0.5
 )
 def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=20)
 
 
 # MinHash-LSH oracle: the whole pipeline is deterministic md5 + LCG

@@ -256,3 +256,51 @@ def test_contamination_flags_exact_ngram_overlap(spark):
         for r in contamination_flags(docs, bench, n=8, min_hits=4).collect()
     }
     assert strict == set()
+
+
+def test_ngram_max_doc_freq_cap_semantics(spark):
+    """The stop-shingle cap (the declared q25 form): shingles in more than
+    max_doc_freq docs are dropped from candidate generation AND the
+    intersection count, so (a) pairs similar ONLY through ultra-common
+    shingles vanish, (b) surviving pairs report a lower-bound jaccard with
+    full-size |A|,|B| denominators, and (c) a cap above every df is a
+    no-op (exactly how the sf0.01 oracle gate exercises it)."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        ngram_jaccard_pairs,
+    )
+
+    common = "the quick brown fox jumps"  # shared by ALL docs -> df = 4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} alpha beta gamma delta"),
+            (2, f"{common} alpha beta gamma epsilon"),
+            (3, f"{common} zeta eta theta iota"),
+            (4, f"{common} kappa mu nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.01, max_doc_freq=3
+        ).collect()
+    }
+    # every pair shares the common prefix -> all 6 pairs exact
+    assert len(exact) == 6
+    # capped: prefix shingles (df=4 > 3) are dropped; only (1,2) still
+    # share rare shingles ("alpha beta gamma", boundary shingles)
+    assert set(capped) == {(1, 2)}
+    # lower bound: capped intersection over FULL union denominators
+    assert capped[(1, 2)] < exact[(1, 2)]
+    # cap above max df == exact semantics, bit-for-bit
+    loose = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.01, max_doc_freq=100
+        ).collect()
+    }
+    assert loose == exact
