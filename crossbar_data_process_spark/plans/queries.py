@@ -467,28 +467,53 @@ def q14_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------- F4/F5/F6 id surgery: CURIE build, sanitize, last-segment
-@query(
-    "q15_curie_ids",
-    """
+# ----------------- F4/F5/F6 id surgery: CURIE build, sanitize, last-segment,
+# bioregistry-style prefix canonicalization. The alias list deliberately
+# mixes case and alias/canonical forms; the oracle computes the expected
+# canonical per alias through the SAME Python table
+# (functions.ids.PREFIX_ALIASES), so Spark's in-plan literal-map lookup and
+# the SQL expectation can never drift.
+_Q15_RAW_PREFIXES = ["UniProt", "GENEID", "MIM", "supplier"]
+
+
+def _q15_oracle() -> str:
+    from crossbar_data_process_spark.functions.ids import PREFIX_ALIASES
+
+    case = " ".join(
+        f"WHEN {i} THEN '{PREFIX_ALIASES.get(p.lower(), p.lower())}'"
+        for i, p in enumerate(_Q15_RAW_PREFIXES)
+    )
+    return f"""
 SELECT s_suppkey,
        'supplier:' || s_suppkey AS curie,
+       (CASE s_suppkey % {len(_Q15_RAW_PREFIXES)} {case} END)
+         || ':' || s_suppkey AS curie_norm,
        translate(upper(s_name), '''|', '^,') AS name_clean,
        (string_split(s_name, '#'))[-1] AS local_id
 FROM supplier
-""",
-)
+"""
+
+
+@query("q15_curie_ids", _q15_oracle())
 def q15_curie_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.functions.ids import (
         add_curie_prefix,
+        normalize_curie,
         sanitize_graph_chars,
         strip_prefix,
     )
 
     s = _t(spark, sf_dir, "supplier")
+    raw_prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _Q15_RAW_PREFIXES]),
+        (F.pmod(F.col("s_suppkey"), F.lit(len(_Q15_RAW_PREFIXES))) + 1).cast("int"),
+    )
     return s.select(
         "s_suppkey",
         add_curie_prefix(F.col("s_suppkey").cast("string"), "supplier").alias("curie"),
+        normalize_curie(
+            F.concat_ws(":", raw_prefix, F.col("s_suppkey").cast("string"))
+        ).alias("curie_norm"),
         sanitize_graph_chars(F.upper(F.col("s_name"))).alias("name_clean"),
         strip_prefix("s_name", "#").alias("local_id"),
     )
