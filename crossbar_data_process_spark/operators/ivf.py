@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.similarity import cosine, dot, norm
 from crossbar_data_process_spark.operators.topk import top_k_per_group
 
@@ -87,9 +88,9 @@ def ivf_fit(
     train = vectors
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=42)
-    train = _unit(train, vec_col, "__u").select(
-        F.col(id_col).alias("__id"), "__u"
-    ).localCheckpoint(eager=False)  # consumed once per iteration
+    train = materialize(
+        _unit(train, vec_col, "__u").select(F.col(id_col).alias("__id"), "__u")
+    )  # consumed once per iteration
 
     seed_rows = (
         train.orderBy(F.md5(F.col("__id").cast("string")))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crossbar_data_process_spark.functions.text import doc_fingerprint, tokens
+from crossbar_data_process_spark.operators.materialize import materialize
 
 # deterministic odd constants for the MinHash permutation family
 # h_i(x) = (A_i * x + B_i) mod P  over 32-bit md5-derived shingle hashes.
@@ -162,25 +163,25 @@ def ngram_jaccard_pairs(
     semantics, used as the MinHash-LSH recall oracle.
     """
     idx = _shingle_index(docs, text_col, id_col, n)
-    # materialized via non-eager localCheckpoint rather than persist():
-    # same multi-consumer reuse, but the blocks are owned by the RDD and
-    # released by the ContextCleaner when the plan is GC'd — persist() pins
-    # entries in the CacheManager until an explicit unpersist that a
-    # returned-DataFrame operator has no safe place to issue (ADVICE r01).
+    # materialized via operators.materialize (non-eager localCheckpoint +
+    # bounded accumulator pin — see that module's docstring) rather than
+    # persist(): same multi-consumer reuse, but the blocks are owned by the
+    # RDD and released by the ContextCleaner when the plan is GC'd —
+    # persist() pins entries in the CacheManager until an explicit
+    # unpersist that a returned-DataFrame operator has no safe place to
+    # issue (ADVICE r01).
     # Trade: lineage is truncated, so executor loss means job retry instead
     # of recompute — at production scale this intermediate is a silver
     # table on disk anyway (see _shingle_index docstring).
-    ex = idx.select("doc", "nsh", F.explode("sh").alias("s")).localCheckpoint(
-        eager=False
-    )
+    ex = materialize(idx.select("doc", "nsh", F.explode("sh").alias("s")))
     if max_doc_freq is not None:
         freq_w = Window.partitionBy("s")
         ex = (
             ex.withColumn("__df", F.count(F.lit(1)).over(freq_w))
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
-            .localCheckpoint(eager=False)
         )
+        ex = materialize(ex)
     a = ex.alias("a")
     b = ex.alias("b")
     # shuffle-hash, not broadcast: the exploded index is corpus-sized — a
@@ -284,9 +285,7 @@ def minhash_lsh_pairs(
     # ONE shingle pass feeds both the signature path and the exact-Jaccard
     # verify (r02 computed the index twice — a second full tokenize+shingle
     # scan of the corpus). GC-managed materialization, multi-consumer.
-    idx = _shingle_index(docs, text_col, id_col, n).localCheckpoint(
-        eager=False
-    )
+    idx = materialize(_shingle_index(docs, text_col, id_col, n))
     sigs = _signatures_from_index(idx, num_hashes)
     band_arr = F.array(
         *[
@@ -300,7 +299,8 @@ def minhash_lsh_pairs(
     # GC-managed materialization — see the ngram_jaccard_pairs comment
     buckets = sigs.select("doc", F.explode(band_arr).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).localCheckpoint(eager=False)
+    )
+    buckets = materialize(buckets)
     if max_bucket_size is not None:
         # one count per (band, key) over a window — same partitioning as
         # the self-join shuffle, so the cap costs no extra exchange shape
@@ -374,7 +374,7 @@ def resolve_neardups(
     # (e.g. the whole MinHash-LSH pipeline) would be re-executed every
     # round — measured 10× the total runtime at sf0.1. GC-managed
     # localCheckpoint, same policy as the LSH intermediates above.
-    pairs = pairs.select(a_col, b_col).localCheckpoint(eager=False)
+    pairs = materialize(pairs.select(a_col, b_col))
     nodes = (
         pairs.select(F.col(a_col).alias("id"))
         .unionByName(pairs.select(F.col(b_col).alias("id")))
@@ -465,7 +465,7 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} must divide evenly into {bands} bands")
     w = bits // bands
     mask = (1 << w) - 1
-    sigs = simhash(docs, text_col, id_col, bits).localCheckpoint(eager=False)
+    sigs = materialize(simhash(docs, text_col, id_col, bits))
     chunk_arr = F.array(
         *[
             F.struct(

@@ -28,6 +28,7 @@ from crossbar_data_process_spark.functions.text import (
     quality_score,
     token_count,
 )
+from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.textdedup import (
     contamination_flags,
     minhash_lsh_pairs,
@@ -73,9 +74,7 @@ def curate_documents(
             n=contamination_ngram,
         )
         gated = gated.join(flagged, id_col, "left_anti")
-    gated = gated.localCheckpoint(
-        eager=False
-    )  # consumed by exact dedup, LSH, and the join
+    gated = materialize(gated)  # consumed by exact dedup, LSH, and the join
 
     # exact dedup: keep the min-id row per fingerprint (row-level form of
     # dedup_exact's survivors)
@@ -84,8 +83,10 @@ def curate_documents(
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "fp")
-        .localCheckpoint(eager=False)  # consumed by LSH and the final join
     )
+    exact_survivors = materialize(
+        exact_survivors
+    )  # consumed by LSH and the final join
 
     pairs = minhash_lsh_pairs(
         exact_survivors,

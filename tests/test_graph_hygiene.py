@@ -144,7 +144,11 @@ def test_textdedup_caches_released_after_gc(spark):
     """ngram/minhash near-dup intermediates must not pin storage for the
     session lifetime (ADVICE r01): materialization goes through non-eager
     localCheckpoint, whose blocks the ContextCleaner frees once the plan is
-    garbage-collected."""
+    garbage-collected. Since r07 a BOUNDED pin (operators/materialize.py,
+    maxlen=8) holds the most recent pre-checkpoint plans so their SQLMetric
+    accumulators survive late task completions (the BENCH_r06 noise fix) —
+    eviction-or-flush, then GC, must still release everything."""
+    from crossbar_data_process_spark.operators.materialize import flush_pins
     from crossbar_data_process_spark.operators.textdedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
@@ -161,4 +165,5 @@ def test_textdedup_caches_released_after_gc(spark):
     out2 = minhash_lsh_pairs(docs, threshold=0.2)
     out2.count()
     del out, out2
+    flush_pins()
     assert _settled_storage_delta(spark, before) <= 0
