@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "q55_curation_funnel",
     # r06 addition: bucketed range join, benchmarked from day one
     "q56_range_join",
+    # r07 addition: two-table as-of join (q44_rollup's folded slot),
+    # benchmarked from day one
+    "q57_asof_two_table",
 ]
 
 
@@ -1949,27 +1952,54 @@ def q43_ddi_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("source", F.array_join("source", "|"))
 
 
-# ---------------- grouping sets / rollup (free Spark built-in, SURVEY §2.4)
+# ---------------- generalized TWO-TABLE backward as-of join
+# (operators/rangejoin.asof_join — q48 oracles the single-table window
+# form; this row oracles the true two-table operator against DuckDB's
+# native ASOF LEFT JOIN, a fully independent implementation). Replaced
+# q44_rollup in the 50-slot registry (r07; rollup() is a thin Spark
+# built-in, now pinned by tests/test_operator_properties.py instead —
+# see REGISTRY.md fold history). Right side is deduped to one row per
+# (key, ts) so tie semantics are fully defined in both engines.
 @query(
-    "q44_rollup",
-    f"""
-SELECT r_name, n_name, COUNT(*) AS n, {_dsum_sql('c_acctbal')} AS total_bal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP(r_name, n_name)
+    "q57_asof_two_table",
+    """
+WITH r AS (
+  SELECT user_id, ts AS rts, max(value) AS ev_value,
+         max(event_type) AS ev_type
+  FROM events GROUP BY user_id, ts)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+       round(ev_value, 6) AS ev_value, ev_type,
+       strftime(rts, '%Y-%m-%d %H:%M:%S') AS matched_ts
+FROM orders ASOF LEFT JOIN r
+  ON o_custkey = r.user_id AND r.rts < o_orderdate
 """,
 )
-def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
+def q57_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.rangejoin import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("o_custkey"), F.col("ts").alias("rts"))
         .agg(
-            F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("total_bal")
+            F.max("value").alias("ev_value"),
+            F.max("event_type").alias("ev_type"),
         )
+    )
+    out = asof_join(
+        o, ev, by="o_custkey", left_ts="o_orderdate", right_ts="rts",
+        value_cols=["ev_value", "ev_type"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        F.round("ev_value", 6).alias("ev_value"),
+        "ev_type",
+        F.date_format("matched_rts", "yyyy-MM-dd HH:mm:ss").alias("matched_ts"),
     )
 
 
@@ -2053,19 +2083,20 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registration-order defense + registry discipline. The driver records
-# CORRECTNESS rows for AT MOST the first 50 registered queries (observed in
-# r02: the rest were silently skipped), so the declared set must stay at
-# EXACTLY 50 — to add a query, FOLD two redundant rows into one (precedent:
-# r03 q22/q45 folds, r04 q05+q06 → q05_membership_filters and q12+q13 →
-# q12_median_middle making room for q54/q55, r06 q19 folded out for
-# q56_range_join with unions still oracled via q09/q40) — never append
-# past 50.
+# CORRECTNESS rows for AT MOST the first 50 registered queries, so the
+# declared set stays at EXACTLY 50 — to add a query, FOLD a redundant row
+# out. The full fold history and rationale live in REGISTRY.md (the single
+# source of truth; COVERAGE.md and this comment only point there).
 # `tests/test_plan_shapes.py::test_registry_is_exactly_fifty` pins the count.
-# On top of that, the newest/reshaped surfaces are moved to the FRONT of the
-# registration order, so any harness truncation falls on queries with
-# multi-round green history rather than the coverage-critical ones.
+# The newest/reshaped surfaces are moved to the FRONT of the registration
+# order, so any harness truncation falls on queries with multi-round green
+# history rather than the coverage-critical ones.
 _FRONT = [
-    # r06 new/reshaped surfaces first
+    # r07 new/reshaped surfaces first
+    "q57_asof_two_table",
+    "q25_ngram_jaccard",
+    "q15_curie_ids",
+    # r06 new/reshaped surfaces
     "q56_range_join",
     "q26b_simhash",
     "q52_kg_paths",

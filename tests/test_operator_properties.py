@@ -125,3 +125,25 @@ def test_tf_effect_resolve_matches_reference_ladder(spark, effects):
     else:
         expected = None
     assert out == expected
+
+
+def test_rollup_matches_union_of_groupings(spark):
+    """rollup() (the former q44 registry row, folded out in r07 for the
+    two-table as-of join — REGISTRY.md): ROLLUP(a, b) must equal the union
+    of the (a,b), (a), and () groupings, with NULL filling rolled-up keys."""
+    s = _spark()
+    df = s.createDataFrame(
+        [("r1", "n1", 1.0), ("r1", "n2", 2.0), ("r2", "n3", 4.0)],
+        "r string, n string, bal double",
+    )
+    got = {
+        (x.r, x.n): (x.cnt, x.total)
+        for x in df.rollup("r", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bal").alias("total"))
+        .collect()
+    }
+    assert got == {
+        ("r1", "n1"): (1, 1.0), ("r1", "n2"): (1, 2.0), ("r2", "n3"): (1, 4.0),
+        ("r1", None): (2, 3.0), ("r2", None): (1, 4.0),
+        (None, None): (3, 7.0),
+    }
