@@ -163,3 +163,34 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after}"))
     )
     return l.join(r, cond).drop(r[key])
+
+
+def idempotent_gold_writer(path: str, partition_col: str = "__batch_id"):
+    """`foreachBatch` sink with exactly-once GOLD semantics under replay.
+
+    Structured Streaming guarantees at-least-once `foreachBatch` delivery:
+    after a crash between "batch written" and "offsets committed", the SAME
+    (batch_df, batch_id) is re-invoked on restart. A blind append would
+    duplicate that batch in gold. This writer makes the replay a no-op by
+    construction: every batch writes into its own ``partition_col=batch_id``
+    partition with DYNAMIC partition overwrite, so re-processing batch N
+    atomically replaces exactly partition N and never touches other
+    batches — deterministic overwrite, not append, is what turns
+    at-least-once delivery into an exactly-once table.
+
+    Scale shape: one partition directory per micro-batch, no global
+    rewrite; readers prune ``partition_col`` away (or aggregate across it).
+
+    Use: ``stream.writeStream.foreachBatch(idempotent_gold_writer(path))``.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(partition_col, F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return _write

@@ -268,3 +268,62 @@ def test_stream_interval_join_rejects_column_overlap(spark, event_chunks_dir):
     s = stream_events(spark, event_chunks_dir)
     with pytest.raises(ValueError, match="share non-key columns"):
         stream_interval_join(s, s, key="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_gold_writes_idempotent_under_retrigger(spark, event_chunks_dir):
+    """Exactly-once gold under foreachBatch replay (VERDICT r6 #5): after a
+    crash between batch-write and offset-commit, Structured Streaming
+    re-invokes foreachBatch with the SAME (batch_df, batch_id). The
+    idempotent writer must make that replay a no-op: re-running micro-
+    batches leaves the gold table byte-identical (row set + per-batch
+    partition content), proving deterministic overwrite, not append."""
+    from crossbar_data_process_spark.streaming.pipelines import (
+        idempotent_gold_writer,
+    )
+
+    gold = tempfile.mkdtemp(prefix="gold_idem_")
+    ckpt = tempfile.mkdtemp(prefix="gold_ckpt_")
+    try:
+        replayed = {}
+
+        writer = idempotent_gold_writer(gold)
+
+        def capture_and_write(batch_df, batch_id):
+            # keep a materialized copy so the retrigger below replays the
+            # exact same content the stream delivered
+            replayed[batch_id] = batch_df.collect()
+            writer(batch_df, batch_id)
+
+        stream = stream_events(spark, event_chunks_dir)
+        deduped = streaming_dedup(stream, watermark="1 hour")
+        q = (
+            deduped.writeStream.foreachBatch(capture_and_write)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        assert len(replayed) >= 2  # multiple micro-batches actually ran
+
+        def snapshot():
+            rows = spark.read.parquet(gold).collect()
+            return sorted(
+                tuple(r[c] for c in sorted(r.asDict()))
+                for r in rows
+            )
+
+        before = snapshot()
+        assert len(before) > 0
+
+        # simulate the crash-replay: re-run EVERY micro-batch, twice, out
+        # of order, through a fresh writer instance (a restarted driver)
+        rewriter = idempotent_gold_writer(gold)
+        for _ in range(2):
+            for bid in sorted(replayed, reverse=True):
+                df = spark.createDataFrame(replayed[bid], deduped.schema)
+                rewriter(df, bid)
+
+        assert snapshot() == before  # gold unchanged: replay is a no-op
+    finally:
+        shutil.rmtree(gold, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
