@@ -29,15 +29,17 @@ import duckdb
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sfprobe_sf1"
+# r07: regenerated layout (events now replicated too) — new dir so a stale
+# r06 tree can't be half-reused
+DST = "/tmp/sfprobe_sf1_r07"
 REPLICAS = 10
-PROBE_QUERIES = [
-    "q55_curation_funnel",
-    "q54_ivf_topk",
-    "q53_neardup_resolve",
-    "q02_nation_revenue",
-    "q25_ngram_jaccard",
-]
+
+# r07: probe the FULL headline set (VERDICT r6 #4), not just the 5 most
+# expensive — resolved at runtime from the bench list so the two can't
+# drift.
+from crossbar_data_process_spark.plans.queries import BENCH_QUERIES  # noqa: E402
+
+PROBE_QUERIES = list(BENCH_QUERIES)
 
 # key -> offset unit must exceed the key's max at sf0.1
 OFFSETS = {
@@ -45,6 +47,7 @@ OFFSETS = {
     "l_suppkey": 1_000_000, "s_suppkey": 1_000_000,
     "o_custkey": 1_000_000, "c_custkey": 1_000_000,
     "doc_id": 10_000_000, "vec_id": 10_000_000,
+    "event_id": 10_000_000, "user_id": 1_000_000,
 }
 
 
@@ -57,6 +60,10 @@ def _gen() -> None:
         "customer": ["c_custkey"],
         "supplier": ["s_suppkey"],
         "embeddings": ["vec_id"],
+        # events: replica users keep their own event streams (user_id
+        # offset matches orders' o_custkey offset so the q57 as-of join
+        # structure is preserved); identical timestamps model 10× traffic
+        "events": ["event_id", "user_id"],
     }
     for table, keys in specs.items():
         cols = [f.name for f in pq.read_schema(f"{SRC}/{table}.parquet")]
@@ -74,7 +81,7 @@ def _gen() -> None:
         f"FROM read_parquet('{SRC}/documents.parquet'), "
         f"range(0, {REPLICAS}) t(i)) TO '{DST}/documents.parquet' (FORMAT PARQUET)"
     )
-    for table in ("part", "nation", "region", "events"):
+    for table in ("part", "nation", "region"):
         src = f"{SRC}/{table}.parquet"
         if os.path.exists(src):
             con.execute(
