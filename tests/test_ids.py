@@ -66,3 +66,44 @@ def test_alias_table_is_canonical_closed(spark):
     # normalization must be idempotent in one pass
     for canon in set(PREFIX_ALIASES.values()):
         assert canon not in PREFIX_ALIASES, canon
+
+
+def test_large_registry_path_via_broadcast_map(spark):
+    """The scale path the docs prescribe for BIG user registries: the alias
+    table as a mapping DataFrame joined per J4 (broadcast_map), equivalent
+    to the literal-map normalize_prefix on the same rules."""
+    from crossbar_data_process_spark.operators.mapping import broadcast_map
+
+    rules = [(k, v) for k, v in PREFIX_ALIASES.items()]
+    mapping = spark.createDataFrame(rules, "alias string, canon string")
+    docs = spark.createDataFrame(
+        [("MIM", "154700"), ("UniProt", "P04637"), ("FooDB", "9")],
+        "pre string, local string",
+    )
+    joined = broadcast_map(
+        docs.withColumn("pre_low", F.lower("pre")),
+        mapping,
+        on=[("pre_low", "alias")],
+        value_col="canon",
+        out_col="canon",
+        broadcast=True,
+    ).select(
+        "pre",
+        "local",
+        F.concat_ws(
+            ":", F.coalesce("canon", F.col("pre_low")), F.col("local")
+        ).alias("curie"),
+    )
+    got = {r.pre: r.curie for r in joined.collect()}
+    want = {
+        r.pre: r.curie
+        for r in docs.select(
+            "pre",
+            normalize_curie(F.concat_ws(":", "pre", "local")).alias("curie"),
+        ).collect()
+    }
+    assert got == want == {
+        "MIM": "omim:154700",
+        "UniProt": "uniprot:P04637",
+        "FooDB": "foodb:9",
+    }
