@@ -166,3 +166,39 @@ def winnow_min(hashes: Column | str, stride: int = 16) -> Column:
     return F.when(F.size(h) > 0, F.array_distinct(block_mins)).otherwise(
         F.array().cast("array<bigint>")
     )
+
+
+def duplicate_line_ratio(col: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of non-blank lines that are
+    duplicates of another line in the same document (boilerplate menus,
+    navigation chrome, generated logs). Pure scan-side Column expr —
+    ``1 - distinct/total`` over trimmed lines; 0.0 for empty/blank docs."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0, F.round((n - F.size(F.array_distinct(lines))) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_ratio(col: Column | str, n: int = 3) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    repeats of an n-gram already seen in the document (``1 -
+    distinct/total``, NON-distinct grams — unlike ``shingles_of``, which
+    deliberately distincts for set-Jaccard). High values flag repetitive /
+    degenerate text. O(len) scan-side expression; 0.0 for docs shorter
+    than ``n`` tokens (same descending-``sequence`` guard as
+    ``shingles_of``)."""
+    t = tokens(col)
+    last = F.size(t) - (n - 1)
+    idx = F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    k = F.size(grams)
+    return F.when(
+        k > 0, F.round((k - F.size(F.array_distinct(grams))) / k, 6)
+    ).otherwise(F.lit(0.0))

@@ -754,6 +754,18 @@ def _doc_profile_oracle() -> str:
     from crossbar_data_process_spark.functions.text import BPE_SPLIT_PATTERN
 
     bpe = BPE_SPLIT_PATTERN.replace("'", "''")
+    # r07: + dup_3gram_ratio (Gopher-style repetition signal) — NON-distinct
+    # 3-grams, 1 - distinct/total, same descending-sequence guard as the
+    # Spark side (greatest(...) keeps the range empty for short docs)
+    dup3 = (
+        "(SELECT CASE WHEN greatest(len(t2) - 2, 0) > 0 THEN round("
+        "(greatest(len(t2) - 2, 0) - len(list_distinct("
+        "list_transform(range(1, greatest(len(t2) - 2, 0) + 1), "
+        "i -> array_to_string(t2[i:i+2], ' '))))) * 1.0 "
+        "/ greatest(len(t2) - 2, 0), 6) ELSE 0.0 END "
+        "FROM (SELECT list_filter(regexp_split_to_array(trim(s.text), "
+        "'\\s+'), x -> x <> '') AS t2))"
+    )
     return f"""
 WITH {_profile_ctes()}
 SELECT s.doc_id,
@@ -762,6 +774,7 @@ SELECT s.doc_id,
        {_FP_SQL} AS fp,
        n_chars,
        {_QUALITY_SQL} AS quality,
+       {dup3} AS dup_3gram_ratio,
        COALESCE(best.lang, 'und') AS lang_detected,
        s.lang AS lang_labeled
 FROM s LEFT JOIN best ON s.doc_id = best.doc_id
@@ -770,7 +783,10 @@ FROM s LEFT JOIN best ON s.doc_id = best.doc_id
 
 @query("q22_doc_profile", _doc_profile_oracle())
 def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from crossbar_data_process_spark.functions.text import bpe_token_count
+    from crossbar_data_process_spark.functions.text import (
+        bpe_token_count,
+        duplicate_ngram_ratio,
+    )
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -780,6 +796,7 @@ def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint("text").alias("fp"),
         "n_chars",
         quality_score("text").alias("quality"),
+        duplicate_ngram_ratio("text", n=3).alias("dup_3gram_ratio"),
         language_id("text").alias("lang_detected"),
         F.col("lang").alias("lang_labeled"),
     )

@@ -100,3 +100,36 @@ def test_streaming_fingerprint_dedup_matches_batch(spark, doc_chunks_dir):
         .collect()
     }
     assert streamed_fps == batch_fps  # one survivor per distinct fingerprint
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition ratios (r07): duplicate lines and duplicate
+    non-distinct n-grams, crafted cases with hand-computed expectations."""
+    from crossbar_data_process_spark.functions.text import (
+        duplicate_line_ratio,
+        duplicate_ngram_ratio,
+    )
+
+    rows = [
+        # 4 non-blank lines, 'menu' twice -> 1 dup / 4
+        (1, "menu\nhome\n\nmenu\nabout"),
+        # 'a b c' x2: grams of 'a b c a b c' = [abc, bca, cab, abc] -> 1/4
+        (2, "a b c a b c"),
+        (3, "x y"),          # shorter than n=3 -> 0.0
+        (4, ""),             # empty -> 0.0
+        (5, "all distinct words here now"),  # no repeats -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dl, r.dg)
+        for r in df.select(
+            "doc_id",
+            duplicate_line_ratio("text").alias("dl"),
+            duplicate_ngram_ratio("text", n=3).alias("dg"),
+        ).collect()
+    }
+    assert got[1][0] == 0.25
+    assert got[2][1] == 0.25
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
