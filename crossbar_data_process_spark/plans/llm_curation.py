@@ -45,6 +45,7 @@ def curate_documents(
     neardup_threshold: float = 0.5,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
+    max_dup_ngram_ratio: float | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
@@ -54,8 +55,15 @@ def curate_documents(
     With ``benchmark``, documents sharing any ``contamination_ngram``-gram
     with the benchmark corpus are dropped after the quality gate (the
     standard pretraining decontamination stage,
-    ``operators.textdedup.contamination_flags``); default off so the q55
-    oracle pipeline is unchanged."""
+    ``operators.textdedup.contamination_flags``). With
+    ``max_dup_ngram_ratio``, documents whose Gopher-style
+    ``duplicate_ngram_ratio`` exceeds the cap are dropped in the SAME
+    scan-side gate as quality/language (one filter, no extra pass). Both
+    default off so the q55 oracle pipeline is unchanged."""
+    from crossbar_data_process_spark.functions.text import (
+        duplicate_ngram_ratio,
+    )
+
     profiled = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -64,10 +72,15 @@ def curate_documents(
         language_id(text_col).alias("lang_detected"),
         doc_fingerprint(text_col).alias("fp"),
     )
-    gated = profiled.filter(
+    gate = (
         (F.col("quality") >= min_quality)
         & F.col("lang_detected").isin(*languages)
     )
+    if max_dup_ngram_ratio is not None:
+        gate = gate & (
+            duplicate_ngram_ratio(text_col) <= max_dup_ngram_ratio
+        )
+    gated = profiled.filter(gate)
     if benchmark is not None:
         flagged = contamination_flags(
             gated, benchmark, text_col=text_col, id_col=id_col,

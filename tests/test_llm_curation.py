@@ -81,3 +81,12 @@ def test_curation_with_decontamination_stage(spark):
     survivors = {r.doc_id for r in decon.select("doc_id").collect()}
     assert leak_row.doc_id not in survivors
     assert decon.count() < base.count()
+
+
+def test_curation_with_repetition_gate(spark, corpus):
+    """max_dup_ngram_ratio (r07, default off): GOOD*2 docs are literally
+    repeated text (dup-3gram ratio ~0.5), so a 0.3 cap drops docs 1/2/3 in
+    the same scan-side gate as quality/language, while the distinct-prose
+    doc 6 survives. Default-off behavior is pinned by the other tests."""
+    capped = curate_documents(corpus, max_dup_ngram_ratio=0.3)
+    assert {r.doc_id for r in capped.collect()} == {6}
