@@ -7,15 +7,17 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the only operators in the engine allowed to enter
 Python, because codec work is genuinely not expressible in Spark SQL.
 
-Codec status (r06): header-level metadata is REAL for recognized formats —
-``_parse_media_header`` reads BMP and PNG dimensions and WAV RIFF
+Codec status (r07): header-level metadata is REAL for recognized formats —
+``_parse_media_header`` reads BMP, PNG, and JPEG dimensions and WAV RIFF
 sample-rate/channels/bit-depth from magic bytes with pure stdlib;
 ``wav_audio_stats`` decodes 16-bit integer-PCM WAV samples (numpy
 ``frombuffer``, ``wFormatTag == 1`` enforced) for real amplitude
-statistics; and ``_decode_png`` does REAL pixel decode for 8-bit
+statistics; ``_decode_png`` does REAL pixel decode for 8-bit
 non-interlaced PNG (stdlib ``zlib`` IDAT inflate + numpy scanline
-unfiltering, all five filter types). Only formats whose codecs are
-genuinely absent from this container (JPEG DCT, video) remain behind
+unfiltering, all five filter types); and ``jpeg_codec.decode_jpeg`` does
+REAL pixel decode for baseline JPEG (pure-numpy Huffman + dequant + IDCT
++ chroma upsampling + YCbCr→RGB — see that module). Only formats with no
+stdlib-expressible codec (progressive JPEG, video) remain behind
 ``_decode_stub`` — a deterministic fake. Everything around it (schemas,
 batch iteration, partition sizing, output contract) is the real
 production plumbing and is tested.
@@ -43,6 +45,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from .jpeg_codec import decode_jpeg, jpeg_dimensions
 
 MEDIA_SCHEMA = StructType(
     [
@@ -129,6 +133,11 @@ def _parse_media_header(payload: bytes | None) -> dict:
             width=int.from_bytes(payload[16:20], "big"),
             height=int.from_bytes(payload[20:24], "big"),
         )
+    if payload[:2] == b"\xff\xd8":
+        dims = jpeg_dimensions(payload)
+        if dims is None:
+            return dict(_UNKNOWN, mime="image/jpeg")
+        return dict(_UNKNOWN, mime="image/jpeg", width=dims[0], height=dims[1])
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         fmt = _wav_fmt_chunk(payload)
         if fmt is None or fmt[1] < 16 or fmt[0] + 16 > len(payload):
@@ -321,6 +330,17 @@ def _decode_png(payload: bytes | None):
     return _png_unfilter(raw, h, w, ch)
 
 
+def _decode_image(payload: bytes | None):
+    """Unified REAL pixel decode: 8-bit non-interlaced PNG
+    (:func:`_decode_png`) or baseline JPEG (:func:`jpeg_codec.decode_jpeg`)
+    → (h, w, ch) uint8 array, None for everything else."""
+    if payload is None:
+        return None
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    return _decode_png(payload)
+
+
 def _pixel_features(img, dim: int) -> list[float]:
     """``dim`` floats in [0, 1] from REAL pixels: channel-mean luminance
     (alpha dropped) average-pooled into ``dim`` equal row-major buckets."""
@@ -380,7 +400,8 @@ RESIZE_SCHEMA = StructType(
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """REAL image resize (charter: "decode / feature-extract / resize /
-    frame-sample"): decodable PNGs larger than ``max_side`` on either axis
+    frame-sample"): decodable images (PNG or baseline JPEG — see
+    :func:`_decode_image`) larger than ``max_side`` on either axis
     are nearest-neighbor downsampled (aspect preserved) and re-encoded as
     PNG; already-small PNGs and undecodable payloads pass through
     unchanged with ``resized = false``. Arrow-batched ``mapInPandas``,
@@ -388,7 +409,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     import numpy as np
 
     def _one(mid, p):
-        img = _decode_png(p)
+        img = _decode_image(p)
         if img is None:
             return (mid, p, None, None, False)
         h, w = img.shape[:2]
@@ -419,9 +440,9 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 def _decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake decoder for formats whose codecs are NOT in this
-    container (JPEG DCT, video). Real deployments replace this with
-    Pillow/torchvision/librosa. Derives ``dim`` floats from byte content so
-    tests can assert exact outputs."""
+    container (progressive JPEG, video). Real deployments replace this
+    with Pillow/torchvision/librosa. Derives ``dim`` floats from byte
+    content so tests can assert exact outputs."""
     if payload is None:
         raise NotImplementedError("real codec not available in this container")
     acc = [0] * dim
@@ -435,12 +456,13 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     worker per partition; batches stream through Arrow, so peak memory is
     one batch of payloads, not the partition.
 
-    Decodable payloads (8-bit non-interlaced PNG — see :func:`_decode_png`)
-    get features from REAL pixels (pooled luminance); everything else falls
-    back to the deterministic byte-content stub."""
+    Decodable payloads (8-bit non-interlaced PNG or baseline JPEG — see
+    :func:`_decode_image`) get features from REAL pixels (pooled
+    luminance); everything else falls back to the deterministic
+    byte-content stub."""
 
     def _features(p: bytes | None) -> list[float]:
-        img = _decode_png(p)
+        img = _decode_image(p)
         return _pixel_features(img, dim) if img is not None else _decode_stub(p, dim)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -358,3 +358,46 @@ def test_resize_images_real_roundtrip(spark):
     assert bytes(out["small"].payload) == _encode_png([[1, 2], [3, 4]], 0, [0])
     assert not out["junk"].resized and out["junk"].width is None
     assert bytes(out["junk"].payload) == b"not an image"
+
+
+def test_jpeg_media_pipeline_end_to_end(spark):
+    """JPEG through the full Spark surface (r07, closes the stub codec):
+    probe_media reads SOF dimensions, extract_features pools REAL decoded
+    pixels, resize_images downsamples and re-encodes as PNG."""
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.jpeg_codec import decode_jpeg
+    from crossbar_data_process_spark.operators.multimodal import (
+        _decode_png,
+        _pixel_features,
+        probe_media,
+        resize_images,
+    )
+    from tests.jpeg_encoder import encode_jpeg
+
+    yy, xx = np.mgrid[0:12, 0:10]
+    img = np.stack(
+        [(yy * 9) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], axis=2
+    ).astype(np.uint8)
+    payload = encode_jpeg(img)
+    df = spark.createDataFrame(
+        [Row(media_id="j1", payload=payload, meta=None)], schema=MEDIA_SCHEMA
+    )
+
+    probe = probe_media(df).collect()[0]
+    assert (probe.mime, probe.width, probe.height) == ("image/jpeg", 10, 12)
+
+    feats = extract_features(df, dim=4).collect()[0]
+    assert feats.features == pytest.approx(
+        _pixel_features(decode_jpeg(payload), 4)
+    )
+    # real-pixel path, not the byte stub
+    assert feats.features != pytest.approx(_decode_stub(payload, 4))
+
+    out = resize_images(df, max_side=6).collect()[0]
+    assert out.resized and (out.width, out.height) == (5, 6)
+    resized = _decode_png(bytes(out.payload))
+    src = decode_jpeg(payload)
+    ys = (np.arange(6) * 12 // 6).astype(int)
+    xs = (np.arange(5) * 10 // 5).astype(int)
+    assert (resized == src[ys][:, xs]).all()
