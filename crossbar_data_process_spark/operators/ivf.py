@@ -80,17 +80,53 @@ def ivf_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    driver_fit_rows: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means coarse quantizer. Returns unit centroids (driver
     list, bounded by nlist). Seeds = the ``nlist`` vectors with the
     smallest md5(id) — pseudo-random but fully deterministic. Empty
-    clusters keep their previous centroid."""
+    clusters keep their previous centroid.
+
+    ``driver_fit_rows=N`` switches to the fit-on-bounded-sample fast path
+    (the FAISS-style training contract): ONE Spark job collects the N
+    md5-smallest unit vectors (N is a hyperparameter — driver memory is
+    N×dim doubles, never data-sized) and Lloyd's runs in numpy on the
+    driver, replacing the per-iteration assignment+groupBy jobs whose
+    scheduling floor dominates fit time on small/medium corpora. Seeding
+    is the same md5 order, so seeds match the distributed path exactly;
+    iterations follow the same argmax-first tie-break and empty-cluster
+    rule. At 100 TB this is the intended quantizer-training shape — the
+    corpus-sized work (assignment) stays distributed either way."""
     train = vectors
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=42)
-    train = materialize(
-        _unit(train, vec_col, "__u").select(F.col(id_col).alias("__id"), "__u")
-    )  # consumed once per iteration
+    train = _unit(train, vec_col, "__u").select(
+        F.col(id_col).alias("__id"), "__u"
+    )
+
+    if driver_fit_rows is not None:
+        import numpy as np
+
+        rows = (
+            train.orderBy(F.md5(F.col("__id").cast("string")))
+            .limit(max(driver_fit_rows, nlist))
+            .select("__u")
+            .collect()
+        )
+        x = np.array([r["__u"] for r in rows], dtype=np.float64)
+        cents = x[:nlist].copy()
+        for _ in range(iters):
+            assign = (x @ cents.T).argmax(axis=1)  # first-max, as argmax dot
+            for j in range(len(cents)):
+                members = x[assign == j]
+                if len(members) == 0:
+                    continue  # empty cluster keeps previous centroid
+                m = members.mean(axis=0)
+                n = float(np.linalg.norm(m))
+                cents[j] = m / n if n > 0 else m
+        return [[float(v) for v in c] for c in cents]
+
+    train = materialize(train)  # consumed once per iteration
 
     seed_rows = (
         train.orderBy(F.md5(F.col("__id").cast("string")))
@@ -232,6 +268,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     sample_fraction: float | None = None,
+    driver_fit_rows: int | None = None,
 ) -> DataFrame:
     """IVF cosine top-k: train (or reuse) the coarse quantizer, bucket the
     corpus by nearest centroid (one linear pass), probe each query's
@@ -245,7 +282,8 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_fit(
-            vectors, dim, nlist, iters, id_col, vec_col, sample_fraction
+            vectors, dim, nlist, iters, id_col, vec_col,
+            sample_fraction, driver_fit_rows,
         )
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),

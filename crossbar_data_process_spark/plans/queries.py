@@ -1272,7 +1272,11 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive dim from the data (1-row bounded collect) instead of pinning
     # 64 — testdata schemas drift between rounds (the r5 events lesson)
     dim = e.select(F.size("embedding")).first()[0]
-    cents = ivf_fit(e, dim=dim, nlist=8, iters=2)
+    # driver_fit_rows: quantizer trains numpy-side on a bounded md5-sample
+    # (ONE collect job instead of per-iteration assignment+groupBy jobs);
+    # results stay brute-force-exact here because nprobe == nlist probes
+    # every list regardless of where the centroids land
+    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
     # ONE pid-scoped silver dir reused (overwrite) across invocations —
     # repeated bench/correctness runs must not accumulate corpus copies in
     # /tmp — and removed at interpreter exit.

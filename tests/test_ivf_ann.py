@@ -140,3 +140,36 @@ def test_assigned_corpus_partition_pruning(spark, clustered, tmp_path):
     }
     plan = assigned._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan, "probe join must prune corpus partitions"
+
+
+def test_ivf_driver_fit_matches_distributed_on_full_sample(spark, clustered):
+    """driver_fit_rows covering the whole corpus must reproduce the
+    distributed Lloyd's to float tolerance: same md5 seeds, same
+    first-max tie-break, same empty-cluster rule — only the summation
+    order differs."""
+    dist = ivf_fit(clustered, dim=32, nlist=8, iters=2)
+    drv = ivf_fit(clustered, dim=32, nlist=8, iters=2, driver_fit_rows=1200)
+    assert np.allclose(np.array(dist), np.array(drv), atol=1e-9)
+
+
+def test_ivf_driver_fit_bounded_sample_recalls(spark, clustered):
+    """The q54 shape: quantizer trained driver-side on a bounded
+    md5-sample, corpus assignment distributed — recall must hold."""
+    q = clustered.filter(F.col("vec_id") % 300 == 0)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, q, dim=32, k=10, nlist=8, nprobe=3, iters=3,
+            driver_fit_rows=400,
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+    # determinism: the md5-sample is order-stable, so a refit is identical
+    c1 = ivf_fit(clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400)
+    c2 = ivf_fit(clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400)
+    assert c1 == c2
