@@ -40,6 +40,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# Refuse frames above this pixel count (coefficient storage is
+# ~4.5 bytes/pixel at 4:4:4 — 64 MP caps it near 300 MB, far above any
+# training-data image but far below an executor-killing allocation).
+MAX_PIXELS = 64_000_000
+
 # Zigzag scan order: _ZIGZAG[k] = flat index into the 8x8 block of the
 # k-th coefficient in transmission order (T.81 figure 5).
 _ZIGZAG = np.array(
@@ -275,6 +280,11 @@ def _decode_jpeg(payload: bytes | None):
     h, w, comps = frame
     sel, entropy_start = scan
     if h == 0 or w == 0 or len(sel) != len(comps):
+        return None
+    if h * w > MAX_PIXELS:
+        # decompression-bomb guard: a corrupted/hostile SOF declaring
+        # 65535×65535 would otherwise allocate GBs of coefficient arrays
+        # before the entropy decode ever fails
         return None
     by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
     order = []  # scan-ordered (H, V, qtable, dc_table, ac_table)

@@ -189,6 +189,36 @@ WAV_STATS_SCHEMA = StructType(
 )
 
 
+def _wav_pcm(payload: bytes | None):
+    """(samples float64 in [-1,1] — channels interleaved, sample_rate,
+    n_channels) for 16-bit integer-PCM WAV; None otherwise. Shared by
+    the stats and spectral kernels."""
+    import numpy as np
+
+    hdr = _parse_media_header(payload)
+    if hdr["mime"] != "audio/wav" or hdr["bits_per_sample"] != 16:
+        return None
+    fmt = _wav_fmt_chunk(payload)
+    if fmt is None or int.from_bytes(
+        payload[fmt[0] : fmt[0] + 2], "little"
+    ) != 1:
+        return None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            raw = payload[pos + 8 : pos + 8 + size]
+            x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
+            return (
+                x.astype("float64") / 32768.0,
+                hdr["sample_rate"],
+                max(hdr["n_channels"] or 1, 1),
+            )
+        pos += 8 + size + (size & 1)
+    return None
+
+
 def wav_audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode for 16-bit PCM WAV — numpy ``frombuffer`` over the
     ``data`` chunk, amplitude normalized to [-1, 1] — rms/peak per file.
@@ -198,33 +228,19 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
     import numpy as np
 
     def _stats(payload: bytes | None):
-        hdr = _parse_media_header(payload)
-        if hdr["mime"] != "audio/wav" or hdr["bits_per_sample"] != 16:
+        # _wav_pcm enforces integer PCM (wFormatTag == 1); float/ADPCM/
+        # extensible WAVs would "decode" into garbage stats
+        pcm = _wav_pcm(payload)
+        if pcm is None:
             return None, None, None
-        # frombuffer('<i2') is only valid for integer PCM (wFormatTag == 1);
-        # float/ADPCM/extensible WAVs would "decode" into garbage stats
-        fmt = _wav_fmt_chunk(payload)
-        if fmt is None or int.from_bytes(
-            payload[fmt[0] : fmt[0] + 2], "little"
-        ) != 1:
-            return None, None, None
-        pos = 12
-        while pos + 8 <= len(payload):
-            cid = payload[pos : pos + 4]
-            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-            if cid == b"data":
-                raw = payload[pos + 8 : pos + 8 + size]
-                x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2")
-                if x.size == 0:
-                    return 0, 0.0, 0.0
-                a = x.astype("float64") / 32768.0
-                return (
-                    int(x.size),
-                    float(np.sqrt(np.mean(a * a))),
-                    float(np.max(np.abs(a))),
-                )
-            pos += 8 + size + (size & 1)
-        return None, None, None
+        a = pcm[0]
+        if a.size == 0:
+            return 0, 0.0, 0.0
+        return (
+            int(a.size),
+            float(np.sqrt(np.mean(a * a))),
+            float(np.max(np.abs(a))),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,6 +261,82 @@ def wav_audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("dominant_hz", FloatType()),
+        StructField("spectral_centroid_hz", FloatType()),
+        StructField("rolloff_hz", FloatType()),
+        StructField("zero_crossing_rate", FloatType()),
+        StructField("band_energy", ArrayType(FloatType())),
+    ]
+)
+
+
+def wav_spectral_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """REAL spectral analysis for 16-bit PCM WAV — numpy rfft, no librosa:
+    dominant frequency, spectral centroid, 85% rolloff, zero-crossing
+    rate, and ``n_bands`` log-spaced band energies (normalized to sum 1) —
+    the audio-side quality/fingerprint signals a curation gate filters on
+    (tone vs noise vs silence, bandwidth, speech-band energy share).
+    Multichannel audio is averaged to mono before the FFT. Non-PCM /
+    non-WAV payloads yield the all-NULL row. Same Arrow ``mapInPandas``
+    posture as the other media kernels."""
+    import numpy as np
+
+    def _spec(payload: bytes | None):
+        pcm = _wav_pcm(payload)
+        if pcm is None:
+            return None
+        a, rate, nch = pcm
+        if not rate or a.size < 2 * nch:
+            return None
+        if nch > 1:  # interleaved → mono mean
+            a = a[: (a.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+        n = a.size
+        zcr = float(np.mean(np.signbit(a[1:]) != np.signbit(a[:-1])))
+        p = np.abs(np.fft.rfft(a * np.hanning(n))) ** 2
+        p[0] = 0.0  # DC carries no pitch information
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        total = float(p.sum())
+        if total <= 0.0:  # digital silence
+            return (rate, n, 0.0, 0.0, 0.0, zcr, [0.0] * n_bands)
+        dominant = float(freqs[int(p.argmax())])
+        centroid = float((freqs * p).sum() / total)
+        rolloff = float(freqs[int(np.searchsorted(np.cumsum(p), 0.85 * total))])
+        # log-spaced band edges from ~20 Hz to Nyquist
+        edges = np.geomspace(20.0, rate / 2.0, n_bands + 1)
+        idx = np.clip(np.searchsorted(edges, freqs) - 1, 0, n_bands - 1)
+        bands = np.bincount(idx, weights=p, minlength=n_bands) / total
+        return (rate, n, dominant, centroid, rolloff, zcr,
+                [float(b) for b in bands])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        none = (None,) * 6 + (None,)
+        for pdf in batches:
+            rows = [_spec(p) or none for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "n_samples": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "dominant_hz": pd.array([r[2] for r in rows], dtype="Float32"),
+                    "spectral_centroid_hz": pd.array(
+                        [r[3] for r in rows], dtype="Float32"
+                    ),
+                    "rolloff_hz": pd.array([r[4] for r in rows], dtype="Float32"),
+                    "zero_crossing_rate": pd.array(
+                        [r[5] for r in rows], dtype="Float32"
+                    ),
+                    "band_energy": [r[6] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(run, schema=SPECTRAL_SCHEMA)
 
 
 def _png_unfilter(raw: bytes, h: int, w: int, ch: int):

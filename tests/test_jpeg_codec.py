@@ -123,3 +123,51 @@ def test_shapes_parametrized(shape):
     out = decode_jpeg(encode_jpeg(img))
     assert out is not None and out.shape == (*shape, 1)
     assert np.max(np.abs(out[:, :, 0].astype(int) - img.astype(int))) <= 1
+
+
+# --- robustness: a 100 TB media pass must classify garbage, never die ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_never_raises_on_random_bytes(data):
+    out = decode_jpeg(data)
+    assert out is None or out.dtype.name == "uint8"
+    jpeg_dimensions(data)  # must also never raise
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_decode_never_raises_on_corrupted_valid_jpeg(data):
+    """Start from a VALID baseline JPEG and corrupt bytes — exercises the
+    deep decode paths (Huffman, MCU loop) far better than random blobs."""
+    img = _gradient_gray(16, 16)
+    payload = bytearray(encode_jpeg(img))
+    n_flips = data.draw(st.integers(1, 8))
+    for _ in range(n_flips):
+        pos = data.draw(st.integers(2, len(payload) - 1))  # keep SOI
+        payload[pos] = data.draw(st.integers(0, 255))
+    out = decode_jpeg(bytes(payload))
+    assert out is None or (out.dtype.name == "uint8" and out.ndim == 3)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(4, len(encode_jpeg(_gradient_gray(16, 16))) - 1))
+def test_decode_never_raises_on_any_truncation(cut):
+    payload = encode_jpeg(_gradient_gray(16, 16))
+    out = decode_jpeg(payload[:cut])
+    assert out is None or out.dtype.name == "uint8"
+
+
+def test_decompression_bomb_sof_rejected():
+    """A SOF declaring a huge frame must be refused before any
+    data-sized allocation (MAX_PIXELS guard)."""
+    import struct
+
+    payload = bytearray(encode_jpeg(_gradient_gray(8, 8)))
+    sof = payload.find(b"\xff\xc0")
+    payload[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    assert decode_jpeg(bytes(payload)) is None

@@ -401,3 +401,77 @@ def test_jpeg_media_pipeline_end_to_end(spark):
     ys = (np.arange(6) * 12 // 6).astype(int)
     xs = (np.arange(5) * 10 // 5).astype(int)
     assert (resized == src[ys][:, xs]).all()
+
+
+def test_wav_spectral_features_sine(spark):
+    """A pure 440 Hz tone must put the dominant frequency and centroid on
+    440 Hz, the zero-crossing rate at 2f/rate, and nearly all band energy
+    in the band containing 440 Hz — exact DSP, no codec library."""
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.multimodal import (
+        wav_spectral_features,
+    )
+
+    rate, f = 8000, 440.0
+    t = np.arange(rate)  # one full second → 1 Hz FFT resolution
+    sine = (0.8 * 32767 * np.sin(2 * np.pi * f * t / rate)).astype(int)
+    rows = [
+        Row(media_id="tone", payload=_tiny_wav(rate, tuple(sine)), meta=None),
+        Row(media_id="junk", payload=b"nope", meta=None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in wav_spectral_features(df, n_bands=8).collect()}
+
+    tone = out["tone"]
+    assert tone.sample_rate == rate and tone.n_samples == rate
+    assert tone.dominant_hz == pytest.approx(f, abs=1.5)
+    assert tone.spectral_centroid_hz == pytest.approx(f, abs=5.0)
+    assert tone.rolloff_hz == pytest.approx(f, abs=5.0)
+    assert tone.zero_crossing_rate == pytest.approx(2 * f / rate, rel=0.02)
+    bands = list(tone.band_energy)
+    assert sum(bands) == pytest.approx(1.0, abs=1e-5)
+    # log-spaced 20..4000 over 8 bands: 440 Hz falls in one band that
+    # should hold essentially all energy for a pure tone
+    assert max(bands) > 0.99
+    assert out["junk"].dominant_hz is None and out["junk"].band_energy is None
+
+
+def test_wav_spectral_features_stereo_and_silence(spark):
+    """Stereo interleave averages to mono before the FFT; digital silence
+    yields zero features rather than NaNs."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.multimodal import (
+        wav_spectral_features,
+    )
+
+    rate, f = 8000, 1000.0
+    t = np.arange(2000)
+    mono = (0.5 * 32767 * np.sin(2 * np.pi * f * t / rate)).astype(int)
+    inter = np.empty(2 * mono.size, dtype=int)
+    inter[0::2] = mono  # L
+    inter[1::2] = mono  # R — identical, so the mono mean is the tone itself
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack("<%dh" % inter.size, *inter))
+    stereo = buf.getvalue()
+
+    rows = [
+        Row(media_id="stereo", payload=stereo, meta=None),
+        Row(media_id="silent", payload=_tiny_wav(rate, (0,) * 64), meta=None),
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r.media_id: r for r in wav_spectral_features(df).collect()}
+    assert out["stereo"].dominant_hz == pytest.approx(f, abs=5.0)
+    assert out["stereo"].n_samples == 2000  # mono frames, not raw samples
+    silent = out["silent"]
+    assert silent.dominant_hz == 0.0 and silent.zero_crossing_rate == 0.0
+    assert sum(silent.band_energy) == 0.0
