@@ -413,12 +413,25 @@ def _decode_png(payload: bytes | None):
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if not w or not h or depth != 8 or ch is None or interlace != 0:
         return None
+    from .jpeg_codec import MAX_PIXELS
+
+    if h * w > MAX_PIXELS:
+        return None  # decompression-bomb guard, same cap as JPEG
+    expected = h * (w * ch + 1)
     try:
-        raw = zlib.decompress(idat)
+        # bound the inflate to the declared raster size: a zip-bomb IDAT
+        # must not allocate past it even when IHDR looks sane
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected)
+        if len(raw) == expected and not d.eof:
+            # either just the stream trailer remains (fine) or the stream
+            # keeps inflating past the declared size (bomb — reject)
+            if d.decompress(d.unconsumed_tail, 1):
+                return None
     except zlib.error:
         return None
-    if len(raw) != h * (w * ch + 1):
-        return None
+    if len(raw) != expected or not d.eof:
+        return None  # truncated or over-long stream
     return _png_unfilter(raw, h, w, ch)
 
 

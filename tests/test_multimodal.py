@@ -475,3 +475,61 @@ def test_wav_spectral_features_stereo_and_silence(spark):
     silent = out["silent"]
     assert silent.dominant_hz == 0.0 and silent.zero_crossing_rate == 0.0
     assert sum(silent.band_energy) == 0.0
+
+
+def test_png_zip_bomb_and_fuzz_never_raise():
+    """A small IDAT must never inflate past the declared raster (bounded
+    decompressobj), a huge IHDR is refused outright, and corrupted PNGs
+    return None rather than raising."""
+    import struct
+    import zlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crossbar_data_process_spark.operators.multimodal import _decode_png
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data))
+        )
+
+    # declared 4x4 gray, but the IDAT inflates to 1 MB of zeros
+    ihdr = struct.pack(">II5B", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(bomb) is None
+
+    huge = struct.pack(">II5B", 65535, 65535, 8, 0, 0, 0, 0)
+    giant = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(giant) is None
+
+    valid = bytearray(
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (4 * 5)))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(bytes(valid)) is not None  # baseline sanity
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def corrupt(data):
+        p = bytearray(valid)
+        for _ in range(data.draw(st.integers(1, 6))):
+            pos = data.draw(st.integers(8, len(p) - 1))
+            p[pos] = data.draw(st.integers(0, 255))
+        out = _decode_png(bytes(p))
+        assert out is None or out.dtype.name == "uint8"
+
+    corrupt()
