@@ -46,6 +46,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
     max_dup_ngram_ratio: float | None = None,
+    redact_pii_output: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
@@ -58,8 +59,10 @@ def curate_documents(
     ``operators.textdedup.contamination_flags``). With
     ``max_dup_ngram_ratio``, documents whose Gopher-style
     ``duplicate_ngram_ratio`` exceeds the cap are dropped in the SAME
-    scan-side gate as quality/language (one filter, no extra pass). Both
-    default off so the q55 oracle pipeline is unchanged."""
+    scan-side gate as quality/language (one filter, no extra pass). With
+    ``redact_pii_output``, surviving text is PII-scrubbed in the final
+    projection (``functions.pii.redact_pii``). All default off so the
+    q55 oracle pipeline is unchanged."""
     from crossbar_data_process_spark.functions.text import (
         duplicate_ngram_ratio,
     )
@@ -108,8 +111,16 @@ def curate_documents(
         threshold=neardup_threshold,
     )
     resolved = resolve_neardups(exact_survivors, pairs, id_col=id_col)
+    out_text = F.col(text_col)
+    if redact_pii_output:
+        # PII scrubbing rides the final projection (chained JVM
+        # regexp_replace — functions.pii) — dedup/LSH upstream saw the
+        # RAW text so near-dup structure is unaffected by token rewrites
+        from crossbar_data_process_spark.functions.pii import redact_pii
+
+        out_text = redact_pii(text_col).alias(text_col)
     return exact_survivors.join(resolved, id_col).select(
-        id_col, text_col, "n_tokens", "quality", "lang_detected", "cluster_size"
+        id_col, out_text, "n_tokens", "quality", "lang_detected", "cluster_size"
     )
 
 
