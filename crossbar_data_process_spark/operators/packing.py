@@ -78,23 +78,31 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_tokens_col: str | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a pack: (id, n_tokens, bucket, pack_id,
     pack_pos). ``pack_id`` is globally unique (bucket * 2^40 + local id);
     ``pack_pos`` is the doc's 0-based position within its pack in the
     deterministic md5 order. Pass ``n_tokens_col`` to reuse a
     pre-computed count (e.g. the curation profile) instead of
-    re-tokenizing."""
+    re-tokenizing, and ``bucket_col`` to supply your own bucket
+    assignment (any deterministic int in [0, n_buckets); default
+    crc32-of-md5)."""
     nt = (
         F.col(n_tokens_col)
         if n_tokens_col is not None
         else F.size(tokens(text_col))
     ).cast("long")
     key = F.md5(F.col(id_col).cast("string"))
+    bucket = (
+        F.col(bucket_col).cast("int")
+        if bucket_col is not None
+        else F.pmod(F.crc32(key), F.lit(n_buckets)).cast("int")
+    )
     base = docs.select(
         F.col(id_col),
         nt.alias("n_tokens"),
-        F.pmod(F.crc32(key), F.lit(n_buckets)).cast("int").alias("bucket"),
+        bucket.alias("bucket"),
         key.alias("__k"),
     )
     w = Window.partitionBy("bucket").orderBy("__k")
@@ -108,8 +116,10 @@ def pack_documents(
         "bucket",
         (F.col("bucket").cast("long") * (1 << 40) + local).alias("pack_id"),
         cum_excl.alias("__ce"),
+        "__k",
     )
-    wp = Window.partitionBy("pack_id").orderBy("__ce")
+    # __k tie-break: zero-token docs share a cum_excl value
+    wp = Window.partitionBy("pack_id").orderBy("__ce", "__k")
     return packed.select(
         id_col,
         "n_tokens",

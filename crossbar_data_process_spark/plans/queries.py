@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # r07 addition: two-table as-of join (q44_rollup's folded slot),
     # benchmarked from day one
     "q57_asof_two_table",
+    # r07 addition: sequence packing (q20_running_total's folded slot),
+    # benchmarked from day one
+    "q58_pack_documents",
 ]
 
 
@@ -661,31 +664,53 @@ def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------- W: running total window (SURVEY §2.5)
+# ------------- W: sequence packing over a running-total window (r07 fold:
+# q20_running_total's cumsum-window coverage lives on INSIDE this oracle —
+# the exclusive running sum is the same window family, now composed into
+# the training-prep packing operator; see REGISTRY.md)
 @query(
-    "q20_running_total",
-    """
-SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-FROM orders
+    "q58_pack_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INTEGER) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), cums AS (
+  SELECT doc_id, n_tokens, bucket, k,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS ce
+  FROM toks
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(CAST(bucket AS BIGINT) * 1099511627776 + (ce // 512) AS BIGINT) AS pack_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY CAST(bucket AS BIGINT) * 1099511627776 + (ce // 512)
+                               ORDER BY ce, k) - 1 AS BIGINT) AS pack_pos
+FROM cums
 """,
 )
-def q20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def q58_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (operators/packing.pack_documents):
+    whole documents greedily packed to a 512-token budget inside 8
+    deterministic buckets via ONE exclusive running-sum window. The
+    oracle replays the identical md5-ordered window in DuckDB, so the
+    greedy assignment itself — not just row counts — is hash-pinned.
+    Bucket = doc_id % 8 here (both engines share it exactly); the
+    operator's default crc32(md5) bucket has no DuckDB twin."""
+    from crossbar_data_process_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+    out = pack_documents(d, budget=512, n_buckets=8, bucket_col="bucket")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        "pack_id",
+        F.col("pack_pos").cast("long").alias("pack_pos"),
     )
 
 
@@ -2114,6 +2139,7 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # history rather than the coverage-critical ones.
 _FRONT = [
     # r07 new/reshaped surfaces first
+    "q58_pack_documents",
     "q57_asof_two_table",
     "q25_ngram_jaccard",
     "q15_curie_ids",
