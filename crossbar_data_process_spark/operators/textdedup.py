@@ -547,3 +547,78 @@ def contamination_flags(
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_ngrams"))
         .filter(F.col("n_contaminated_ngrams") >= min_hits)
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Span-level (sub-document) exact dedup: the corpus-wide "remove
+    duplicated substrings" pass of training-data curation (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"), applied at
+    a fixed ``k``-token granularity so it stays a hash problem instead of a
+    suffix-array problem.
+
+    Every document is cut into consecutive non-overlapping ``k``-token
+    segments (the final segment keeps the <k-token tail, so the cleaned text
+    is a pure subsequence of the original). A segment occurring in the
+    corpus ``min_doc_freq`` or more times survives only at its FIRST
+    occurrence — ordered by (id, position), so the representative is
+    deterministic; all later copies are cut out of their documents.
+    Unique segments always survive. Returns one row per input document:
+    (id, clean_text, n_segs, kept_segs, dropped_segs).
+
+    Scale shape (100 TB):
+    - the segment table is a scan-side ``posexplode`` — no shuffle, ~1 row
+      per k tokens (8x smaller than a token explode);
+    - first-occurrence is a groupBy MIN on the segment's 16-byte md5 (one
+      shuffle; partial aggregation makes boilerplate mega-segments cheap
+      map-side) followed by an equi-join back on the same hash — NOT a
+      window over the hash, which would put every copy of a hot boilerplate
+      segment into one unsplittable partition; the join path lets AQE skew
+      splitting spread it;
+    - document reassembly is one groupBy on the id (one shuffle), sorting
+      the surviving segments driver-free via ``array_sort`` on
+      (position, segment) structs.
+    Versus the reference: no counterpart — the reference dedups whole rows
+    only (e.g. node_data/drug.py drop_duplicates); this is engine charter.
+    """
+    base = _spread(docs).select(id_col, tokens(text_col).alias("__toks"))
+    nseg = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    segs = F.when(
+        nseg > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice("__toks", i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = materialize(
+        base.select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+        .withColumn("seg_hash", F.md5("seg"))
+    )
+    firsts = ex.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("seg_idx").alias("p"))).alias("__first"),
+        F.count(F.lit(1)).alias("__df"),
+    )
+    flagged = ex.join(firsts, "seg_hash").withColumn(
+        "__keep",
+        (F.col("__df") < min_doc_freq)
+        | ((F.col(id_col) == F.col("__first.i")) & (F.col("seg_idx") == F.col("__first.p"))),
+    )
+    # single reassembly shuffle: keep-flag travels in the collected struct so
+    # kept text, kept count, and total count come out of ONE groupBy
+    ordered = F.array_sort(F.collect_list(F.struct("seg_idx", "__keep", "seg")))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s["__keep"]), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("kept_segs"),
+        F.sum((~F.col("__keep")).cast("long")).cast("long").alias("dropped_segs"),
+    )

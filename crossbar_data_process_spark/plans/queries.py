@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     # r07 addition: sequence packing (q20_running_total's folded slot),
     # benchmarked from day one
     "q58_pack_documents",
+    # r07 addition: span-level segment dedup (q30_supplier_degree's folded
+    # slot), benchmarked from day one
+    "q59_segment_dedup",
 ]
 
 
@@ -728,6 +731,42 @@ FROM documents GROUP BY fp
 def q21_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return doc_dedup_exact(d)
+
+
+# Span-level (sub-document) exact dedup at fixed 8-token granularity — the
+# corpus-wide duplicated-substring removal pass (Lee et al. 2022) as a hash
+# problem: posexplode segments → first-occurrence by groupBy-MIN on the md5
+# (skew-safe; never a window over the hash) → ONE reassembly groupBy.
+# r07: q30_supplier_degree's folded slot (REGISTRY.md).
+@query(
+    "q59_segment_dedup",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+segs AS (
+  SELECT doc_id, i - 1 AS seg_idx,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS seg
+  FROM t, UNNEST(range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)) AS u(i)),
+flagged AS (
+  SELECT doc_id, seg_idx, seg,
+         (COUNT(*) OVER (PARTITION BY seg) < 2
+          OR ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1) AS keep
+  FROM segs)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_segs,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_segs
+FROM flagged GROUP BY doc_id
+""",
+)
+def q59_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_dedup(d, k=8, min_doc_freq=2)
 
 
 def _stop_pat() -> str:
@@ -1429,14 +1468,11 @@ def q29_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------------- graph degree (GraphX-style analytics)
-@query(
-    "q30_supplier_degree",
-    """
-SELECT l_suppkey AS supplier, COUNT(DISTINCT l_partkey) AS degree
-FROM lineitem GROUP BY l_suppkey
-""",
-)
+# --------------- graph degree (GraphX-style analytics). r07 fold: the q30
+# registry row (plain groupBy+countDistinct, a thin Spark built-in already
+# hash-checked inside q29's n_customers aggregate) moved to
+# tests/test_operator_properties.py::test_degree_matches_distinct_edge_count;
+# its slot went to q59_segment_dedup (REGISTRY.md).
 def q30_supplier_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_suppkey").alias("supplier")).agg(
@@ -2139,6 +2175,7 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # history rather than the coverage-critical ones.
 _FRONT = [
     # r07 new/reshaped surfaces first
+    "q59_segment_dedup",
     "q58_pack_documents",
     "q57_asof_two_table",
     "q25_ngram_jaccard",

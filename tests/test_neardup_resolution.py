@@ -304,3 +304,82 @@ def test_ngram_max_doc_freq_cap_semantics(spark):
         ).collect()
     }
     assert loose == exact
+
+
+# --------------------------------------------------------------- segment dedup
+def _seg_rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_dedup_unique_corpus_is_identity(spark):
+    """With no cross-corpus duplicate segments, every doc reconstructs to its
+    whitespace-normalized self (segments re-joined with single spaces)."""
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "k l m n o p q r"),
+        (3, "s t  u"),  # double space normalizes; <k tail-only doc
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_segs, r.kept_segs, r.dropped_segs)
+        for r in segment_dedup(_seg_rows(spark, rows), k=4).collect()
+    }
+    assert got == {
+        1: ("a b c d e f g h i j", 3, 3, 0),
+        2: ("k l m n o p q r", 2, 2, 0),
+        3: ("s t u", 1, 1, 0),
+    }
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    """A segment shared by several docs survives only at the lowest
+    (doc_id, position); later copies are cut out mid-document."""
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    dup = "x1 x2 x3 x4"
+    rows = [
+        (10, f"a b c d {dup}"),
+        (20, f"{dup} e f g h"),          # leading copy dropped
+        (30, f"p q r s {dup} t u v w"),  # middle copy dropped, tail kept
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.dropped_segs)
+        for r in segment_dedup(_seg_rows(spark, rows), k=4).collect()
+    }
+    assert got == {
+        10: (f"a b c d {dup}", 0),
+        20: ("e f g h", 1),
+        30: ("p q r s t u v w", 1),
+    }
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    """Repetition INSIDE one document dedups too (Gopher-style boilerplate):
+    the first copy stays at its position, later copies vanish."""
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    rows = [(1, "m1 m2 m3 m4 m1 m2 m3 m4 z1 z2 z3 z4")]
+    [r] = segment_dedup(_seg_rows(spark, rows), k=4).collect()
+    assert (r.clean_text, r.n_segs, r.kept_segs, r.dropped_segs) == (
+        "m1 m2 m3 m4 z1 z2 z3 z4", 3, 2, 1,
+    )
+
+
+def test_segment_dedup_min_doc_freq_threshold(spark):
+    """min_doc_freq=3 tolerates pairs: a segment must appear >=3 times before
+    later copies are dropped."""
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    dup = "x1 x2 x3 x4"
+    rows = [(1, dup), (2, dup), (3, f"{dup} y1 y2"), (4, "solo a b c")]
+    got = {
+        r.doc_id: (r.clean_text, r.dropped_segs)
+        for r in segment_dedup(_seg_rows(spark, rows), k=4, min_doc_freq=3).collect()
+    }
+    assert got == {
+        1: (dup, 0),
+        2: ("", 1),
+        3: ("y1 y2", 1),
+        4: ("solo a b c", 0),
+    }

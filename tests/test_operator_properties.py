@@ -147,3 +147,24 @@ def test_rollup_matches_union_of_groupings(spark):
         ("r1", None): (2, 3.0), ("r2", None): (1, 4.0),
         (None, None): (3, 7.0),
     }
+
+
+def test_degree_matches_distinct_edge_count(spark):
+    """Graph degree (the former q30 registry row, folded out in r07 for
+    q59_segment_dedup — REGISTRY.md): the groupBy+countDistinct degree must
+    equal the exact per-node distinct-neighbor set size, multi-edges
+    collapsed. The former DuckDB oracle lives on here as the expectation."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q30_supplier_degree
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {r.supplier: r.degree for r in q30_supplier_degree(s, sf).collect()}
+    want = dict(
+        duckdb.sql(
+            f"SELECT l_suppkey, COUNT(DISTINCT l_partkey) FROM "
+            f"read_parquet('{sf}/lineitem.parquet') GROUP BY l_suppkey"
+        ).fetchall()
+    )
+    assert got == want
