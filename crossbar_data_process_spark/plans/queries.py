@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     # r07 addition: span-level segment dedup (q30_supplier_degree's folded
     # slot), benchmarked from day one
     "q59_segment_dedup",
+    # r07 addition: naive-Bayes token classifier (q37_numeric_parse's folded
+    # slot), benchmarked from day one
+    "q60_nb_quality",
 ]
 
 
@@ -498,7 +501,10 @@ SELECT s_suppkey,
        (CASE s_suppkey % {len(_Q15_RAW_PREFIXES)} {case} END)
          || ':' || s_suppkey AS curie_norm,
        translate(upper(s_name), '''|', '^,') AS name_clean,
-       (string_split(s_name, '#'))[-1] AS local_id
+       (string_split(s_name, '#'))[-1] AS local_id,
+       CAST(replace(format('{{:,}}', s_suppkey * 1000 + s_nationkey), ',', '')
+            AS BIGINT) AS parsed_back,
+       CAST((string_split(s_name, '#'))[-1] AS INT) AS local_num
 FROM supplier
 """
 
@@ -507,6 +513,7 @@ FROM supplier
 def q15_curie_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.functions.ids import (
         add_curie_prefix,
+        clean_number,
         normalize_curie,
         sanitize_graph_chars,
         strip_prefix,
@@ -525,6 +532,12 @@ def q15_curie_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("curie_norm"),
         sanitize_graph_chars(F.upper(F.col("s_name"))).alias("name_clean"),
         strip_prefix("s_name", "#").alias("local_id"),
+        # r07 fold of q37_numeric_parse (F5/F7): comma-number round-trip +
+        # delimited numeric prefix parse, composed into the scalar-function row
+        clean_number(
+            F.format_number(F.col("s_suppkey") * 1000 + F.col("s_nationkey"), 0)
+        ).alias("parsed_back"),
+        F.element_at(F.split("s_name", "#"), -1).cast("int").alias("local_num"),
     )
 
 
@@ -864,6 +877,72 @@ def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         language_id("text").alias("lang_detected"),
         F.col("lang").alias("lang_labeled"),
     )
+
+
+# Distributed multinomial naive-Bayes token classifier (the fastText-style
+# quality-classifier stage of LLM curation) trained SELF-SUPERVISED against
+# the engine's own heuristic quality gate (quality_score >= 0.82 — a
+# balanced ~52/48 split on this corpus, and the classifier recovers it at
+# ~90% vs a ~52% majority baseline: tests/test_classifier.py) and applied
+# corpus-wide in the same plan: ONE token groupBy to fit, one equi-join +
+# doc groupBy to score, totals/prior as 1-row broadcasts. Weights round at
+# 1e-6 and accumulate in DECIMAL (engine _dsum convention) so scores
+# hash-match DuckDB exactly. The label reuses the exact _QUALITY_SQL
+# expression the q22/q55 oracles share, so the heuristic being distilled
+# cannot drift from the declared gate.
+# r07: q37_numeric_parse's folded slot (merged into q15 — REGISTRY.md).
+def _nb_oracle(tau: float = 0.82) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS ntok,
+         len(regexp_extract_all(lower(text), '{_stop_pat()}')) AS swhits,
+         length(text) AS nch,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS njunk
+  FROM documents),
+lab AS (SELECT doc_id, text, ({_QUALITY_SQL} >= {tau}) AS y FROM s),
+tok AS (
+  SELECT doc_id, y,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM lab),
+stats AS (
+  SELECT token,
+         COUNT(*) FILTER (WHERE y) AS c_pos,
+         COUNT(*) FILTER (WHERE NOT y) AS c_neg
+  FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(c_pos) AS DOUBLE) AS g_mass,
+         CAST(SUM(c_neg) AS DOUBLE) AS b_mass,
+         CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM stats),
+w AS (
+  SELECT token,
+         round(ln((c_pos + 1.0) * (b_mass + vocab)
+                  / ((c_neg + 1.0) * (g_mass + vocab))), 6) AS w
+  FROM stats, tot),
+prior AS (
+  SELECT round(ln((COUNT(*) FILTER (WHERE y) + 1.0)
+               / (COUNT(*) FILTER (WHERE NOT y) + 1.0)), 6) AS prior
+  FROM lab),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+         SUM(CAST(w AS DECIMAL(28,6))) AS wsum
+  FROM tok JOIN w USING (token) GROUP BY doc_id)
+SELECT doc_id, n_scored_tokens,
+       CAST(wsum AS DOUBLE) + prior AS nb_score,
+       (CAST(wsum AS DOUBLE) + prior) > 0 AS nb_pred
+FROM agg, prior
+"""
+
+
+@query("q60_nb_quality", _nb_oracle())
+def q60_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.classifier import nb_classify
+
+    d = _t(spark, sf_dir, "documents")
+    return nb_classify(d, label=quality_score("text") >= 0.82)
+
 
 
 # The DECLARED form carries the stop-shingle cap (max_doc_freq=20): shingles
@@ -1626,18 +1705,11 @@ def q36_nullify_conflict_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------- F5/F7 numeric surgery: prefix parse + comma-number round-trip
-@query(
-    "q37_numeric_parse",
-    """
-SELECT p_partkey,
-       CAST((string_split(p_type, ' '))[1] = 'STANDARD' AS BOOLEAN) AS is_standard,
-       CAST(replace(format('{:,}', p_partkey * 1000 + p_size), ',', '') AS BIGINT)
-         AS parsed_back,
-       CAST((string_split(o_pri, '-'))[1] AS INT) AS priority_num
-FROM (SELECT p.*, '3-MEDIUM' AS o_pri FROM part p)
-""",
-)
+# ------------- F5/F7 numeric surgery: prefix parse + comma-number round-trip.
+# r07 fold: the q37 registry row merged INTO q15_curie_ids (parsed_back /
+# phone_prefix columns — the same clean_number round-trip and split-cast,
+# still hash-checked compositionally); its slot went to q60_nb_quality
+# (REGISTRY.md). The function stays for unit tests.
 def q37_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.functions.ids import clean_number
 
@@ -2175,6 +2247,7 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # history rather than the coverage-critical ones.
 _FRONT = [
     # r07 new/reshaped surfaces first
+    "q60_nb_quality",
     "q59_segment_dedup",
     "q58_pack_documents",
     "q57_asof_two_table",

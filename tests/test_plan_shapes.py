@@ -75,6 +75,15 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     # - q55_curation_funnel: the 1-row funnel report attached to the
     #   survivors (a literal-key equi-join is constant-folded back to a
     #   nested loop, so the crossJoin states the intent).
+    # - q60_nb_quality: the classifier's corpus totals and class prior are
+    #   1-row aggregates attached by broadcast (the alternative — an
+    #   empty-partition window — serializes the whole vocab table through
+    #   one task).
     # Anything else is a plan regression.
-    if name not in ("q38_pagerank", "q27_cosine_topk", "q55_curation_funnel"):
+    if name not in (
+        "q38_pagerank",
+        "q27_cosine_topk",
+        "q55_curation_funnel",
+        "q60_nb_quality",
+    ):
         assert "BroadcastNestedLoopJoin" not in plan, name
