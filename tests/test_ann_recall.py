@@ -116,3 +116,71 @@ def test_multiprobe_is_monotone(spark, planted):
         ).collect()
     }
     assert base <= probed
+
+
+# --------------------------------------------------------- int8 quantization
+def test_quantize_reconstruction_error_bounded(spark):
+    """|x - qvec[i]*qscale| <= m/254 per component (half a quantization
+    step), codes stay in [-127, 127], zero vectors round-trip to zeros."""
+    from crossbar_data_process_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (
+        quantize_embeddings(df)
+        .join(df, "vec_id")
+        .select("vec_id", "embedding", "qvec", "qscale",
+                dequantize(F.col("qvec"), F.col("qscale")).alias("recon"))
+        .collect()
+    )
+    assert len(got) == 51
+    for r in got:
+        m = max(abs(x) for x in r.embedding) if any(r.embedding) else 0.0
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        for x, xh in zip(r.embedding, r.recon):
+            assert abs(x - xh) <= m / 254 + 1e-12, (r.vec_id, x, xh)
+        if m == 0.0:
+            assert r.qscale == 0.0 and all(c == 0 for c in r.qvec)
+
+
+def test_quantized_topk_matches_exact_topk(spark, planted):
+    """Ranking against int8 codes loses almost nothing on a real geometry:
+    per-query overlap with the exact float top-10 must stay >= 0.9, and
+    reported cosines stay within the quantization error envelope."""
+    from crossbar_data_process_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    df, _ = planted
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(df, queries, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_quantized(
+            quantize_embeddings(df), queries, k=10
+        ).collect()
+    }
+    overlap = len(exact.keys() & quant.keys()) / len(exact)
+    assert overlap >= 0.9, overlap
+    for key in exact.keys() & quant.keys():
+        assert abs(exact[key] - quant[key]) <= 0.02, key
+
+
+def test_quantized_schema_is_tinyint(spark, planted):
+    """The silver quantized layout must actually be 1-byte codes — a silent
+    promotion to int/long would void the 4x shrink."""
+    from crossbar_data_process_spark.operators.similarity import quantize_embeddings
+
+    df, _ = planted
+    schema = dict(quantize_embeddings(df).dtypes)
+    assert schema["qvec"] == "array<tinyint>", schema
+    assert schema["qscale"] == "double"
