@@ -71,3 +71,62 @@ def biocypher_tuples(
         for row in edges.toLocalIterator():
             props = {k: v for k, v in _props_dict(row["props"]).items() if v is not None}
             yield (None, row["src"], row["tgt"], row["label"], props)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+) -> dict[int, int]:
+    """Training-data export: a DETERMINISTIC global pseudo-shuffle into a
+    fixed shard layout — the final step that turns a curated corpus into
+    the files a training job streams.
+
+    Every row gets an order key ``md5(salt || id)``; its shard is the key's
+    leading 60 bits mod ``n_shards`` and rows inside a shard are sorted by
+    the key. Properties that matter for training reproducibility:
+
+    - no RNG anywhere: the same corpus + salt yields byte-identical shard
+      contents on any cluster size, input partitioning, or engine (md5 is
+      portable — same rationale as operators/sampling.py);
+    - the hash order is a high-quality shuffle: adjacent source documents
+      land in unrelated shards/positions, so sequential shard reads see a
+      decorrelated stream (vary ``salt`` per epoch for a fresh permutation);
+    - one repartition on the shard id + a sortWithinPartitions is the
+      entire cost — the minimum any global shuffle pays; each shard is
+      written by exactly one task, so readers get one file per shard dir.
+
+    Returns {shard: row_count} (bounded by n_shards) and writes the same
+    counts to ``<path>/manifest.json`` for the training job's sanity check.
+    """
+    import json
+    import os
+
+    key = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
+    out = (
+        df.withColumn("__key", key)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("__key", 1, 15), 16, 10).cast("long"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__key", id_col)
+        .drop("__key")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    counts = {
+        int(r.shard): int(r.n)
+        for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(
+            {"n_shards": n_shards, "salt": salt, "id_col": id_col, "shards": counts},
+            fh,
+            sort_keys=True,
+        )
+    return counts

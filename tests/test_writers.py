@@ -65,3 +65,61 @@ def test_biocypher_tuples_struct_props(spark):
         None, "drugbank:DB1", "uniprot:P1", "drug_targets_protein",
         {"pchembl": "6.1"},
     )
+
+
+def _shard_rows(path):
+    """Per-shard row sequences in on-disk file order (one file per shard)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        files = sorted(glob.glob(f"{d}/*.parquet"))
+        assert len(files) == 1, (shard, files)  # one writer task per shard
+        t = pq.read_table(files[0])
+        out[shard] = list(zip(*[t.column(c).to_pylist() for c in t.column_names]))
+    return out
+
+
+def test_training_shards_deterministic_across_partitionings(spark, tmp_path):
+    from crossbar_data_process_spark.sources.writers import write_training_shards
+
+    rows = [(i, f"doc {i} text") for i in range(500)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    df2 = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(11)
+    c1 = write_training_shards(df1, str(tmp_path / "a"), n_shards=4)
+    c2 = write_training_shards(df2, str(tmp_path / "b"), n_shards=4)
+    assert c1 == c2
+    assert _shard_rows(str(tmp_path / "a")) == _shard_rows(str(tmp_path / "b"))
+
+
+def test_training_shards_cover_and_balance(spark, tmp_path):
+    import json
+
+    from crossbar_data_process_spark.sources.writers import write_training_shards
+
+    rows = [(i, f"doc {i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = write_training_shards(df, str(tmp_path / "s"), n_shards=8)
+    assert sum(counts.values()) == 1000
+    assert set(counts) == set(range(8))
+    assert min(counts.values()) > 1000 / 8 * 0.6  # md5 spreads evenly
+    got = {r[0] for rows_ in _shard_rows(str(tmp_path / "s")).values() for r in rows_}
+    assert got == set(range(1000))  # no loss, no duplication
+    manifest = json.load(open(tmp_path / "s" / "manifest.json"))
+    assert manifest["n_shards"] == 8
+    assert {int(k): v for k, v in manifest["shards"].items()} == counts
+
+
+def test_training_shards_salt_changes_order_not_content(spark, tmp_path):
+    from crossbar_data_process_spark.sources.writers import write_training_shards
+
+    rows = [(i, f"doc {i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    write_training_shards(df, str(tmp_path / "e0"), n_shards=4, salt="epoch0")
+    write_training_shards(df, str(tmp_path / "e1"), n_shards=4, salt="epoch1")
+    a = _shard_rows(str(tmp_path / "e0"))
+    b = _shard_rows(str(tmp_path / "e1"))
+    flat = lambda m: {r for rs in m.values() for r in rs}
+    assert flat(a) == flat(b)  # same corpus
+    assert a != b  # fresh permutation per epoch
