@@ -166,14 +166,25 @@ def write_assigned_corpus(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> None:
     """The 100 TB silver layout: assign every vector to its list ONCE (a
     pure projection — no join) and write partitioned BY the cluster id.
     Probe-time reads then touch only the probed lists' directories (static
-    or dynamic partition pruning) instead of scanning the corpus."""
-    vectors.withColumn(
-        "cluster", ivf_assign(F.col(vec_col), centroids)
-    ).write.mode("overwrite").partitionBy("cluster").parquet(path)
+    or dynamic partition pruning) instead of scanning the corpus.
+
+    ``quantize=True`` stores int8 codes + qscale instead of the float
+    vector (similarity.quantize_embeddings): a 4x smaller silver table,
+    read back with ``ivf_topk_assigned(..., quantized=True)``. Assignment
+    still uses the full-precision vector — only storage is quantized."""
+    assigned = vectors.withColumn("cluster", ivf_assign(F.col(vec_col), centroids))
+    if quantize:
+        from crossbar_data_process_spark.operators.similarity import (
+            quantize_embeddings,
+        )
+
+        assigned = quantize_embeddings(assigned, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
 
 
 def ivf_topk_assigned(
@@ -185,16 +196,21 @@ def ivf_topk_assigned(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF top-k over a pre-assigned, cluster-partitioned corpus (see
     :func:`write_assigned_corpus`): the probe join keys on the PARTITION
     column, so Spark's dynamic partition pruning restricts the scan to the
     probed lists — the I/O is ≈ nprobe/nlist of the corpus, not a full
     scan followed by a filter (pinned in tests/test_ivf_ann.py by the
-    ``dynamicpruning`` marker in the scan node)."""
+    ``dynamicpruning`` marker in the scan node).
+
+    ``quantized=True`` reads an int8 silver layout (4x less probe I/O) and
+    ranks against the raw codes — cosine is scale-invariant, so qscale
+    never enters the hot path; only quantization rounding costs recall."""
     corpus = spark.read.parquet(path).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        F.col("qvec" if quantized else vec_col).alias("cv"),
         F.col("cluster").cast("int").alias("cluster"),
     )
     probes = queries.select(

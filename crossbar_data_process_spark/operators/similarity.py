@@ -277,10 +277,9 @@ def neighbor_pairs_lsh(
 
 def quantize_embeddings(
     vectors: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-vector symmetric int8 quantization: (id, qvec: array<tinyint>,
+    """Per-vector symmetric int8 quantization: (…, qvec: array<tinyint>,
     qscale: double) with ``x ≈ qvec[i] * qscale``. 4x smaller than float32
     (16x vs float64) — at 100 TB the quantized corpus is what gets stored
     in the ANN silver layout and shuffled through candidate joins, so the
@@ -291,26 +290,27 @@ def quantize_embeddings(
     bit-identical in Spark and any SQL oracle, unlike round() whose
     half-case direction is engine-specific. Max quantization error per
     component is m/254. Zero vectors quantize to all-zero codes, qscale 0.
+
+    Columns other than ``vec_col`` pass through untouched (so cluster ids,
+    doc metadata, etc. ride along into the silver layout).
     """
     m_expr = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
     # bind m in its own projection so the O(d) max is evaluated once per
     # row, not re-inlined per element inside the transform lambda
-    pre = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("__v"), m_expr.alias("__m")
-    )
+    pre = vectors.select("*", m_expr.alias("__m"))
     qvec = F.when(
         F.col("__m") > 0,
         F.transform(
-            F.col("__v"),
+            F.col(vec_col),
             lambda x: F.floor(x.cast("double") * 127.0 / F.col("__m") + 0.5).cast(
                 "tinyint"
             ),
         ),
-    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0).cast("tinyint")))
+    ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")))
     return pre.select(
-        id_col,
+        *[c for c in vectors.columns if c != vec_col],
         qvec.alias("qvec"),
         (F.col("__m") / 127.0).alias("qscale"),
     )
