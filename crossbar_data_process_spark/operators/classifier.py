@@ -157,3 +157,59 @@ def _token_table(
         F.lower(F.col(text_col)).alias("__lt"),
     )
     return pre.select(id_col, "y", F.explode(tokens("__lt")).alias("token"))
+
+
+def nb_export_model(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    scale: int = 6,
+) -> tuple[dict[str, float], float]:
+    """Train and EXPORT the classifier as a plain (weights, prior) artifact
+    — the deployment form. A trained token model is bounded by its
+    vocabulary (fastText ships whole models in megabytes), so collecting it
+    is a model-artifact collect, not data-sized driver state; pair with
+    ``nb_score_expr`` to score new corpora or streams without retraining.
+    """
+    w = {r["token"]: float(r["w"]) for r in nb_train_weights(
+        docs, label, text_col=text_col, id_col=id_col, alpha=alpha, scale=scale
+    ).collect()}
+    [p] = docs.select(label.alias("y")).agg(
+        F.round(
+            F.log(
+                (F.sum(F.col("y").cast("long")) + F.lit(alpha))
+                / (F.sum((~F.col("y")).cast("long")) + F.lit(alpha))
+            ),
+            scale,
+        ).alias("prior")
+    ).collect()
+    return w, float(p["prior"])
+
+
+def nb_score_expr(
+    weights: dict[str, float], prior: float, text_col: str | Column = "text"
+) -> Column:
+    """Scan-side scoring expression for an exported model: posterior
+    log-odds of a document under (weights, prior), as ONE Column — no
+    explode, no join, no shuffle, and therefore directly usable in a
+    streaming `select` (stateless: stream rows score as they arrive).
+    Tokens outside the trained vocabulary contribute 0, matching
+    ``nb_classify``'s inner-join semantics. The fold accumulates the
+    1e-6-rounded weights in order-independent integer micros, so batch and
+    streaming scores are bit-identical to the join-based plan.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lookup = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in sorted(weights)]),
+        # weights are multiples of 1e-6 by the training contract; integer
+        # micros make the fold exact regardless of summation order
+        F.array(*[F.lit(int(round(weights[t] * 1_000_000))) for t in sorted(weights)]),
+    )
+    micros = F.aggregate(
+        tokens(F.lower(c)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(lookup[t], F.lit(0).cast("long")),
+    )
+    return (micros.cast("double") / 1_000_000.0 + F.lit(prior)).alias("nb_score")
