@@ -168,3 +168,51 @@ def test_degree_matches_distinct_edge_count(spark):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_segment_dedup_matches_reference(spark, docs_tokens):
+    """segment_dedup == a transparent Python reference on random corpora
+    over a tiny alphabet (max collision pressure): same survivors, same
+    first-occurrence choice, same counts."""
+    from crossbar_data_process_spark.operators.textdedup import segment_dedup
+
+    k, min_df = 3, 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+
+    segs = []  # (doc_id, seg_idx, seg)
+    for did, toks in enumerate(docs_tokens):
+        for j in range(0, (len(toks) + k - 1) // k):
+            segs.append((did, j, " ".join(toks[j * k : j * k + k])))
+    from collections import Counter
+
+    df_counts = Counter(sg for _, _, sg in segs)
+    first = {}
+    for did, j, sg in sorted(segs):
+        first.setdefault(sg, (did, j))
+    want = {}
+    for did, toks in enumerate(docs_tokens):
+        mine = [(j, sg) for d, j, sg in segs if d == did]
+        kept = [
+            sg
+            for j, sg in mine
+            if df_counts[sg] < min_df or first[sg] == (did, j)
+        ]
+        if mine:
+            want[did] = (" ".join(kept), len(mine), len(kept), len(mine) - len(kept))
+
+    s = _spark()
+    got = {
+        r.doc_id: (r.clean_text, r.n_segs, r.kept_segs, r.dropped_segs)
+        for r in segment_dedup(
+            s.createDataFrame(rows, "doc_id long, text string"), k=k, min_doc_freq=min_df
+        ).collect()
+    }
+    assert got == want

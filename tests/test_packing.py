@@ -91,3 +91,39 @@ def test_packing_plan_is_one_exchange(spark, corpus):
     plan = pack_documents(corpus, budget=64)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+def test_curate_pack_shard_end_to_end(spark, tmp_path):
+    """The full training-prep path composes: curated docs -> fixed-budget
+    packs -> deterministic shards on disk. Every curated doc appears in
+    exactly one pack and exactly one shard; the shard layout is reproducible
+    from a differently-partitioned input."""
+    from crossbar_data_process_spark.operators.packing import pack_documents
+    from crossbar_data_process_spark.sources.writers import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_documents(docs, budget=512, n_buckets=8)
+    n_docs = docs.count()
+    assert packed.count() == n_docs
+
+    joined = packed.join(docs.select("doc_id", "text"), "doc_id")
+    c1 = write_training_shards(joined, str(tmp_path / "a"), n_shards=4)
+    c2 = write_training_shards(
+        joined.repartition(17), str(tmp_path / "b"), n_shards=4
+    )
+    assert sum(c1.values()) == n_docs
+    assert c1 == c2
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    def rows(path):
+        out = {}
+        for d in sorted(_glob.glob(f"{path}/shard=*")):
+            [f] = _glob.glob(f"{d}/*.parquet")
+            t = pq.read_table(f, columns=["doc_id", "pack_id", "pack_pos"])
+            out[d.rsplit("=", 1)[1]] = list(
+                zip(t.column("doc_id").to_pylist(), t.column("pack_id").to_pylist())
+            )
+        return out
+
+    assert rows(str(tmp_path / "a")) == rows(str(tmp_path / "b"))
