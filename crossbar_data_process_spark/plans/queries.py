@@ -843,8 +843,30 @@ def _doc_profile_oracle() -> str:
         "FROM (SELECT list_filter(regexp_split_to_array(trim(s.text), "
         "'\\s+'), x -> x <> '') AS t2))"
     )
+    # r07-late: + log_ppl (corpus unigram-LM surprisal, the CCNet
+    # perplexity-filter analogue — operators/lm.py). The LM CTEs mirror
+    # doc_surprisal exactly: Lidstone α=0.5, logp rounded 1e-6, DECIMAL
+    # accumulation, one IEEE division; perplexity = e^log_ppl (log form
+    # reported so no cross-engine exp() enters the hash).
     return f"""
-WITH {_profile_ctes()}
+WITH {_profile_ctes()},
+tok2 AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+cnt2 AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
+tot2 AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS t_mass, CAST(COUNT(*) AS DOUBLE) AS vocab
+  FROM cnt2),
+lp AS (
+  SELECT token, round(ln((c + 0.5) / (t_mass + 0.5 * vocab)), 6) AS logp
+  FROM cnt2, tot2),
+ppl AS (
+  SELECT doc_id,
+         round(-CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+           AS log_ppl
+  FROM tok2 JOIN lp USING (token) GROUP BY doc_id)
 SELECT s.doc_id,
        CAST(ntok AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS bpe_tokens,
@@ -852,9 +874,11 @@ SELECT s.doc_id,
        n_chars,
        {_QUALITY_SQL} AS quality,
        {dup3} AS dup_3gram_ratio,
+       ppl.log_ppl AS log_ppl,
        COALESCE(best.lang, 'und') AS lang_detected,
        s.lang AS lang_labeled
 FROM s LEFT JOIN best ON s.doc_id = best.doc_id
+       LEFT JOIN ppl ON s.doc_id = ppl.doc_id
 """
 
 
@@ -864,9 +888,10 @@ def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count,
         duplicate_ngram_ratio,
     )
+    from crossbar_data_process_spark.operators.lm import doc_surprisal
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    profile = d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
         bpe_token_count("text").cast("long").alias("bpe_tokens"),
@@ -876,6 +901,12 @@ def q22_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_ngram_ratio("text", n=3).alias("dup_3gram_ratio"),
         language_id("text").alias("lang_detected"),
         F.col("lang").alias("lang_labeled"),
+    )
+    # r07-late: + unigram-LM surprisal (left join keeps zero-token docs)
+    ppl = doc_surprisal(d).select("doc_id", "log_ppl")
+    return profile.join(ppl, "doc_id", "left").select(
+        "doc_id", "n_tokens", "bpe_tokens", "fp", "n_chars", "quality",
+        "dup_3gram_ratio", "log_ppl", "lang_detected", "lang_labeled",
     )
 
 

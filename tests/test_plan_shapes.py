@@ -79,11 +79,14 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     #   1-row aggregates attached by broadcast (the alternative — an
     #   empty-partition window — serializes the whole vocab table through
     #   one task).
+    # - q22_doc_profile: the unigram-LM leg (log_ppl) attaches the corpus
+    #   token-mass/vocab totals the same way (operators/lm.py).
     # Anything else is a plan regression.
     if name not in (
         "q38_pagerank",
         "q27_cosine_topk",
         "q55_curation_funnel",
         "q60_nb_quality",
+        "q22_doc_profile",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
