@@ -46,6 +46,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
     max_dup_ngram_ratio: float | None = None,
+    max_log_ppl: float | None = None,
     redact_pii_output: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
@@ -60,9 +61,13 @@ def curate_documents(
     ``max_dup_ngram_ratio``, documents whose Gopher-style
     ``duplicate_ngram_ratio`` exceeds the cap are dropped in the SAME
     scan-side gate as quality/language (one filter, no extra pass). With
-    ``redact_pii_output``, surviving text is PII-scrubbed in the final
-    projection (``functions.pii.redact_pii``). All default off so the
-    q55 oracle pipeline is unchanged."""
+    ``max_log_ppl``, a unigram LM fit on the RAW corpus (operators/lm.py —
+    the CCNet perplexity-filter analogue, self-supervised) drops documents
+    whose mean token surprisal exceeds the cap; this gate is a join, not a
+    scan expression, so it runs after the scan-side gates on the already-
+    thinned stream. With ``redact_pii_output``, surviving text is
+    PII-scrubbed in the final projection (``functions.pii.redact_pii``).
+    All default off so the q55 oracle pipeline is unchanged."""
     from crossbar_data_process_spark.functions.text import (
         duplicate_ngram_ratio,
     )
@@ -84,6 +89,17 @@ def curate_documents(
             duplicate_ngram_ratio(text_col) <= max_dup_ngram_ratio
         )
     gated = profiled.filter(gate)
+    if max_log_ppl is not None:
+        from crossbar_data_process_spark.operators.lm import doc_surprisal
+
+        ppl = doc_surprisal(docs, text_col=text_col, id_col=id_col).select(
+            id_col, "log_ppl"
+        )
+        gated = (
+            gated.join(ppl, id_col)
+            .filter(F.col("log_ppl") <= max_log_ppl)
+            .drop("log_ppl")
+        )
     if benchmark is not None:
         flagged = contamination_flags(
             gated, benchmark, text_col=text_col, id_col=id_col,

@@ -90,3 +90,30 @@ def test_curation_with_repetition_gate(spark, corpus):
     doc 6 survives. Default-off behavior is pinned by the other tests."""
     capped = curate_documents(corpus, max_dup_ngram_ratio=0.3)
     assert {r.doc_id for r in capped.collect()} == {6}
+
+
+def test_perplexity_gate_drops_out_of_distribution(spark):
+    """max_log_ppl: documents whose tokens are corpus-atypical (high mean
+    surprisal under the self-fit unigram LM) are dropped; default off
+    leaves the funnel unchanged."""
+    from crossbar_data_process_spark.operators.lm import doc_surprisal
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again", "en")
+        for i in range(30)
+    ]
+    rows.append((100, "zq wvx jkl pqm zzz yyy xxx www vvv uuu", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    base = curate_documents(docs, min_quality=0.0, languages=("en", "und"))
+    base_ids = {r.doc_id for r in base.collect()}
+    assert 100 in base_ids  # no ppl gate -> OOD doc survives
+
+    ppl = {r.doc_id: r.log_ppl for r in doc_surprisal(docs).collect()}
+    cut = (ppl[0] + ppl[100]) / 2
+    gated = curate_documents(
+        docs, min_quality=0.0, languages=("en", "und"), max_log_ppl=cut
+    )
+    gated_ids = {r.doc_id for r in gated.collect()}
+    assert 100 not in gated_ids
+    assert base_ids - gated_ids == {100}
