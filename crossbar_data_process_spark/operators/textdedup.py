@@ -622,3 +622,160 @@ def segment_dedup(
         F.sum(F.col("__keep").cast("long")).cast("long").alias("kept_segs"),
         F.sum((~F.col("__keep")).cast("long")).cast("long").alias("dropped_segs"),
     )
+
+
+def dedup_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> dict[str, DataFrame]:
+    """The INCREMENTAL-dedup silver index: three tables built in one pass
+    over the corpus, persisted once, appended per ingest batch. Production
+    pipelines never re-dedup the whole corpus when a batch lands — they
+    check the batch against this index (:func:`flag_against_index`) and
+    append the survivors' rows.
+
+    - ``fingerprints`` (fp, doc): exact-dup membership, one anti-join;
+    - ``buckets`` (band, key, doc): the LSH band-bucket table — the same
+      permutation family and band layout as :func:`minhash_lsh_pairs`, so
+      a new doc's buckets collide with the corpus exactly as they would in
+      a full-corpus run;
+    - ``shingles`` (doc, sh, nsh): shingle sets for the exact-Jaccard
+      verify of bucket collisions.
+
+    All three shuffle on hash-like keys and scale linearly; the bucket and
+    shingle tables are the same intermediates a full minhash_lsh_pairs run
+    builds — stored instead of discarded.
+    """
+    idx = materialize(_shingle_index(docs, text_col, id_col, n))
+    sigs = _signatures_from_index(idx, num_hashes)
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sigs.select("doc", F.explode(band_arr).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    fingerprints = docs.select(
+        F.col(id_col).alias("doc"), doc_fingerprint(text_col).alias("fp")
+    )
+    return {"fingerprints": fingerprints, "buckets": buckets, "shingles": idx}
+
+
+def flag_against_index(
+    new_docs: DataFrame,
+    index: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Check an ingest batch against a :func:`dedup_index`: returns one row
+    per DUPLICATE new document — (id, dup_kind 'exact'|'near', matched_doc,
+    jaccard) with the lowest-id corpus match as the deterministic witness
+    (jaccard is NULL for exact matches; they skip shingling entirely).
+    Survivors = ``new_docs.join(flags, id, "left_anti")``; extend the index
+    with ``dedup_index(survivors)`` unioned table-wise.
+
+    Scale shape: everything is sized by the BATCH, not the corpus — the fp
+    check is one equi-join against the fingerprint table; only fp-novel
+    docs are shingled; the bucket probe is an equi-join on (band, key);
+    the verify joins the corpus shingle table only for collided docs.
+    (n / num_hashes / bands must match the index build — same permutation
+    constants, same band keys.)
+    """
+    new_fp = new_docs.select(
+        F.col(id_col).alias("doc"), doc_fingerprint(text_col).alias("fp")
+    )
+    exact = (
+        new_fp.join(
+            index["fingerprints"].select(
+                "fp", F.col("doc").alias("matched_doc")
+            ),
+            "fp",
+        )
+        .groupBy("doc")
+        .agg(F.min("matched_doc").alias("matched_doc"))
+        .select(
+            F.col("doc").alias(id_col),
+            F.lit("exact").alias("dup_kind"),
+            "matched_doc",
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    exact = materialize(exact)
+
+    novel = new_docs.join(
+        exact.select(F.col(id_col)), id_col, "left_anti"
+    )
+    new_idx = materialize(_shingle_index(novel, text_col, id_col, n))
+    new_sigs = _signatures_from_index(new_idx, num_hashes)
+    r = num_hashes // bands
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.element_at("sig", bi * r + j + 1) for j in range(r)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    new_buckets = new_sigs.select("doc", F.explode(band_arr).alias("bk")).select(
+        F.col("doc").alias("new_doc"),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    cand = (
+        new_buckets.join(
+            index["buckets"].select(
+                "band", "key", F.col("doc").alias("corpus_doc")
+            ),
+            ["band", "key"],
+        )
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    ia = new_idx.select(
+        F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na")
+    )
+    ib = index["shingles"].select(
+        F.col("doc").alias("corpus_doc"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb")
+    )
+    near = (
+        cand.join(ia, "new_doc")
+        .join(ib, "corpus_doc")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_doc")
+        .agg(
+            F.min(
+                F.struct(F.col("corpus_doc").alias("m"), F.col("jaccard").alias("j"))
+            ).alias("__best")
+        )
+        .select(
+            F.col("new_doc").alias(id_col),
+            F.lit("near").alias("dup_kind"),
+            F.col("__best.m").alias("matched_doc"),
+            F.col("__best.j").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near)
