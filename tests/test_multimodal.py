@@ -533,3 +533,85 @@ def test_png_zip_bomb_and_fuzz_never_raise():
         assert out is None or out.dtype.name == "uint8"
 
     corrupt()
+
+
+# -------------------- r07: perceptual image hashing + hamming near-dup pairs
+def _gradient_pixels(h, w, bump=None):
+    """Grayscale gradient image as nested [row][pixel] ints; `bump`
+    optionally brightens one (y, x) cell to perturb the image."""
+    px = [[(x * 255) // (w + y + 1) for x in range(w)] for y in range(h)]
+    if bump:
+        y, x = bump
+        px[y][x] = min(255, px[y][x] + 120)
+    return px
+
+
+def test_dhash_identical_and_resized_images_collide(spark):
+    from crossbar_data_process_spark.operators.multimodal import image_dhash
+
+    big = _encode_png(_gradient_pixels(64, 64), 0, [0])
+    small = _encode_png(
+        [row[::2] for row in _gradient_pixels(64, 64)[::2]], 0, [0]
+    )  # the same image at half resolution
+    other = _encode_png(
+        [[255 - v for v in row] for row in _gradient_pixels(64, 64)], 0, [0]
+    )  # inverted gradient: structurally opposite
+    df = spark.createDataFrame(
+        [("a", big, None), ("b", big, None), ("c", small, None), ("d", other, None)],
+        "media_id string, payload binary, meta string",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert got["a"] == got["b"]  # bit-identical for identical payloads
+    assert bin((got["a"] ^ got["c"]) & ((1 << 64) - 1)).count("1") <= 6
+    assert bin((got["a"] ^ got["d"]) & ((1 << 64) - 1)).count("1") > 20
+
+
+def test_hamming_pairs_banded_exact_recall(spark):
+    """Pairs within max_hamming < bands are ALWAYS found (pigeonhole);
+    distant hashes never pair. Verified against brute force on a planted
+    set including negative int64 hashes (sign-safe slicing)."""
+    from crossbar_data_process_spark.operators.multimodal import hamming_pairs
+
+    base = 0x1234_5678_9ABC_DEF0
+    rows = [
+        ("h0", _signed(base)),
+        ("h1", _signed(base ^ 0b101)),            # hamming 2
+        ("h2", _signed(base ^ (1 << 63))),        # hamming 1, flips the sign bit
+        ("h3", _signed(~base & ((1 << 64) - 1))), # hamming 64
+        ("h4", None),                              # ignored
+    ]
+    df = spark.createDataFrame(rows, "media_id string, dhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, max_hamming=6).collect()
+    }
+    assert got == {("h0", "h1"): 2, ("h0", "h2"): 1, ("h1", "h2"): 3}
+
+
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_image_dedup_end_to_end(spark):
+    """decode -> dhash -> hamming pairs: re-encoded/perturbed copies pair
+    up, unrelated images do not — image near-dup dedup without any pixel
+    joins."""
+    from crossbar_data_process_spark.operators.multimodal import (
+        hamming_pairs,
+        image_dhash,
+    )
+
+    orig = _encode_png(_gradient_pixels(32, 32), 0, [0])
+    tweaked = _encode_png(_gradient_pixels(32, 32, bump=(5, 5)), 0, [0])
+    inverted = _encode_png(
+        [[255 - v for v in row] for row in _gradient_pixels(32, 32)], 0, [0]
+    )
+    df = spark.createDataFrame(
+        [("orig", orig, None), ("tweak", tweaked, None), ("inv", inverted, None)],
+        "media_id string, payload binary, meta string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in hamming_pairs(image_dhash(df), max_hamming=6).collect()
+    }
+    assert ("orig", "tweak") in pairs
+    assert not any("inv" in p for p in pairs)
