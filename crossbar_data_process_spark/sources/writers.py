@@ -130,3 +130,65 @@ def write_training_shards(
             sort_keys=True,
         )
     return counts
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    target_files: int = 32,
+) -> None:
+    """Z-order-clustered parquet (the lakehouse OPTIMIZE ZORDER layout):
+    rows are sorted by the bit-interleaving of the min-max-scaled cluster
+    columns, so EVERY clustered column has narrow per-file min/max ranges
+    — parquet footer stats then prune files/row-groups for predicates on
+    ANY of them, where a plain sort only prunes its leading column.
+
+    Mechanics: one tiny agg collects global (min, max) per column
+    (2·|cols| scalars — never data-sized); each value scales linearly to
+    ``bits`` bits; the z-value interleaves them scan-side as pure bit
+    arithmetic (no UDF); ``repartitionByRange`` on the z-value + an
+    in-partition sort gives ``target_files`` contiguous z-range files.
+    Cost is the one range shuffle any clustering pays. NULLs scale to 0
+    (they cluster together at the z-origin). ``bits * len(cols)`` must
+    fit in 63 bits.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError("bits * len(cols) must fit in a signed 64-bit z-value")
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                    / F.lit(span)
+                    * top
+                ).cast("long"),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(s, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -109,3 +109,56 @@ def test_batch_sized_work_only(spark):
     flags = flag_against_index(new, idx).collect()
     assert len(flags) == 3
     assert all(r.dup_kind == "exact" and r.jaccard is None for r in flags)
+
+
+def test_streaming_ingest_dedups_against_index(spark, tmp_path):
+    """The streaming ingestion story: micro-batches flow through
+    foreachBatch, each batch is flagged against the persisted corpus index
+    and only survivors land in gold — exact dups across *earlier batches*
+    are caught by extending the index between batches."""
+    import glob
+
+    corpus = _df(spark, CORPUS)
+    index = {k: v.localCheckpoint() for k, v in dedup_index(corpus).items()}
+
+    inbox = str(tmp_path / "inbox")
+    gold = str(tmp_path / "gold")
+    batch1 = [(10, CORPUS[0][1]), (11, "fresh astronomy text about distant spiral galaxies and nebulae")]
+    batch2 = [(12, batch1[1][1]), (13, "another brand new document on deep sea biology and vents")]
+    _df(spark, batch1).coalesce(1).write.mode("append").parquet(inbox)
+
+    state = {"index": index}
+
+    def sink(bdf, bid):
+        flags = flag_against_index(bdf, state["index"], threshold=0.4)
+        survivors = bdf.join(flags.select("doc_id"), "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(gold)
+        delta = dedup_index(survivors)
+        state["index"] = {
+            k: state["index"][k].unionByName(delta[k]).localCheckpoint()
+            for k in delta
+        }
+
+    schema = _df(spark, batch1).schema
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    _df(spark, batch2).coalesce(1).write.mode("append").parquet(inbox)
+    run_stream()
+
+    landed = {r.doc_id for r in spark.read.parquet(gold).collect()}
+    # 10 = exact dup of corpus doc 1 -> dropped; 12 = exact dup of batch-1
+    # survivor 11 (caught only because the index grew between batches)
+    assert landed == {11, 13}
+    assert glob.glob(f"{gold}/*.parquet")

@@ -123,3 +123,73 @@ def test_training_shards_salt_changes_order_not_content(spark, tmp_path):
     flat = lambda m: {r for rs in m.values() for r in rs}
     assert flat(a) == flat(b)  # same corpus
     assert a != b  # fresh permutation per epoch
+
+
+def _per_file_spans(path, cols):
+    """Per-file (min, max) spans from parquet footer stats, per column."""
+    import pyarrow.parquet as pq
+
+    spans = {c: [] for c in cols}
+    for fp in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(fp)
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in cols:
+            if lo[c] is not None:
+                spans[c].append(hi[c] - lo[c])
+    return spans
+
+
+def test_zorder_narrows_every_clustered_column(spark, tmp_path):
+    """Z-order vs single-column sort: the sorted layout only prunes its
+    leading column; the z-ordered layout gives BOTH columns per-file spans
+    well under the global range — the multi-dimensional pruning win."""
+    from crossbar_data_process_spark.sources.writers import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n = li.count()
+    cols = ["l_orderkey", "l_partkey"]
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    write_zordered(li, zpath, cols, target_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    assert spark.read.parquet(zpath).count() == n  # lossless
+
+    glob_span = {
+        c: v
+        for c, v in zip(
+            cols,
+            li.agg(
+                *[
+                    (F.max(c).cast("double") - F.min(c).cast("double")).alias(c)
+                    for c in cols
+                ]
+            ).collect()[0],
+        )
+    }
+    zs = _per_file_spans(zpath, cols)
+    ss = _per_file_spans(spath, cols)
+    avg = lambda xs: sum(xs) / len(xs)
+    for c in cols:
+        # every clustered dim is localized: mean per-file span < 45% of global
+        assert avg(zs[c]) < 0.45 * glob_span[c], (c, avg(zs[c]), glob_span[c])
+    # the single-sort layout localizes its leading column BETTER than
+    # z-order (that's the trade) but leaves the other column unclustered
+    assert avg(ss["l_orderkey"]) < avg(zs["l_orderkey"])
+    assert avg(ss["l_partkey"]) > 0.9 * glob_span["l_partkey"]
