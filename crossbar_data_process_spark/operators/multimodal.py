@@ -744,3 +744,73 @@ def hamming_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("afp", LongType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, n_frames: int = 8, n_bands: int = 9) -> DataFrame:
+    """Perceptual audio fingerprint (Haitsma-Kalker shape): the clip is cut
+    into ``n_frames`` equal windows, each window's spectrum is folded into
+    ``n_bands`` log-spaced band energies, and each bit answers "did this
+    band gain energy relative to the previous band and previous frame?" —
+    ``n_frames x (n_bands-1)`` = 64 bits, an int64 that near-identical
+    audio (re-encoded, slightly trimmed, gain-changed) reproduces within a
+    few Hamming bits. Energy RATIOS make it gain-invariant by
+    construction. Feed :func:`hamming_pairs` (the image-dedup machinery —
+    one fingerprint family, three modalities). Non-PCM payloads → NULL."""
+    import numpy as np
+
+    if n_frames * (n_bands - 1) != 64:
+        raise ValueError("n_frames * (n_bands - 1) must equal 64")
+
+    def _fp(payload: bytes | None):
+        pcm = _wav_pcm(payload)
+        if pcm is None:
+            return None
+        a, rate, nch = pcm
+        if not rate or a.size < 2 * nch:
+            return None
+        if nch > 1:
+            a = a[: (a.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+        if a.size < 2 * n_frames:
+            return None
+        step = a.size // n_frames
+        edges = np.geomspace(20.0, rate / 2.0, n_bands + 1)
+        E = np.zeros((n_frames, n_bands))
+        for fi in range(n_frames):
+            seg = a[fi * step : (fi + 1) * step]
+            p = np.abs(np.fft.rfft(seg * np.hanning(seg.size))) ** 2
+            p[0] = 0.0
+            freqs = np.fft.rfftfreq(seg.size, d=1.0 / rate)
+            idx = np.clip(np.searchsorted(edges, freqs) - 1, 0, n_bands - 1)
+            E[fi] = np.bincount(idx, weights=p, minlength=n_bands)[:n_bands]
+        v = 0
+        for fi in range(n_frames):
+            for bi in range(n_bands - 1):
+                d = E[fi, bi] - E[fi, bi + 1]
+                if fi > 0:
+                    d -= E[fi - 1, bi] - E[fi - 1, bi + 1]
+                v = (v << 1) | int(d > 0)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return (v, rate)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_fp(p) or (None, None) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "sample_rate": pd.array([r[1] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -615,3 +615,68 @@ def test_image_dedup_end_to_end(spark):
     }
     assert ("orig", "tweak") in pairs
     assert not any("inv" in p for p in pairs)
+
+
+# ----------------------------------- r07: perceptual audio fingerprinting
+def _wav_from_samples(samples, rate=8000):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_fingerprint_gain_invariant_and_discriminative(spark):
+    """The fingerprint is built from band-energy RATIOS: a gain-scaled copy
+    hashes within a few bits; a different signal (chirp vs tone) is far."""
+    import math
+
+    from crossbar_data_process_spark.operators.multimodal import (
+        audio_fingerprint,
+        hamming_pairs,
+    )
+
+    import numpy as np
+
+    # broadband program material: every log band carries real energy, so
+    # the ratio bits are decided by signal, not numeric noise (a pure tone
+    # leaves most bands empty and their bits are sign-of-noise coin flips)
+    n, rate = 4096, 8000
+    rng = np.random.default_rng(3)
+    base = np.cumsum(rng.normal(size=n))  # brownish: energy at all scales
+    base = base / np.abs(base).max()
+    tone = [int(24000 * v) for v in base]
+    quiet = [v // 3 for v in tone]
+    chirp = [
+        int(12000 * math.sin(2 * math.pi * (200 + 1500 * t / n) * t / rate))
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(media_id="tone", payload=_wav_from_samples(tone), meta=None),
+            Row(media_id="quiet", payload=_wav_from_samples(quiet), meta=None),
+            Row(media_id="chirp", payload=_wav_from_samples(chirp), meta=None),
+            Row(media_id="junk", payload=b"\x00\x01\x02", meta=None),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    fps = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert fps["junk"] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fps["tone"], fps["quiet"]) <= 6
+    assert ham(fps["tone"], fps["chirp"]) > 12
+
+    # the image-dedup machinery is modality-agnostic: same pairs operator
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_pairs(
+            audio_fingerprint(df), hash_col="afp", max_hamming=6
+        ).collect()
+    }
+    assert ("quiet", "tone") in pairs
+    assert not any("chirp" in p for p in pairs)
