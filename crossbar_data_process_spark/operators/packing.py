@@ -127,3 +127,49 @@ def pack_documents(
         "pack_id",
         (F.row_number().over(wp) - 1).alias("pack_pos"),
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn :func:`pack_documents` assignments into the physical training
+    sequences a data loader streams: one row per pack — (pack_id,
+    pack_text, n_docs, n_tokens, doc_ids, boundaries) where
+    ``boundaries[i]`` is the token offset at which document ``doc_ids[i]``
+    starts (the attention-mask reset points for packed training).
+
+    ONE groupBy on pack_id: texts and offsets come out of a single
+    ``array_sort(collect_list(struct(pack_pos, …)))`` — no window, no
+    second shuffle; the boundary offsets are an exclusive running sum
+    computed INSIDE the sorted array via ``transform`` over its indices
+    (scan-side, after the aggregation)."""
+    joined = assignments.select(id_col, "n_tokens", "pack_id", "pack_pos").join(
+        docs.select(id_col, text_col), id_col
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pack_pos", id_col, "n_tokens", text_col))
+    )
+    agg = joined.groupBy("pack_id").agg(ordered.alias("__o"))
+    boundaries = F.transform(
+        F.sequence(F.lit(1), F.size("__o")),
+        lambda i: F.aggregate(
+            F.slice("__o", 1, i - 1),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["n_tokens"],
+        ),
+    )
+    return agg.select(
+        "pack_id",
+        F.array_join(
+            F.transform(F.col("__o"), lambda s: s[text_col]), " "
+        ).alias("pack_text"),
+        F.size("__o").cast("long").alias("n_docs"),
+        F.aggregate(
+            F.col("__o"), F.lit(0).cast("long"), lambda acc, s: acc + s["n_tokens"]
+        ).alias("n_tokens"),
+        F.transform(F.col("__o"), lambda s: s[id_col]).alias("doc_ids"),
+        boundaries.alias("boundaries"),
+    )

@@ -79,3 +79,32 @@ def source_mix(
             .otherwise(threshold)
         )
     return docs.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def assign_split(
+    key: Column | str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test (or any named) split as ONE scan-side
+    CASE column: the row's md5 bucket is compared against the cumulative
+    weight boundaries, so membership is a pure function of (key, salt) —
+    reproducible across runs, partitionings, and engines, and STABLE under
+    corpus growth (a row never migrates between splits when other rows
+    appear, unlike position- or RNG-based splitters). Weights must sum to
+    1 (±1e-6); split names assign in sorted order so the mapping is
+    independent of dict ordering."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    c = F.col(key) if isinstance(key, str) else key
+    b = _bucket(c, salt)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return (last if expr is None else expr.otherwise(last)).alias("split")

@@ -127,3 +127,33 @@ def test_curate_pack_shard_end_to_end(spark, tmp_path):
         return out
 
     assert rows(str(tmp_path / "a")) == rows(str(tmp_path / "b"))
+
+
+def test_materialize_packs_builds_ordered_sequences(spark):
+    from crossbar_data_process_spark.operators.packing import (
+        materialize_packs,
+        pack_documents,
+    )
+
+    rows = [(i, " ".join([f"w{i}"] * (3 + i % 4))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = pack_documents(docs, budget=10, n_buckets=3)
+    packs = materialize_packs(docs, assign).collect()
+
+    amap = {
+        r.doc_id: r for r in assign.collect()
+    }
+    assert sum(p.n_docs for p in packs) == 30
+    for p in packs:
+        # doc order inside the pack == pack_pos order from the assignment
+        assert [amap[d].pack_pos for d in p.doc_ids] == list(range(p.n_docs))
+        # boundaries = exclusive running sum of member token counts
+        want_bounds, acc = [], 0
+        for d in p.doc_ids:
+            want_bounds.append(acc)
+            acc += amap[d].n_tokens
+        assert list(p.boundaries) == want_bounds
+        assert p.n_tokens == acc
+        # the packed text is the member texts joined in order
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        assert p.pack_text == " ".join(texts[d] for d in p.doc_ids)

@@ -89,3 +89,40 @@ def test_null_keys_hash_to_sentinel_not_bare_salt(spark):
     nd = spark.createDataFrame([(None, 1), (None, 2)], "k string, v int")
     kept = deterministic_sample(nd, 1.0, "k").count()
     assert kept == 2
+
+
+def test_assign_split_deterministic_and_stable(spark):
+    from crossbar_data_process_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)], "doc_id long"
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in df.select("doc_id", assign_split("doc_id", w)).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in df.repartition(13).select("doc_id", assign_split("doc_id", w)).collect()
+    }
+    assert a == b  # partitioning-invariant
+    from collections import Counter
+
+    frac = {k: v / 4000 for k, v in Counter(a.values()).items()}
+    for name, target in w.items():
+        assert abs(frac[name] - target) < 0.03, (name, frac)
+
+    # growth-stability: adding rows never migrates existing rows
+    grown = spark.createDataFrame([(i,) for i in range(8000)], "doc_id long")
+    g = {
+        r.doc_id: r.split
+        for r in grown.select("doc_id", assign_split("doc_id", w)).collect()
+    }
+    assert all(g[i] == a[i] for i in range(4000))
+
+
+def test_assign_split_validates_weights(spark):
+    import pytest as _pytest
+
+    from crossbar_data_process_spark.operators.sampling import assign_split
+
+    with _pytest.raises(ValueError):
+        assign_split("doc_id", {"train": 0.5, "test": 0.4})
