@@ -119,9 +119,14 @@ def write_training_shards(
         .drop("__key")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    # count what actually landed, from the written files' footers — a
+    # metadata-only read, instead of re-running the repartition+sort job
     counts = {
         int(r.shard): int(r.n)
-        for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in out.sparkSession.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     with open(os.path.join(path, "manifest.json"), "w") as fh:
         json.dump(
