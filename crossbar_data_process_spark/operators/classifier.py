@@ -79,11 +79,21 @@ def nb_classify(
     exactly the fastText-pipeline pattern, minus the external trainer.
     """
     # regexp-heavy labels over a few-file scan serialize onto one core
-    # without the under-partitioning guard (see textdedup._spread)
-    docs = _spread(docs)
-    tok = materialize(_token_table(docs, label, text_col, id_col))
+    # without the under-partitioning guard (see textdedup._spread).
+    # The (id, y, lowered-text) projection is checkpointed so the corpus is
+    # READ AND LABELED ONCE: the token stream, the class prior, and (via
+    # the token stream) the weight fit all consume the same materialized
+    # pass — at 100 TB that's one corpus scan, not two.
+    pre = materialize(
+        _spread(docs).select(
+            id_col, label.alias("y"), F.lower(F.col(text_col)).alias("__lt")
+        )
+    )
+    tok = materialize(
+        pre.select(id_col, "y", F.explode(tokens("__lt")).alias("token"))
+    )
     weights = nb_train_weights_from_tokens(tok, alpha=alpha, scale=scale)
-    prior = docs.select(label.alias("y")).agg(
+    prior = pre.select("y").agg(
         F.round(
             F.log(
                 (F.sum(F.col("y").cast("long")) + F.lit(alpha))
