@@ -1,0 +1,134 @@
+"""BM25 full-text retrieval scoring — the ranking half of a RAG/search
+corpus pipeline, as pure DataFrame aggregations: build the term
+statistics (tf, df, doc length, corpus averages) in one pass over the
+corpus, score any query set against them, return top-k per query.
+
+Scale shape (100 TB):
+- the inverted statistics are two groupBys over the (doc, term)
+  occurrence table (term-frequency, then document-frequency over the tf
+  table — which is already |distinct terms per doc| sized, far smaller
+  than the token stream);
+- corpus scalars (N, avgdl) ride a 1-row broadcast;
+- scoring joins the QUERY term list (small side) against the tf table on
+  the term — candidate rows are only (query term, matching doc) pairs,
+  the classic inverted-index access path, never corpus × queries;
+- per-term contributions round at 1e-6 and accumulate in DECIMAL (the
+  engine determinism contract), so rankings are bit-stable across
+  partitionings and engines and the whole pipeline has a DuckDB oracle.
+
+Versus the reference: no counterpart (no retrieval anywhere) — engine
+charter, SURVEY.md §7 "beyond the reference" track.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.functions.text import tokens
+from crossbar_data_process_spark.operators.materialize import materialize
+from crossbar_data_process_spark.operators.textdedup import _spread
+from crossbar_data_process_spark.operators.topk import top_k_per_group
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    scale: int = 6,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rnk) — the ``top_k`` best BM25 matches per
+    query, ties broken by ascending doc id. Uses the standard
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive) and the
+    Robertson tf saturation with length normalization
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Documents with zero tokens never match; query terms absent from the
+    corpus contribute nothing (inner join on the term).
+
+    Scale lever: candidate volume is Σ over query terms of df(term) — a
+    query term near df = N touches the whole corpus for a near-zero idf
+    contribution. ``max_df_ratio`` opts into the standard stop-term cut
+    (the static half of what WAND-style engines do dynamically): terms
+    with ``df > max_df_ratio·N`` are excluded from scoring entirely, so
+    candidates are bounded by ``max_df_ratio·N`` per query term. Scores
+    drop by at most the skipped terms' tiny idf contributions; documents
+    matched ONLY through stop terms disappear. Default off (exact)."""
+    dtok = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("__lt"))
+        .select("doc", F.explode(tokens("__lt")).alias("term"))
+    )
+    tf = materialize(
+        dtok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats))
+    if max_df_ratio is not None:
+        idf = idf.filter(F.col("df") <= max_df_ratio * F.col("n_docs"))
+    idf = idf.select(
+        "term",
+        F.round(
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            scale,
+        ).alias("idf"),
+        "avgdl",
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.lower(F.col(query_text_col)).alias("__qt"),
+        )
+        .select("qid", F.explode(F.array_distinct(tokens("__qt"))).alias("term"))
+    )
+    # join idf BEFORE tf: the (tiny) query-term × vocab join decides which
+    # terms expand at all, so the stop-term cut bounds the tf fan-out —
+    # filtering after the expansion would pay the candidate cost anyway
+    contrib = (
+        qterms.join(idf, "term")
+        .join(tf, "term")
+        .join(dl, "doc")
+        .select(
+            "qid",
+            "doc",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                scale,
+            ).alias("__c"),
+        )
+    )
+    dec = f"decimal(28,{scale})"
+    scored = contrib.groupBy("qid", "doc").agg(
+        F.sum(F.col("__c").cast(dec)).cast("double").alias("score")
+    )
+    return top_k_per_group(
+        scored.select(
+            F.col("qid").alias(query_id_col),
+            F.col("doc").alias(id_col),
+            "score",
+        ),
+        [query_id_col],
+        [F.desc("score"), F.asc(id_col)],
+        top_k,
+        rank_col="rnk",
+    )

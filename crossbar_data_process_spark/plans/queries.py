@@ -29,6 +29,7 @@ from crossbar_data_process_spark.functions.text import (
     language_id,
     quality_score,
     token_count,
+    tokens,
 )
 from crossbar_data_process_spark.graph.components import connected_components
 from crossbar_data_process_spark.graph.hierarchy import transitive_closure
@@ -99,6 +100,9 @@ BENCH_QUERIES = [
     # r07 addition: naive-Bayes token classifier (q37_numeric_parse's folded
     # slot), benchmarked from day one
     "q60_nb_quality",
+    # r07 addition: BM25 retrieval (q42_min_cost_supplier's folded slot),
+    # benchmarked from day one
+    "q61_bm25",
 ]
 
 
@@ -973,6 +977,73 @@ def q60_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return nb_classify(d, label=quality_score("text") >= 0.82)
+
+
+# BM25 retrieval scoring (the search/RAG ranking half of a corpus pipeline)
+# as pure DataFrame aggs: inverted term stats in two groupBys, corpus
+# scalars on a 1-row broadcast, scoring via the query-term ⋈ tf access path
+# (never corpus × queries), 1e-6-rounded contributions DECIMAL-summed. The
+# query set derives deterministically from the corpus itself (every 97th
+# doc's first 4 tokens). NB: on this synthetic 31-word shared vocabulary no
+# term is discriminative, so self-retrieval is NOT guaranteed (and not
+# claimed) — the hash pins the exact scoring math; semantic ranking
+# behavior is pinned on planted corpora in tests/test_retrieval.py.
+# r07: q42_min_cost_supplier's folded slot (REGISTRY.md).
+@query(
+    "q61_bm25",
+    r"""
+WITH dtok AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc, term, COUNT(*) AS tf FROM dtok GROUP BY doc, term),
+dl AS (SELECT doc, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+         avgdl
+  FROM dfx, stats),
+q AS (
+  SELECT doc_id AS qid,
+         array_to_string(
+           (list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> x <> ''))[1:4], ' ') AS qt
+  FROM documents WHERE doc_id % 97 = 0),
+qterms AS (
+  SELECT qid,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(qt, '\s+'), x -> x <> ''))) AS term
+  FROM q),
+contrib AS (
+  SELECT qid, doc,
+         round((idf * (tf * 2.2))
+               / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 6) AS c
+  FROM qterms JOIN tf USING (term) JOIN dl USING (doc) JOIN idf USING (term)),
+scored AS (
+  SELECT qid, doc,
+         CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM contrib GROUP BY qid, doc)
+SELECT qid AS query_id, doc AS doc_id, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc) AS rnk
+  FROM scored)
+WHERE rnk <= 10
+""",
+)
+def q61_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.lower(F.col("text"))), 1, 4), " ").alias(
+            "query_text"
+        ),
+    )
+    return bm25_topk(d, q, top_k=10)
 
 
 
@@ -2049,17 +2120,11 @@ def q41_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------- A2 over a join (TPC-H Q2 pattern: min-cost supplier per part)
-@query(
-    "q42_min_cost_supplier",
-    """
-SELECT l_partkey, s_suppkey, s_acctbal FROM (
-  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-JOIN supplier ON ps.l_suppkey = s_suppkey
-QUALIFY row_number() OVER (PARTITION BY l_partkey
-                           ORDER BY s_acctbal, s_suppkey) = 1
-""",
-)
+# --------- A2 over a join (TPC-H Q2 pattern: min-cost supplier per part).
+# r07 fold: the q42 registry row (keep_best-over-join — the same A2 window
+# q04 keeps oracled, plus a distinct q45 still covers) moved to
+# tests/test_operator_properties.py::test_min_cost_supplier_matches_oracle;
+# its slot went to q61_bm25 (REGISTRY.md). The function stays for tests.
 def q42_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.operators.dedup import keep_best
 
@@ -2278,6 +2343,7 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # history rather than the coverage-critical ones.
 _FRONT = [
     # r07 new/reshaped surfaces first
+    "q61_bm25",
     "q60_nb_quality",
     "q59_segment_dedup",
     "q58_pack_documents",

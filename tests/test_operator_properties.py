@@ -216,3 +216,34 @@ def test_segment_dedup_matches_reference(spark, docs_tokens):
         ).collect()
     }
     assert got == want
+
+
+def test_min_cost_supplier_matches_oracle(spark):
+    """keep_best over a join (the former q42 registry row, folded out in
+    r07 for q61_bm25 — REGISTRY.md): the former DuckDB oracle lives on
+    here as the expectation."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q42_min_cost_supplier
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.l_partkey, r.s_suppkey, float(r.s_acctbal))
+        for r in q42_min_cost_supplier(s, sf).collect()
+    }
+    want = {
+        (a, b, float(c))
+        for a, b, c in duckdb.sql(
+            f"""
+            SELECT l_partkey, s_suppkey, s_acctbal FROM (
+              SELECT DISTINCT l_partkey, l_suppkey
+              FROM read_parquet('{sf}/lineitem.parquet')) ps
+            JOIN read_parquet('{sf}/supplier.parquet')
+              ON ps.l_suppkey = s_suppkey
+            QUALIFY row_number() OVER (PARTITION BY l_partkey
+                                       ORDER BY s_acctbal, s_suppkey) = 1
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -81,6 +81,8 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     #   one task).
     # - q22_doc_profile: the unigram-LM leg (log_ppl) attaches the corpus
     #   token-mass/vocab totals the same way (operators/lm.py).
+    # - q61_bm25: the corpus scalars (N, avgdl) ride the same 1-row
+    #   broadcast into the idf table (operators/retrieval.py).
     # Anything else is a plan regression.
     if name not in (
         "q38_pagerank",
@@ -88,5 +90,6 @@ def test_no_cartesian_in_any_declared_query(spark, name):
         "q55_curation_funnel",
         "q60_nb_quality",
         "q22_doc_profile",
+        "q61_bm25",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
