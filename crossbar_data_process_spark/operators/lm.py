@@ -30,6 +30,17 @@ from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.textdedup import _spread
 
 
+def _fround(x, scale: int):
+    """floor(x·10^s + 0.5)/10^s — fixed round-half-up via floor, which is
+    exact in every engine. Plain round() resolves x.xxxxxx5 half-cases
+    differently across engines (Spark BigDecimal HALF_UP on the binary
+    double vs DuckDB's decimal-string path) — measured: two sf0.1 docs
+    whose mean-NLL quotient lands exactly on a 1e-6 boundary hashed
+    differently until this form (the int8 quantizer uses the same trick)."""
+    p = float(10 ** scale)
+    return F.floor(x * p + F.lit(0.5)) / F.lit(p)
+
+
 def unigram_logprob_table(
     docs: DataFrame,
     text_col: str = "text",
@@ -47,7 +58,7 @@ def unigram_logprob_table(
     )
     return counts.crossJoin(F.broadcast(totals)).select(
         "token",
-        F.round(
+        _fround(
             F.log(
                 (F.col("c") + F.lit(alpha))
                 / (F.col("t_mass") + alpha * F.col("vocab"))
@@ -79,7 +90,7 @@ def doc_surprisal(
     )
     logp = counts.crossJoin(F.broadcast(totals)).select(
         "token",
-        F.round(
+        _fround(
             F.log(
                 (F.col("c") + F.lit(alpha))
                 / (F.col("t_mass") + alpha * F.col("vocab"))
@@ -93,7 +104,7 @@ def doc_surprisal(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("lm_tokens"),
-            F.round(
+            _fround(
                 -F.sum(F.col("logp").cast(dec)).cast("double")
                 / F.count(F.lit(1)),
                 scale,

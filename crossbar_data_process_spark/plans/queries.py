@@ -864,12 +864,16 @@ tot2 AS (
   SELECT CAST(SUM(c) AS DOUBLE) AS t_mass, CAST(COUNT(*) AS DOUBLE) AS vocab
   FROM cnt2),
 lp AS (
-  SELECT token, round(ln((c + 0.5) / (t_mass + 0.5 * vocab)), 6) AS logp
+  -- floor-based fixed rounding: round()'s x.xxxxxx5 half-cases resolve
+  -- differently across engines (measured at sf0.1); floor is exact in both
+  SELECT token,
+         floor(ln((c + 0.5) / (t_mass + 0.5 * vocab)) * 1000000.0 + 0.5)
+           / 1000000.0 AS logp
   FROM cnt2, tot2),
 ppl AS (
   SELECT doc_id,
-         round(-CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
-           AS log_ppl
+         floor((-CAST(SUM(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+               * 1000000.0 + 0.5) / 1000000.0 AS log_ppl
   FROM tok2 JOIN lp USING (token) GROUP BY doc_id)
 SELECT s.doc_id,
        CAST(ntok AS BIGINT) AS n_tokens,
