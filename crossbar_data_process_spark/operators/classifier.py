@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.functions.text import tokens
+from crossbar_data_process_spark.operators.lm import _fround
 from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.textdedup import _spread
 
@@ -94,7 +95,7 @@ def nb_classify(
     )
     weights = nb_train_weights_from_tokens(tok, alpha=alpha, scale=scale)
     prior = pre.select("y").agg(
-        F.round(
+        _fround(
             F.log(
                 (F.sum(F.col("y").cast("long")) + F.lit(alpha))
                 / (F.sum((~F.col("y")).cast("long")) + F.lit(alpha))
@@ -137,7 +138,7 @@ def nb_train_weights_from_tokens(
     )
     return stats.crossJoin(F.broadcast(totals)).select(
         "token",
-        F.round(
+        _fround(
             F.log(
                 ((F.col("c_pos") + F.lit(alpha)) * (F.col("b_mass") + alpha * F.col("vocab")))
                 / ((F.col("c_neg") + F.lit(alpha)) * (F.col("g_mass") + alpha * F.col("vocab")))
@@ -187,7 +188,7 @@ def nb_export_model(
         docs, label, text_col=text_col, id_col=id_col, alpha=alpha, scale=scale
     ).collect()}
     [p] = docs.select(label.alias("y")).agg(
-        F.round(
+        _fround(
             F.log(
                 (F.sum(F.col("y").cast("long")) + F.lit(alpha))
                 / (F.sum((~F.col("y")).cast("long")) + F.lit(alpha))

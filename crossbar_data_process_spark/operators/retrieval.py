@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.functions.text import tokens
+from crossbar_data_process_spark.operators.lm import _fround
 from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.textdedup import _spread
 from crossbar_data_process_spark.operators.topk import top_k_per_group
@@ -80,7 +81,7 @@ def bm25_topk(
         idf = idf.filter(F.col("df") <= max_df_ratio * F.col("n_docs"))
     idf = idf.select(
         "term",
-        F.round(
+        _fround(
             F.log(
                 1.0
                 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -106,7 +107,7 @@ def bm25_topk(
         .select(
             "qid",
             "doc",
-            F.round(
+            _fround(
                 F.col("idf")
                 * (F.col("tf") * (k1 + 1.0))
                 / (

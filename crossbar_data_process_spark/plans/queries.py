@@ -956,13 +956,17 @@ tot AS (
          CAST(COUNT(*) AS DOUBLE) AS vocab
   FROM stats),
 w AS (
+  -- floor-based fixed rounding (see the q22 lp CTE note): round()'s
+  -- half-cases are engine-specific; floor is exact in both
   SELECT token,
-         round(ln((c_pos + 1.0) * (b_mass + vocab)
-                  / ((c_neg + 1.0) * (g_mass + vocab))), 6) AS w
+         floor(ln((c_pos + 1.0) * (b_mass + vocab)
+                  / ((c_neg + 1.0) * (g_mass + vocab))) * 1000000.0 + 0.5)
+           / 1000000.0 AS w
   FROM stats, tot),
 prior AS (
-  SELECT round(ln((COUNT(*) FILTER (WHERE y) + 1.0)
-               / (COUNT(*) FILTER (WHERE NOT y) + 1.0)), 6) AS prior
+  SELECT floor(ln((COUNT(*) FILTER (WHERE y) + 1.0)
+               / (COUNT(*) FILTER (WHERE NOT y) + 1.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS prior
   FROM lab),
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
@@ -1006,8 +1010,10 @@ dl AS (SELECT doc, CAST(SUM(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc),
 stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
 dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 idf AS (
+  -- floor-based fixed rounding (see the q22 lp CTE note)
   SELECT term,
-         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+         floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5)
+           / 1000000.0 AS idf,
          avgdl
   FROM dfx, stats),
 q AS (
@@ -1023,8 +1029,9 @@ qterms AS (
   FROM q),
 contrib AS (
   SELECT qid, doc,
-         round((idf * (tf * 2.2))
-               / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 6) AS c
+         floor(((idf * (tf * 2.2))
+               / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))) * 1000000.0 + 0.5)
+           / 1000000.0 AS c
   FROM qterms JOIN tf USING (term) JOIN dl USING (doc) JOIN idf USING (term)),
 scored AS (
   SELECT qid, doc,
