@@ -147,3 +147,48 @@ def test_bm25_stop_term_cut_bounds_candidates(spark):
         (x.query_id, x.doc_id): x.score for x in bm25_topk(docs, q, top_k=10).collect()
     }
     assert r.score < exact[(1, 1)]
+
+
+def test_bm25_serves_streaming_queries(spark, tmp_path):
+    """Search serving: the corpus statistics are STATIC silver tables; a
+    stream of queries joins against them (stream-static joins are
+    stateless), so bm25_topk's scoring path runs unchanged on a query
+    stream — streamed scores match the batch run bit-for-bit."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog chased the cat"),
+        (3, "dogs and cats living together"),
+        (4, "an unrelated sentence about spark plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qrows = [(100, "the cat"), (200, "spark plans"), (300, "dogs")]
+    qbatch = spark.createDataFrame(qrows, "query_id long, query_text string")
+
+    want = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, qbatch, top_k=3).collect()
+    }
+
+    qdir = str(tmp_path / "queries")
+    qbatch.repartition(3).write.mode("overwrite").parquet(qdir)
+    qstream = (
+        spark.readStream.schema(qbatch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    # per-query top-k is independent across queries, so micro-batch
+    # scoring via foreachBatch IS the full semantics (each query arrives
+    # exactly once; the corpus side is static)
+    got = {}
+
+    def sink(bdf, bid):
+        for r in bm25_topk(docs, bdf, top_k=3).collect():
+            got[(r.query_id, r.doc_id)] = r.score
+
+    qy = (
+        qstream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    assert got == want
