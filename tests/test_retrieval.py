@@ -192,3 +192,20 @@ def test_bm25_serves_streaming_queries(spark, tmp_path):
     )
     qy.awaitTermination(120)
     assert got == want
+
+
+def test_statistical_operators_survive_empty_inputs(spark):
+    """Pipeline edges: an empty corpus or empty query set must yield empty
+    results, never a crash (division-by-null and seed-collection paths)."""
+    from crossbar_data_process_spark.operators.classifier import nb_classify
+    from crossbar_data_process_spark.operators.lm import doc_surprisal
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    empty_q = spark.createDataFrame([], "query_id long, query_text string")
+    q = spark.createDataFrame([(1, "a")], "query_id long, query_text string")
+
+    assert bm25_topk(empty_docs, q).count() == 0
+    assert bm25_topk(docs, empty_q).count() == 0
+    assert doc_surprisal(empty_docs).count() == 0
+    assert nb_classify(empty_docs, F.lit(True)).count() == 0
