@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(?:utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+# Anchored to a query-string delimiter so parameter names that merely
+# CONTAIN a tracking name (href=, xref=) and path segments like
+# /ref=sr_1 never match (an unanchored form collided distinct pages —
+# URL-keyed dedup would silently delete distinct documents). The
+# delimiter is captured and kept; separator debris ("?&", "&&") is
+# collapsed afterwards.
+_TRACKING = r"(?i)([?&])(?:utm_[a-z0-9_]+|gclid|fbclid|ref)=[^&#]*"
 
 
 def canonicalize_url(col: Column | str) -> Column:
@@ -34,7 +40,9 @@ def canonicalize_url(col: Column | str) -> Column:
     )
     c = F.regexp_replace(c, r"^(https://[^/?#]*):(?:80|443)(?=[/?#]|$)", "$1")
     c = F.regexp_replace(c, r"#.*$", "")                       # fragment
-    c = F.regexp_replace(c, r"(?i)" + _TRACKING + r"&?", "")   # tracking params
+    c = F.regexp_replace(c, _TRACKING, "$1")                   # tracking params
+    c = F.regexp_replace(c, r"&{2,}", "&")                     # a&&b → a&b
+    c = F.regexp_replace(c, r"\?&", "?")                       # ?&k → ?k
     c = F.regexp_replace(c, r"[?&]$", "")                      # dangling ? / &
     c = F.regexp_replace(c, r"/+(?=\?|$)", "")                 # trailing slash
     return c

@@ -119,9 +119,11 @@ def bpe_encode(
     one word and stripping the end-of-word marker reconstructs the word
     exactly (lossless within the whitespace-token contract)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # The id passes through UNTOUCHED with its source type — a hard cast
+    # to long silently NULLed non-numeric string ids (r7 review finding).
     schema = T.StructType(
         [
-            T.StructField("__id", T.LongType()),
+            T.StructField("__id", docs.schema[id_col].dataType),
             T.StructField("bpe_tokens", T.ArrayType(T.StringType())),
             T.StructField("n_bpe", T.LongType()),
         ]
@@ -155,6 +157,6 @@ def bpe_encode(
             )
 
     narrowed = _spread(docs).select(
-        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     )
     return narrowed.mapInPandas(run, schema).withColumnRenamed("__id", id_col)

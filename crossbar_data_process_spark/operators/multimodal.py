@@ -708,6 +708,12 @@ def hamming_pairs(
     (id_a < id_b, hamming)."""
     if not 64 % bands == 0:
         raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands}: the pigeonhole "
+            "exact-recall guarantee requires max_hamming < bands — raise "
+            "bands (any divisor of 64) or lower max_hamming"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     rows = hashes.filter(F.col(hash_col).isNotNull()).select(

@@ -95,9 +95,13 @@ def curate_documents(
         ppl = doc_surprisal(docs, text_col=text_col, id_col=id_col).select(
             id_col, "log_ppl"
         )
+        # LEFT join: doc_surprisal omits zero-token documents, and an
+        # inner join here would silently drop them beyond the documented
+        # cap semantics (r7 review finding) — a token-less doc has no
+        # perplexity to gate on, so it passes this gate.
         gated = (
-            gated.join(ppl, id_col)
-            .filter(F.col("log_ppl") <= max_log_ppl)
+            gated.join(ppl, id_col, "left")
+            .filter(F.col("log_ppl").isNull() | (F.col("log_ppl") <= max_log_ppl))
             .drop("log_ppl")
         )
     if benchmark is not None:

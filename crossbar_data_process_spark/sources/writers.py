@@ -102,7 +102,6 @@ def write_training_shards(
     counts to ``<path>/manifest.json`` for the training job's sanity check.
     """
     import json
-    import os
 
     key = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
     out = (
@@ -128,13 +127,30 @@ def write_training_shards(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(
-            {"n_shards": n_shards, "salt": salt, "id_col": id_col, "shards": counts},
-            fh,
-            sort_keys=True,
-        )
+    # Write the manifest through the Hadoop FileSystem API so the same
+    # code works for s3a://, hdfs://, and local paths alike — a local
+    # open() would write to a bogus local path for remote URIs (r7 review
+    # finding). The parquet shards already go through this layer.
+    payload = json.dumps(
+        {"n_shards": n_shards, "salt": salt, "id_col": id_col, "shards": counts},
+        sort_keys=True,
+    )
+    _hadoop_write_text(df.sparkSession, f"{path}/manifest.json", payload)
     return counts
+
+
+def _hadoop_write_text(spark, uri: str, text: str) -> None:
+    """Overwrite ``uri`` with ``text`` via the Hadoop FileSystem for the
+    URI's scheme (local, hdfs, s3a, …) — the filesystem Spark's own
+    writers resolve, so manifests land next to their data everywhere."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def write_zordered(

@@ -43,6 +43,20 @@ def test_encode_round_trips_words(spark):
         assert rebuilt == text.lower()
 
 
+def test_encode_preserves_string_doc_ids(spark):
+    """Non-numeric ids pass through with their source type — a hard cast
+    to long silently NULLed string ids (r7 review finding)."""
+    d = spark.createDataFrame(
+        [("doc-a", "low lower"), ("doc-b", "newest low")],
+        "doc_id string, text string",
+    )
+    merges = bpe_train(d, num_merges=10)
+    out = bpe_encode(d, merges)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r.doc_id for r in out.collect()}
+    assert got == {"doc-a", "doc-b"}
+
+
 def test_encode_prefers_lowest_rank_merge(spark):
     """Application must replay merges in LEARNED order (rank), not greedily
     left-to-right: with ranks {(a,b):0 learned before (b,c):1}, 'abc'

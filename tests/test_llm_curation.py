@@ -117,3 +117,25 @@ def test_perplexity_gate_drops_out_of_distribution(spark):
     gated_ids = {r.doc_id for r in gated.collect()}
     assert 100 not in gated_ids
     assert base_ids - gated_ids == {100}
+
+
+def test_perplexity_gate_keeps_token_less_docs(spark):
+    """A token-less document has no perplexity to gate on: enabling
+    max_log_ppl must not drop docs that doc_surprisal omits (the inner
+    join did exactly that — r7 review finding). The whitespace-only doc
+    passes every other gate and must survive with the ppl cap ON."""
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again", "en")
+        for i in range(10)
+    ]
+    rows.append((200, "   ", "en"))  # zero tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    base = curate_documents(docs, min_quality=-1.0, languages=("en", "und"))
+    base_ids = {r.doc_id for r in base.collect()}
+    assert 200 in base_ids, "precondition: doc passes the non-ppl gates"
+
+    gated = curate_documents(
+        docs, min_quality=-1.0, languages=("en", "und"), max_log_ppl=1e9
+    )
+    assert {r.doc_id for r in gated.collect()} == base_ids

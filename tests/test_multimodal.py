@@ -587,6 +587,15 @@ def test_hamming_pairs_banded_exact_recall(spark):
     }
     assert got == {("h0", "h1"): 2, ("h0", "h2"): 1, ("h1", "h2"): 3}
 
+    # max_hamming >= bands silently voids the pigeonhole guarantee — it
+    # must raise, mirroring the bands-divides-64 check (r7 review finding)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(df, max_hamming=8, bands=8)
+    # …and a wider band count restores validity for the same distance
+    assert hamming_pairs(df, max_hamming=8, bands=16).count() >= 3
+
 
 def _signed(v: int) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
