@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     # r07 addition: BM25 retrieval (q42_min_cost_supplier's folded slot),
     # benchmarked from day one
     "q61_bm25",
+    # r08 additions: snapshot diff (q14's folded slot) and incremental dedup
+    # vs persisted index (q33's folded slot), benchmarked from day one
+    "q62_snapshot_diff",
+    "q63_incremental_dedup",
 ]
 
 
@@ -462,14 +466,10 @@ def q12_median_middle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------- X9/F1 explode + token aggregation
-@query(
-    "q14_explode_tokens",
-    """
-SELECT tok, COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_parts
-FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok FROM part)
-WHERE tok <> '' GROUP BY tok
-""",
-)
+# r08: folded out of the registry → slot to q62_snapshot_diff (REGISTRY.md).
+# explode/split stay hash-checked via q59 (posexplode segments) and the
+# q25/q26 shingle chains; this exact query's former DuckDB oracle lives on in
+# tests/test_operator_properties.py::test_explode_tokens_matches_oracle.
 def q14_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return (
@@ -1728,14 +1728,11 @@ def q32_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------- F11 JSON field extraction (drug.py:716-738 JSON walks)
-@query(
-    "q33_json_extract",
-    f"""
-SELECT event_type, json_extract(props, '$.k')::BIGINT % 10 AS k_bucket,
-       COUNT(*) AS n, {_dsum_sql('value', 6)} AS sum_value
-FROM events GROUP BY event_type, k_bucket
-""",
-)
+# r08: folded out of the registry → slot to q63_incremental_dedup
+# (REGISTRY.md). The F11 extraction rides q34's oracle as its k_bucket
+# column (same get_json_object + cast + pmod chain), and this grouped form's
+# former DuckDB oracle lives on in
+# tests/test_operator_properties.py::test_json_extract_matches_oracle.
 def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -1748,10 +1745,14 @@ def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------- P7 dropna + P9 blacklist + P10 deterministic limit (top-k form)
+# + F11 JSON extraction as the k_bucket column (r08: the former
+# q33_json_extract's get_json_object chain merged in — REGISTRY.md).
 @query(
     "q34_blacklist_topk",
     """
-SELECT event_id, user_id, event_type, value FROM events
+SELECT event_id, user_id, event_type, value,
+       json_extract(props, '$.k')::BIGINT % 10 AS k_bucket
+FROM events
 WHERE (event_type IS NULL OR event_type NOT IN ('error', 'signup'))
   AND value IS NOT NULL
 ORDER BY value DESC, event_id LIMIT 100
@@ -1764,7 +1765,13 @@ def q34_blacklist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").na.drop(subset=["value"])
     e = blacklist_filter(e, "event_type", ["error", "signup"])
     return global_top_k(
-        e.select("event_id", "user_id", "event_type", "value"),
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+        ),
         [F.desc("value"), F.asc("event_id")],
         100,
     )
@@ -2347,6 +2354,151 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_self_pairs(li, "a", "b").dropDuplicates()
 
 
+# ---------------- snapshot diff / CDC (operators/diff.py) — r08: the former
+# q14_explode_tokens' folded slot (REGISTRY.md). Two deterministic versions
+# of orders: "old" misses every 13th key (those become added), "new" misses
+# every 17th (removed) and perturbs o_totalprice on %5 keys and
+# o_orderstatus on %7 keys (changed, with the column list named in compare
+# order). One co-partitioned full-outer join; changed_cols is emitted as a
+# joined string so the value-hash covers it portably.
+_Q62_COMPARE = ["o_totalprice", "o_orderstatus"]
+
+
+@query(
+    "q62_snapshot_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 13 <> 0),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM orders WHERE o_orderkey % 17 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS is_added,
+         n.o_orderkey IS NULL AS is_removed,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS dp,
+         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS ds
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN is_added THEN 'added' WHEN is_removed THEN 'removed'
+            WHEN dp OR ds THEN 'changed' ELSE 'unchanged' END AS change,
+       CASE WHEN NOT is_added AND NOT is_removed AND (dp OR ds)
+            THEN array_to_string(list_filter(
+                   [CASE WHEN dp THEN 'o_totalprice' END,
+                    CASE WHEN ds THEN 'o_orderstatus' END],
+                   x -> x IS NOT NULL), ',')
+            ELSE '' END AS changed_cols
+FROM j
+""",
+)
+def q62_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.diff import diff_snapshots
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 13 != 0)
+    new = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.5
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    d = diff_snapshots(old, new, keys=["o_orderkey"], compare=_Q62_COMPARE)
+    return d.select(
+        "o_orderkey",
+        "change",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+# ---------------- incremental dedup against a persisted index
+# (operators/textdedup.dedup_index + flag_against_index) — r08: the former
+# q33_json_extract's folded slot (REGISTRY.md). The operator a 100 TB ingest
+# runs daily: corpus = doc_id%10<8 builds the three-table silver index once;
+# the batch (doc_id%10>=8, plus re-ingested copies of every %40==0 corpus
+# doc under shifted ids — the natural corpus has no exact dups, and
+# re-ingest is precisely the scenario the exact-fp fast path serves) is
+# checked against it — exact-fp equi-join first (exact dups skip shingling
+# entirely), LSH bucket probe + exact-Jaccard verify for the fp-novel rest.
+# Work is sized by the BATCH, never the corpus. The oracle reuses
+# _minhash_ctes verbatim over the same corpus∪batch union (same
+# permutations, same band keys) so the index path can never drift from the
+# full-corpus q26 row.
+def _incremental_dedup_oracle(threshold: float = 0.5) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 40 = 0),
+uni AS (
+  SELECT doc_id, text, 0 AS is_new FROM corpus
+  UNION ALL SELECT doc_id, text, 1 AS is_new FROM batch),
+{_minhash_ctes(src="uni")},
+side AS (SELECT doc_id, is_new FROM uni),
+cfp AS (SELECT doc_id, {_FP_SQL} AS fp FROM corpus),
+bfp AS (SELECT doc_id, {_FP_SQL} AS fp FROM batch),
+exact AS (
+  SELECT b.doc_id, MIN(c.doc_id) AS matched_doc
+  FROM bfp b JOIN cfp c ON b.fp = c.fp GROUP BY b.doc_id),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.key = b.key
+  JOIN side sa ON sa.doc_id = a.doc_id
+  JOIN side sb ON sb.doc_id = b.doc_id
+  WHERE sa.is_new = 1 AND sb.is_new = 0
+    AND a.doc_id NOT IN (SELECT doc_id FROM exact)),
+near AS (
+  SELECT new_doc, corpus_doc,
+         round(len(list_intersect(ia.s, ib.s)) * 1.0
+               / (ia.nsh + ib.nsh - len(list_intersect(ia.s, ib.s))), 6)
+           AS jaccard
+  FROM cand2 JOIN nz ia ON ia.doc_id = new_doc
+             JOIN nz ib ON ib.doc_id = corpus_doc),
+nbest AS (
+  SELECT new_doc AS doc_id, 'near' AS dup_kind,
+         corpus_doc AS matched_doc, jaccard
+  FROM near WHERE jaccard >= {threshold}
+  QUALIFY row_number() OVER (PARTITION BY new_doc
+                             ORDER BY corpus_doc, jaccard) = 1)
+SELECT doc_id, 'exact' AS dup_kind, matched_doc,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM exact
+UNION ALL SELECT doc_id, dup_kind, matched_doc, jaccard FROM nbest
+"""
+
+
+@query("q63_incremental_dedup", _incremental_dedup_oracle())
+def q63_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.textdedup import (
+        dedup_index,
+        flag_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    reingested = corpus.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") % 10 >= 8).unionByName(reingested)
+    index = dedup_index(corpus, n=3, num_hashes=12, bands=6)
+    return flag_against_index(
+        batch, index, n=3, num_hashes=12, bands=6, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order defense + registry discipline. The driver records
 # CORRECTNESS rows for AT MOST the first 50 registered queries, so the
@@ -2358,7 +2510,11 @@ def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r07 new/reshaped surfaces first
+    # r08 new/reshaped surfaces first
+    "q63_incremental_dedup",
+    "q62_snapshot_diff",
+    "q34_blacklist_topk",
+    # r07 new/reshaped surfaces
     "q61_bm25",
     "q60_nb_quality",
     "q59_segment_dedup",

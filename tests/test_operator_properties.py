@@ -218,6 +218,63 @@ def test_segment_dedup_matches_reference(spark, docs_tokens):
     assert got == want
 
 
+def test_explode_tokens_matches_oracle(spark):
+    """Explode + token aggregation (the former q14 registry row, folded out
+    in r08 for q62_snapshot_diff — REGISTRY.md): the former DuckDB oracle
+    lives on here as the expectation. F10/X9 stay registry-oracled via the
+    q59/q25/q26 shingle chains."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q14_explode_tokens
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.tok, r.n, r.n_parts) for r in q14_explode_tokens(s, sf).collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"""
+            SELECT tok, COUNT(*), COUNT(DISTINCT p_partkey)
+            FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+                  FROM read_parquet('{sf}/part.parquet'))
+            WHERE tok <> '' GROUP BY tok
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_json_extract_matches_oracle(spark):
+    """Grouped JSON extraction (the former q33 registry row, folded out in
+    r08 for q63_incremental_dedup — REGISTRY.md): the former DuckDB oracle
+    lives on here; the get_json_object chain itself stays registry-oracled
+    as q34's k_bucket column."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q33_json_extract
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.event_type, r.k_bucket, r.n, round(r.sum_value, 6))
+        for r in q33_json_extract(s, sf).collect()
+    }
+    want = {
+        (et, kb, n, round(sv, 6))
+        for et, kb, n, sv in duckdb.sql(
+            f"""
+            SELECT event_type, json_extract(props, '$.k')::BIGINT % 10,
+                   COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_min_cost_supplier_matches_oracle(spark):
     """keep_best over a join (the former q42 registry row, folded out in
     r07 for q61_bm25 — REGISTRY.md): the former DuckDB oracle lives on
