@@ -160,6 +160,60 @@ def ivf_fit(
     return centroids
 
 
+def ivf_fit_diagnostics(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 2000,
+) -> dict[str, float]:
+    """Cheap quantizer-quality gauge from the SAME bounded md5-sample
+    contract as ``driver_fit_rows`` (one collect job, driver memory
+    sample_rows×dim — never data-sized). Returns:
+
+    - ``mean_top1``: mean cosine to the assigned (nearest) centroid —
+      within-list coherence, the signal that separates the regimes. On
+      clustered embeddings (the workload IVF exists for) members hug
+      their centroid; on isotropic/unstructured vectors the best of
+      nlist random directions only reaches ≈ sqrt(2·ln(nlist)/dim)
+      (extreme-value bound — 0.31 measured at nlist=8, dim=32), nprobe
+      lists stop covering the true neighbors, and recall silently decays
+      (COVERAGE.md measured ~0.62 at the same budget);
+    - ``mean_margin``: mean (top1 − top2) centroid cosine — how DECIDED
+      assignments are (supporting gauge, same direction);
+    - ``mass_imbalance``: max cluster share ÷ the uniform share (1.0 =
+      perfectly balanced; ≫1 = a mega-list that defeats pruning).
+
+    **Decision rule (validated in tests/test_ivf_ann.py):**
+    ``mean_top1 < max(0.5, 2·sqrt(2·ln(nlist)/dim))`` ⇒ the corpus has no
+    usable coarse-cluster structure at this nlist — fall back to exact
+    ``cosine_topk`` or hyperplane LSH (data-oblivious buckets cost the
+    same everywhere), or raise nprobe toward nlist and re-measure recall.
+    Measured regimes at nlist=8, dim=32: clustered 0.82 / margin 0.47 vs
+    isotropic 0.31 / margin 0.14."""
+    import numpy as np
+
+    rows = (
+        _unit(vectors, vec_col, "__u")
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(sample_rows)
+        .select("__u")
+        .collect()
+    )
+    x = np.array([r["__u"] for r in rows], dtype=np.float64)
+    c = np.array(centroids, dtype=np.float64)
+    scores = x @ c.T  # (n, nlist) cosines (both sides unit)
+    order = np.sort(scores, axis=1)
+    top1, top2 = order[:, -1], order[:, -2]
+    assign = scores.argmax(axis=1)
+    share = np.bincount(assign, minlength=len(c)) / len(x)
+    return {
+        "mean_top1": float(top1.mean()),
+        "mean_margin": float((top1 - top2).mean()),
+        "mass_imbalance": float(share.max() * len(c)),
+    }
+
+
 def write_assigned_corpus(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -217,3 +217,39 @@ def test_quantized_silver_layout_recalls_and_prunes(spark, clustered, tmp_path):
 
     plan = quant._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
+
+
+def test_fit_diagnostics_separate_clustered_from_isotropic(spark, clustered):
+    """ivf_fit_diagnostics (VERDICT r7 #5): the mean_top1 coherence gauge
+    cleanly separates the regime IVF serves (clustered embeddings) from
+    the one where it silently loses recall (isotropic vectors —
+    COVERAGE.md measured ~0.62 at the same nprobe budget). The documented
+    decision rule is mean_top1 < 0.5 (at this nlist/dim) ⇒ fall back to
+    exact/LSH; measured: clustered 0.82, isotropic 0.31 (the extreme-value
+    ceiling sqrt(2·ln 8 / 32) ≈ 0.36 for random directions)."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit_diagnostics
+
+    rng = np.random.default_rng(11)
+    iso_rows = [
+        (i, [float(x) for x in rng.normal(size=32)]) for i in range(1200)
+    ]
+    isotropic = spark.createDataFrame(
+        iso_rows, "vec_id long, embedding array<float>"
+    )
+
+    good = ivf_fit_diagnostics(
+        clustered, ivf_fit(clustered, dim=32, nlist=8, iters=3)
+    )
+    bad = ivf_fit_diagnostics(
+        isotropic, ivf_fit(isotropic, dim=32, nlist=8, iters=3)
+    )
+
+    assert good["mean_top1"] > 0.5 + 0.15, good    # healthy, with headroom
+    assert bad["mean_top1"] < 0.5 - 0.15, bad      # degenerate, with headroom
+    # supporting gauge points the same way (decided vs coin-flip assignments)
+    assert good["mean_margin"] > 2 * bad["mean_margin"]
+    # and the diagnostic itself is bounded-sample cheap + deterministic
+    again = ivf_fit_diagnostics(
+        clustered, ivf_fit(clustered, dim=32, nlist=8, iters=3)
+    )
+    assert again == good

@@ -93,3 +93,93 @@ def test_no_cartesian_in_any_declared_query(spark, name):
         "q61_bm25",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# -------- executed-work pins (VERDICT r7 #7): the checkpoint-reuse argument
+# made from static plan prints (PLANS.md's exchange counts repeat the
+# checkpointed subtree per consumer) is pinned here against ACTUAL executed
+# jobs/stages, so a future materialize() regression that silently multiplies
+# work (every consumer re-running the shared subtree) trips a bound instead
+# of only showing up as a bench slowdown. Bounds are measured-at-sf0.001
+# (q55: 33 jobs/82 stages, q53: 27/65, q63: 16/30) with ~1.5x headroom —
+# a reuse regression at least doubles the shared-subtree stages.
+def _executed_jobs_stages(spark, name: str) -> tuple[int, int]:
+    sc = spark.sparkContext
+    group = f"workpin-{name}"
+    sc.setJobGroup(group, name)
+    try:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    job_ids = tracker.getJobIdsForGroup(group)
+    stages = sum(
+        len(tracker.getJobInfo(j).stageIds)
+        for j in job_ids
+        if tracker.getJobInfo(j)
+    )
+    return len(job_ids), stages
+
+
+@pytest.mark.parametrize(
+    "name,max_jobs,max_stages",
+    [
+        ("q55_curation_funnel", 50, 125),
+        ("q53_neardup_resolve", 40, 100),
+        ("q63_incremental_dedup", 25, 45),
+    ],
+)
+def test_checkpoint_reuse_bounds_executed_work(spark, name, max_jobs, max_stages):
+    jobs, stages = _executed_jobs_stages(spark, name)
+    assert jobs <= max_jobs, (name, jobs, stages)
+    assert stages <= max_stages, (name, jobs, stages)
+
+
+# -------- workload pinning at registration (VERDICT r7 #8): a benchmark
+# whose query/probe set derives from a corpus column measures WORKLOAD
+# growth, not engine scaling, the moment the corpus grows (the q61 lesson:
+# doc_id % 97 alone let the sf1 probe's 10x corpus bring 10x queries and
+# measured slope 45). Every declared query that builds a query/probe
+# workload from a corpus column must carry an explicit CONSTANT bound in
+# its source; new workload-deriving registrations must be added here
+# (REGISTRY.md "declared-form decisions" documents the rule).
+_WORKLOAD_BOUNDS = {
+    "q61_bm25": r'F\.col\("doc_id"\)\s*<\s*5000',
+    "q27_cosine_topk": r'F\.col\("vec_id"\)\s*<\s*10',
+    "q54_ivf_topk": r'F\.col\("vec_id"\)\s*<\s*10',
+    "q39_ann_lsh": r'F\.col\("vec_id"\)\s*<\s*10',
+}
+
+
+@pytest.mark.parametrize("name", sorted(_WORKLOAD_BOUNDS))
+def test_workload_deriving_queries_pin_a_constant_bound(name):
+    import inspect
+    import re
+
+    src = inspect.getsource(QUERIES[name])
+    assert re.search(_WORKLOAD_BOUNDS[name], src), (
+        f"{name} derives its workload from a corpus column but its source "
+        "no longer carries the declared constant bound — re-pin it or "
+        "update _WORKLOAD_BOUNDS with the new declared form"
+    )
+
+
+def test_workload_rule_covers_known_deriving_queries():
+    """Sweep: any registered query whose source filters a corpus id column
+    to BUILD a query/probe frame (alias 'query_id'/'qv'/'query_text')
+    must be in _WORKLOAD_BOUNDS. Catches a new ANN/retrieval registration
+    that forgot to pin its workload."""
+    import inspect
+    import re
+
+    for name, fn in QUERIES.items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        builds_query_set = re.search(r'alias\("(query_id|query_text)"\)', src)
+        if builds_query_set:
+            assert name in _WORKLOAD_BOUNDS, (
+                f"{name} builds a query workload from a corpus column — "
+                "pin a constant bound and register it in _WORKLOAD_BOUNDS"
+            )
