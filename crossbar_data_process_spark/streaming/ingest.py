@@ -1,0 +1,181 @@
+"""Streaming incremental-dedup ingest — the production form of the daily
+100 TB pipeline: micro-batches of documents are deduplicated within the
+batch, flagged against a PERSISTED dedup index
+(``operators/textdedup.dedup_index`` silver: fingerprints + LSH band
+buckets + shingle sets), and only survivors land in gold; the survivors'
+index rows extend the silver so later batches (and later days) dedup
+against everything that ever landed.
+
+Replay idempotence (the same contract as
+``pipelines.idempotent_gold_writer``): Structured Streaming delivers
+``foreachBatch`` at-least-once — after a crash between "batch written"
+and "offsets committed" the SAME (batch_df, batch_id) re-runs. Every
+write here goes into the batch's own ``__batch_id=N`` partition with
+dynamic partition overwrite, and the index read EXCLUDES the current
+batch's partition, so a replayed batch (a) never flags against its own
+half-written rows and (b) atomically replaces exactly its own gold and
+index partitions. At-least-once delivery becomes an exactly-once gold
+table and an exactly-once index.
+
+Scale shape: per batch, work is sized by the BATCH (the
+``flag_against_index`` contract — fp equi-join, bucket probe, verify
+join touch index rows only where the batch collides); the index reads
+are partition-pruned parquet scans of kilobyte-to-megabyte silver
+tables; nothing is data-sized on the driver.
+
+Versus the reference: the reference re-downloads and re-dedups whole
+sources per run (`edge_data/ppi.py:100-151` drop_duplicates over fresh
+pulls); an incremental, replay-safe ingest has no counterpart — engine
+charter (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BATCH_COL = "__batch_id"
+_INDEX_TABLES = ("fingerprints", "buckets", "shingles")
+
+
+def seed_dedup_index(
+    corpus: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    seed_batch_id: int = -1,
+) -> None:
+    """Build the three-table silver index from an existing corpus and
+    persist it under ``index_dir`` in the batch-partitioned layout the
+    streaming writer appends to (the corpus seeds partition ``-1``)."""
+    from crossbar_data_process_spark.operators.textdedup import dedup_index
+
+    idx = dedup_index(
+        corpus, text_col=text_col, id_col=id_col,
+        n=n, num_hashes=num_hashes, bands=bands,
+    )
+    for name in _INDEX_TABLES:
+        _write_batch_partition(idx[name], f"{index_dir}/{name}", seed_batch_id)
+
+
+def dedup_ingest_writer(
+    spark: SparkSession,
+    index_dir: str,
+    gold_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 6,
+    threshold: float = 0.2,
+):
+    """``foreachBatch`` factory. Per (batch_df, batch_id):
+
+    1. within-batch dedup: exact (keep the min-id row per fingerprint)
+       then near (LSH pairs → cluster survivors) — a micro-batch is small,
+       so this is batch-sized work;
+    2. flag the remaining docs against the persisted index EXCLUDING this
+       batch's own partition (replay safety);
+    3. survivors → ``gold_dir`` partition ``__batch_id=N`` (dynamic
+       overwrite);
+    4. ``dedup_index(survivors)`` → the same partition of each index
+       table, so the next batch deduplicates against them.
+
+    Use: ``stream.writeStream.foreachBatch(dedup_ingest_writer(...))``.
+    Semantics note: gold ends up with no exact duplicates and no near-dup
+    pairs above ``threshold`` — within a batch, across batches, and
+    against the seeded corpus — with the min-id witness surviving
+    everywhere (the ``resolve_neardups`` convention).
+    """
+    from crossbar_data_process_spark.functions.text import doc_fingerprint
+    from crossbar_data_process_spark.operators.textdedup import (
+        dedup_index,
+        flag_against_index,
+        minhash_lsh_pairs,
+        resolve_neardups,
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # micro-batch: pin it once
+
+        # 1a. within-batch exact dedup (min-id row per fingerprint)
+        w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
+        exact_kept = (
+            batch_df.withColumn("__fp", doc_fingerprint(text_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn")
+        )
+        # 1b. within-batch near dedup (pairs → min-id cluster survivors)
+        pairs = minhash_lsh_pairs(
+            exact_kept, text_col=text_col, id_col=id_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        kept_ids = resolve_neardups(exact_kept, pairs, id_col=id_col).select(
+            id_col
+        )
+        prepped = exact_kept.join(kept_ids, id_col, "left_semi").localCheckpoint()
+
+        # 2. flag against the persisted index, excluding our own partition
+        delta_template = dedup_index(
+            prepped, text_col=text_col, id_col=id_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+        index = {
+            name: _read_batch_partitions(
+                spark, f"{index_dir}/{name}",
+                delta_template[name].schema, exclude_batch=batch_id,
+            )
+            for name in _INDEX_TABLES
+        }
+        flags = flag_against_index(
+            prepped, index, text_col=text_col, id_col=id_col,
+            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        )
+        survivors = prepped.join(
+            flags.select(id_col), id_col, "left_anti"
+        ).localCheckpoint()
+
+        # 3. gold partition (replay overwrites exactly this batch)
+        _write_batch_partition(survivors, gold_dir, batch_id)
+
+        # 4. extend the index under the same partition key
+        delta = dedup_index(
+            survivors, text_col=text_col, id_col=id_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+        for name in _INDEX_TABLES:
+            _write_batch_partition(delta[name], f"{index_dir}/{name}", batch_id)
+
+    return _sink
+
+
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    (
+        df.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BATCH_COL)
+        .parquet(path)
+    )
+
+
+def _read_batch_partitions(
+    spark: SparkSession, path: str, schema, exclude_batch: int
+) -> DataFrame:
+    """Read one index table, pruning away ``exclude_batch``'s partition;
+    an index that does not exist yet reads as empty (first batch against
+    an unseeded index)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    with_batch = StructType(
+        list(schema.fields) + [StructField(BATCH_COL, IntegerType())]
+    )  # a fresh StructType — StructType.add would mutate the caller's schema
+    try:
+        df = spark.read.schema(with_batch).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+    return df.filter(F.col(BATCH_COL) != exclude_batch).drop(BATCH_COL)

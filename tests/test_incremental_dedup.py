@@ -162,3 +162,56 @@ def test_streaming_ingest_dedups_against_index(spark, tmp_path):
     # survivor 11 (caught only because the index grew between batches)
     assert landed == {11, 13}
     assert glob.glob(f"{gold}/*.parquet")
+
+
+def test_persisted_index_ingest_writer_end_to_end(spark, tmp_path):
+    """streaming/ingest.py (r08): the production foreachBatch writer over a
+    PERSISTED batch-partitioned index — within-batch exact AND near dedup,
+    cross-batch dedup via the growing on-disk index, dedup against the
+    seeded corpus, and replay idempotence (re-running a batch id leaves
+    gold and index byte-identical in content)."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+
+    batch1 = [
+        (10, CORPUS[0][1]),  # exact dup of seeded corpus doc 1 -> dropped
+        (11, "fresh astronomy text about distant spiral galaxies and nebulae"),
+        (12, "fresh astronomy text about distant spiral galaxies and nebulae"),
+        # ^ within-batch exact dup of 11 -> dropped (min-id witness survives)
+        (13, "machine learning systems process large corpora of text data every single day"),
+        # ^ near dup of seeded corpus doc 2 -> dropped
+        (14, "deep sea biology around hydrothermal vents hosts chemosynthetic life forms"),
+        (15, "deep sea biology around hydrothermal vents hosts chemosynthetic life colonies"),
+        # ^ within-batch NEAR dup of 14 -> dropped
+    ]
+    batch2 = [
+        (20, batch1[1][1]),  # exact dup of batch-1 survivor 11 -> dropped
+        (21, "a brand new essay on alpine glacier dynamics and seasonal melt"),
+    ]
+    sink(_df(spark, batch1), 0)
+    sink(_df(spark, batch2), 1)
+
+    landed = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    assert landed == {11, 14, 21}
+
+    # replay of batch 1 (at-least-once delivery) is a no-op on content —
+    # same survivors, no duplicated gold rows, index partitions replaced
+    sink(_df(spark, batch1), 0)
+    again = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(gold_dir).orderBy("doc_id").collect()
+    ]
+    assert [d for d, _ in again] == [11, 14, 21]
+
+    # the replayed batch did not flag against its own earlier index rows:
+    # its survivors are identical, and batch 2's survivor is untouched
+    fp = spark.read.parquet(f"{index_dir}/fingerprints")
+    assert {r.doc for r in fp.collect()} == {1, 2, 3, 11, 14, 21}
