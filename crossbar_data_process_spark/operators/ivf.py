@@ -105,26 +105,8 @@ def ivf_fit(
     )
 
     if driver_fit_rows is not None:
-        import numpy as np
-
-        rows = (
-            train.orderBy(F.md5(F.col("__id").cast("string")))
-            .limit(max(driver_fit_rows, nlist))
-            .select("__u")
-            .collect()
-        )
-        x = np.array([r["__u"] for r in rows], dtype=np.float64)
-        cents = x[:nlist].copy()
-        for _ in range(iters):
-            assign = (x @ cents.T).argmax(axis=1)  # first-max, as argmax dot
-            for j in range(len(cents)):
-                members = x[assign == j]
-                if len(members) == 0:
-                    continue  # empty cluster keeps previous centroid
-                m = members.mean(axis=0)
-                n = float(np.linalg.norm(m))
-                cents[j] = m / n if n > 0 else m
-        return [[float(v) for v in c] for c in cents]
+        x = _collect_unit_sample(train, max(driver_fit_rows, nlist))
+        return _numpy_lloyds(x, nlist, iters)
 
     train = materialize(train)  # consumed once per iteration
 
@@ -160,6 +142,116 @@ def ivf_fit(
     return centroids
 
 
+def _collect_unit_sample(train: DataFrame, n: int):
+    """ONE bounded collect job: the ``n`` md5-smallest unit vectors of a
+    prepped ``(__id, __u)`` frame as an (n, dim) float64 matrix — driver
+    memory is n×dim doubles, a hyperparameter, never data-sized. The
+    md5 order matches the distributed fit path's seeding exactly."""
+    import numpy as np
+
+    rows = (
+        train.orderBy(F.md5(F.col("__id").cast("string")))
+        .limit(n)
+        .select("__u")
+        .collect()
+    )
+    return np.array([r["__u"] for r in rows], dtype=np.float64)
+
+
+def _numpy_lloyds(x, nlist: int, iters: int) -> list[list[float]]:
+    """Driver-side spherical Lloyd's over a bounded sample — same seeding
+    (first nlist md5-ordered rows), argmax-first tie-break, and
+    empty-cluster rule as the distributed path."""
+    import numpy as np
+
+    cents = x[:nlist].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)  # first-max, as argmax dot
+        for j in range(len(cents)):
+            members = x[assign == j]
+            if len(members) == 0:
+                continue  # empty cluster keeps previous centroid
+            m = members.mean(axis=0)
+            n = float(np.linalg.norm(m))
+            cents[j] = m / n if n > 0 else m
+    return [[float(v) for v in c] for c in cents]
+
+
+def _diagnostics_from_sample(x, centroids: list[list[float]]) -> dict[str, float]:
+    """Quantizer-quality gauge from an already-collected (n, dim) unit
+    sample — shared by :func:`ivf_fit_diagnostics` (standalone) and
+    :func:`ivf_fit_with_diagnostics` (reuses the fit sample, no second
+    collect job — r8 VERDICT #3)."""
+    import numpy as np
+
+    if len(centroids) < 2:
+        raise ValueError(
+            "ivf_fit_diagnostics needs nlist >= 2 centroids: mean_margin "
+            "is top1 - top2 centroid cosine, undefined for a single list "
+            f"(got {len(centroids)})"
+        )
+    if len(x) == 0:
+        raise ValueError(
+            "ivf_fit_diagnostics got an empty sample — the corpus has no "
+            "rows (or sample_rows == 0); the gauge would be NaN"
+        )
+    c = np.array(centroids, dtype=np.float64)
+    scores = x @ c.T  # (n, nlist) cosines (both sides unit)
+    order = np.sort(scores, axis=1)
+    top1, top2 = order[:, -1], order[:, -2]
+    assign = scores.argmax(axis=1)
+    share = np.bincount(assign, minlength=len(c)) / len(x)
+    return {
+        "mean_top1": float(top1.mean()),
+        "mean_margin": float((top1 - top2).mean()),
+        "mass_imbalance": float(share.max() * len(c)),
+    }
+
+
+def quantizer_regime(
+    diagnostics: dict[str, float], nlist: int, dim: int
+) -> str:
+    """The validated decision rule (tests/test_ivf_ann.py) as a named
+    predicate: ``mean_top1 < max(0.5, 2·sqrt(2·ln(nlist)/dim))`` ⇒
+    ``"isotropic"`` — the corpus has no usable coarse-cluster structure at
+    this nlist (best of nlist random directions only reaches
+    ≈ sqrt(2·ln(nlist)/dim), the extreme-value bound) and nprobe < nlist
+    recall silently decays; otherwise ``"clustered"``. Callers on the
+    isotropic side should fall back to exact ``cosine_topk`` or hyperplane
+    LSH, or raise nprobe toward nlist and re-measure recall."""
+    import math
+
+    floor = max(0.5, 2.0 * math.sqrt(2.0 * math.log(nlist) / dim))
+    return "isotropic" if diagnostics["mean_top1"] < floor else "clustered"
+
+
+def ivf_fit_with_diagnostics(
+    vectors: DataFrame,
+    dim: int,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    driver_fit_rows: int = 2048,
+) -> tuple[list[list[float]], dict[str, float]]:
+    """The production fit entry: bounded-sample numpy fit AND the
+    quantizer-quality gauge from the SAME collect job (one Spark job
+    total — the standalone ``ivf_fit`` + ``ivf_fit_diagnostics`` pair
+    would collect the md5-sample twice). Returns ``(centroids,
+    diagnostics)``; feed both to :func:`write_assigned_corpus` so the
+    silver carries its own fit-quality metadata."""
+    train = vectors
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=42)
+    train = _unit(train, vec_col, "__u").select(
+        F.col(id_col).alias("__id"), "__u"
+    )
+    x = _collect_unit_sample(train, max(driver_fit_rows, nlist))
+    centroids = _numpy_lloyds(x, nlist, iters)
+    return centroids, _diagnostics_from_sample(x, centroids)
+
+
 def ivf_fit_diagnostics(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -190,28 +282,16 @@ def ivf_fit_diagnostics(
     ``cosine_topk`` or hyperplane LSH (data-oblivious buckets cost the
     same everywhere), or raise nprobe toward nlist and re-measure recall.
     Measured regimes at nlist=8, dim=32: clustered 0.82 / margin 0.47 vs
-    isotropic 0.31 / margin 0.14."""
-    import numpy as np
+    isotropic 0.31 / margin 0.14. Guards (r8 ADVICE): raises ValueError on
+    nlist < 2 (mean_margin undefined) and on an empty sample (NaN gauge).
 
-    rows = (
-        _unit(vectors, vec_col, "__u")
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(sample_rows)
-        .select("__u")
-        .collect()
+    Prefer :func:`ivf_fit_with_diagnostics` when fitting anyway — it
+    reuses the fit's own sample instead of collecting a second one."""
+    train = _unit(vectors, vec_col, "__u").select(
+        F.col(id_col).alias("__id"), "__u"
     )
-    x = np.array([r["__u"] for r in rows], dtype=np.float64)
-    c = np.array(centroids, dtype=np.float64)
-    scores = x @ c.T  # (n, nlist) cosines (both sides unit)
-    order = np.sort(scores, axis=1)
-    top1, top2 = order[:, -1], order[:, -2]
-    assign = scores.argmax(axis=1)
-    share = np.bincount(assign, minlength=len(c)) / len(x)
-    return {
-        "mean_top1": float(top1.mean()),
-        "mean_margin": float((top1 - top2).mean()),
-        "mass_imbalance": float(share.max() * len(c)),
-    }
+    x = _collect_unit_sample(train, sample_rows)
+    return _diagnostics_from_sample(x, centroids)
 
 
 def write_assigned_corpus(
@@ -221,6 +301,8 @@ def write_assigned_corpus(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    diagnostics: dict[str, float] | None = None,
+    require_clustered: bool = False,
 ) -> None:
     """The 100 TB silver layout: assign every vector to its list ONCE (a
     pure projection — no join) and write partitioned BY the cluster id.
@@ -230,7 +312,34 @@ def write_assigned_corpus(
     ``quantize=True`` stores int8 codes + qscale instead of the float
     vector (similarity.quantize_embeddings): a 4x smaller silver table,
     read back with ``ivf_topk_assigned(..., quantized=True)``. Assignment
-    still uses the full-precision vector — only storage is quantized."""
+    still uses the full-precision vector — only storage is quantized.
+
+    ``diagnostics`` (from :func:`ivf_fit_with_diagnostics` /
+    :func:`ivf_fit_diagnostics`) is persisted NEXT TO the data as
+    ``_quantizer_diagnostics.json`` (the ``_``-prefix keeps parquet
+    readers away, like ``_SUCCESS``; written through the Hadoop FS layer
+    so s3a://-style silver works) together with nlist/dim and the
+    :func:`quantizer_regime` verdict — a bad fit can't silently ship a
+    useless index, the reader of the silver sees the gauge (r8 VERDICT
+    #4). ``require_clustered=True`` turns the rule into a hard gate:
+    raises ValueError instead of writing an index whose nprobe-recall
+    would silently decay (callers probing every list — nprobe == nlist,
+    e.g. the q54 exactness role — keep it off: the regime doesn't affect
+    exact results, only pruned-probe recall)."""
+    metadata = None
+    if diagnostics is not None:
+        nlist, dim = len(centroids), len(centroids[0])
+        regime = quantizer_regime(diagnostics, nlist, dim)
+        if require_clustered and regime == "isotropic":
+            raise ValueError(
+                "quantizer regime is 'isotropic' "
+                f"(mean_top1={diagnostics['mean_top1']:.3f} at nlist={nlist}, "
+                f"dim={dim}): the corpus has no usable coarse-cluster "
+                "structure — fall back to exact cosine_topk or hyperplane "
+                "LSH, or raise nprobe toward nlist (operators/ivf.py "
+                "decision rule); refusing to ship the index"
+            )
+        metadata = dict(diagnostics, nlist=nlist, dim=dim, regime=regime)
     assigned = vectors.withColumn("cluster", ivf_assign(F.col(vec_col), centroids))
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
@@ -239,6 +348,19 @@ def write_assigned_corpus(
 
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    if metadata is not None:
+        import json
+
+        from crossbar_data_process_spark.sources.writers import (
+            _hadoop_write_text,
+        )
+
+        # after the parquet overwrite — mode("overwrite") wipes the dir
+        _hadoop_write_text(
+            vectors.sparkSession,
+            f"{path}/_quantizer_diagnostics.json",
+            json.dumps(metadata, sort_keys=True),
+        )
 
 
 def ivf_topk_assigned(

@@ -1523,7 +1523,7 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from crossbar_data_process_spark.operators.ivf import (
-        ivf_fit,
+        ivf_fit_with_diagnostics,
         ivf_topk_assigned,
         write_assigned_corpus,
     )
@@ -1536,8 +1536,14 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver_fit_rows: quantizer trains numpy-side on a bounded md5-sample
     # (ONE collect job instead of per-iteration assignment+groupBy jobs);
     # results stay brute-force-exact here because nprobe == nlist probes
-    # every list regardless of where the centroids land
-    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
+    # every list regardless of where the centroids land. The combined fit
+    # yields the quality gauge from the SAME sample (no extra job); it is
+    # persisted into the silver below. require_clustered stays off: the
+    # driver's synthetic embeddings are isotropic by construction and this
+    # query probes every list, where the regime doesn't affect results.
+    cents, diag = ivf_fit_with_diagnostics(
+        e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048
+    )
     # ONE pid-scoped silver dir reused (overwrite) across invocations —
     # repeated bench/correctness runs must not accumulate corpus copies in
     # /tmp — and removed at interpreter exit.
@@ -1545,7 +1551,7 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"ivf_silver_q54_{os.getpid()}"
     )
     atexit.register(shutil.rmtree, silver, ignore_errors=True)
-    write_assigned_corpus(e, cents, silver)
+    write_assigned_corpus(e, cents, silver, diagnostics=diag)
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")

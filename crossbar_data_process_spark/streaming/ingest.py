@@ -168,14 +168,26 @@ def _read_batch_partitions(
 ) -> DataFrame:
     """Read one index table, pruning away ``exclude_batch``'s partition;
     an index that does not exist yet reads as empty (first batch against
-    an unseeded index)."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    an unseeded index).
 
-    with_batch = StructType(
-        list(schema.fields) + [StructField(BATCH_COL, IntegerType())]
-    )  # a fresh StructType — StructType.add would mutate the caller's schema
-    try:
-        df = spark.read.schema(with_batch).parquet(path)
-    except Exception:
+    The missing-index case is decided by an EXPLICIT Hadoop FileSystem
+    existence probe (the same layer ``sources/writers.py`` writes
+    manifests through), not by swallowing read errors: a transient
+    storage failure, a permissions problem, or a corrupt footer must
+    FAIL the micro-batch (Structured Streaming will retry/replay it)
+    rather than silently read an empty index and let duplicates land in
+    gold (r8 ADVICE)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return spark.createDataFrame([], schema)
+    # Structured Streaming batch ids are 64-bit longs — the partition
+    # field must read back as LongType or a batch_id beyond int32 breaks
+    # partition parsing and the exclude filter (r8 ADVICE).
+    with_batch = StructType(
+        list(schema.fields) + [StructField(BATCH_COL, LongType())]
+    )  # a fresh StructType — StructType.add would mutate the caller's schema
+    df = spark.read.schema(with_batch).parquet(path)
     return df.filter(F.col(BATCH_COL) != exclude_batch).drop(BATCH_COL)

@@ -215,3 +215,61 @@ def test_persisted_index_ingest_writer_end_to_end(spark, tmp_path):
     # its survivors are identical, and batch 2's survivor is untouched
     fp = spark.read.parquet(f"{index_dir}/fingerprints")
     assert {r.doc for r in fp.collect()} == {1, 2, 3, 11, 14, 21}
+
+
+def test_ingest_per_batch_work_constant_as_index_grows(spark, tmp_path):
+    """r8 VERDICT #2 (scale shape, pinned on executed work): per-batch
+    jobs/stages must NOT grow with the accumulated index — the 100 TB
+    daily-ingest claim is that batch cost is sized by the BATCH while the
+    index only ever participates through partition-pruned reads and
+    batch-sized joins. Four identically-shaped batches; the later batches
+    (bigger index) may not execute more jobs, and at most AQE-level stage
+    jitter. The wall-clock version of this curve is
+    scripts/ingest_probe.py (BASELINE.md table)."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+
+    def batch(b):
+        # same composition every batch: 6 fresh + 1 exact dup of the seed
+        base = 100 * (b + 1)
+        rows = [
+            (base + i,
+             f"batch {b} fresh document number {i} about topic "
+             f"{'alpha beta gamma delta epsilon zeta eta theta'.split()[i]} "
+             f"with unique token u{b}x{i}")
+            for i in range(6)
+        ]
+        rows.append((base + 6, CORPUS[0][1]))
+        return _df(spark, rows)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run_counted(b):
+        group = f"ingestpin-{b}"
+        sc.setJobGroup(group, f"batch {b}")
+        try:
+            sink(batch(b), b)
+        finally:
+            sc.setJobGroup(None, None)
+        job_ids = tracker.getJobIdsForGroup(group)
+        stages = sum(
+            len(tracker.getJobInfo(j).stageIds)
+            for j in job_ids
+            if tracker.getJobInfo(j)
+        )
+        return len(job_ids), stages
+
+    counts = [run_counted(b) for b in range(4)]
+    # batch 0 may differ (first write against a seed-only index); compare
+    # steady-state batches: jobs exactly constant, stages within AQE jitter
+    (j1, s1), (j2, s2), (j3, s3) = counts[1], counts[2], counts[3]
+    assert j2 <= j1 and j3 <= j1, counts
+    assert s2 <= s1 + 2 and s3 <= s1 + 2, counts

@@ -253,3 +253,85 @@ def test_fit_diagnostics_separate_clustered_from_isotropic(spark, clustered):
         clustered, ivf_fit(clustered, dim=32, nlist=8, iters=3)
     )
     assert again == good
+
+
+def test_fit_with_diagnostics_reuses_sample_and_persists_to_silver(
+    spark, clustered, tmp_path
+):
+    """r8 VERDICT #4: the combined fit returns the SAME centroids as the
+    standalone driver fit (one collect job serves both the fit and the
+    gauge), and write_assigned_corpus persists the gauge next to the data
+    as _quantizer_diagnostics.json with the regime verdict — the silver
+    carries its own fit-quality metadata."""
+    import json
+
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_fit_with_diagnostics,
+        quantizer_regime,
+        write_assigned_corpus,
+    )
+
+    cents, diag = ivf_fit_with_diagnostics(
+        clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400
+    )
+    alone = ivf_fit(clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400)
+    assert cents == alone
+    assert quantizer_regime(diag, nlist=8, dim=32) == "clustered"
+
+    path = str(tmp_path / "silver")
+    write_assigned_corpus(clustered, cents, path, diagnostics=diag)
+    meta = json.loads((tmp_path / "silver" / "_quantizer_diagnostics.json").read_text())
+    assert meta["regime"] == "clustered"
+    assert meta["nlist"] == 8 and meta["dim"] == 32
+    assert meta["mean_top1"] == pytest.approx(diag["mean_top1"])
+    # the _-prefixed sidecar is invisible to the parquet reader
+    assert spark.read.parquet(path).count() == clustered.count()
+
+
+def test_require_clustered_gate_refuses_isotropic_silver(spark, clustered, tmp_path):
+    """The decision rule as a hard gate: an isotropic corpus (no usable
+    coarse-cluster structure — pruned-probe recall silently decays) must
+    NOT ship a silver index when require_clustered=True."""
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_fit_with_diagnostics,
+        write_assigned_corpus,
+    )
+
+    rng = np.random.default_rng(23)
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=32)]) for i in range(1200)],
+        "vec_id long, embedding array<float>",
+    )
+    cents, diag = ivf_fit_with_diagnostics(
+        iso, dim=32, nlist=8, iters=3, driver_fit_rows=1200
+    )
+    with pytest.raises(ValueError, match="isotropic"):
+        write_assigned_corpus(
+            iso, cents, str(tmp_path / "iso"), diagnostics=diag,
+            require_clustered=True,
+        )
+    # the clustered corpus passes the same gate
+    gcents, gdiag = ivf_fit_with_diagnostics(
+        clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400
+    )
+    write_assigned_corpus(
+        clustered, gcents, str(tmp_path / "ok"), diagnostics=gdiag,
+        require_clustered=True,
+    )
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == clustered.count()
+
+
+def test_fit_diagnostics_guards_nlist_and_empty_sample(spark, clustered):
+    """r8 ADVICE: nlist=1 (mean_margin undefined — order[:, -2] would
+    IndexError) and an empty corpus (NaN gauge) raise descriptive
+    ValueErrors instead."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit_diagnostics
+
+    one_centroid = [[1.0] + [0.0] * 31]
+    with pytest.raises(ValueError, match="nlist >= 2"):
+        ivf_fit_diagnostics(clustered, one_centroid)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    two = [[1.0] + [0.0] * 31, [0.0, 1.0] + [0.0] * 30]
+    with pytest.raises(ValueError, match="empty sample"):
+        ivf_fit_diagnostics(empty, two)

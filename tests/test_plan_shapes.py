@@ -164,22 +164,79 @@ def test_workload_deriving_queries_pin_a_constant_bound(name):
     )
 
 
-def test_workload_rule_covers_known_deriving_queries():
-    """Sweep: any registered query whose source filters a corpus id column
-    to BUILD a query/probe frame (alias 'query_id'/'qv'/'query_text')
-    must be in _WORKLOAD_BOUNDS. Catches a new ANN/retrieval registration
-    that forgot to pin its workload."""
-    import inspect
+def _builds_query_workload(src: str) -> bool:
+    """True when a registered query's SOURCE builds a query/probe workload
+    frame from the corpus. Two detectors (r8 VERDICT #5 — the alias-only
+    sweep let a `qid`-named frame escape):
+
+    1. alias family: any alias whose name is a query/probe identifier —
+       q(uery)?/probe + optional _?(id|text|key), e.g. query_id, qid,
+       qtext, probe_id, probes;
+    2. semantic: the source both FILTERS a corpus id column (the workload-
+       carving idiom ``F.col("<x>_id") <op> ...``) and calls a retrieval/
+       ANN operator that takes a query frame (bm25_topk, cosine_topk*,
+       ivf_topk*) — regardless of what the frame is named.
+    """
     import re
+
+    alias_pat = re.compile(
+        r'alias\(\s*"(?:q|query|probe)(?:_?(?:id|text|key|s))?"\s*\)',
+        re.IGNORECASE,
+    )
+    if alias_pat.search(src):
+        return True
+    carves_ids = re.search(r'F\.col\(\s*"\w*_?id"\s*\)\s*[<>%=!]', src)
+    takes_query_frame = re.search(
+        r"\b(bm25_topk|cosine_topk\w*|ivf_topk\w*)\s*\(", src
+    )
+    return bool(carves_ids and takes_query_frame)
+
+
+def test_workload_rule_covers_known_deriving_queries():
+    """Sweep: any registered query whose source builds a query/probe
+    workload frame from a corpus column must be in _WORKLOAD_BOUNDS.
+    Catches a new ANN/retrieval registration that forgot to pin its
+    workload (the q61 slope-45 lesson)."""
+    import inspect
 
     for name, fn in QUERIES.items():
         try:
             src = inspect.getsource(fn)
         except (OSError, TypeError):
             continue
-        builds_query_set = re.search(r'alias\("(query_id|query_text)"\)', src)
-        if builds_query_set:
+        if _builds_query_workload(src):
             assert name in _WORKLOAD_BOUNDS, (
                 f"{name} builds a query workload from a corpus column — "
                 "pin a constant bound and register it in _WORKLOAD_BOUNDS"
             )
+
+
+def test_workload_sweep_flags_disguised_aliases():
+    """The sweep must flag workload frames regardless of alias spelling
+    (r8 VERDICT #5: a frame aliased `qid` escaped the old regex) and
+    catch the alias-free semantic shape too — while NOT flagging plain
+    aggregation queries."""
+    flagged = '''
+def q99_sneaky(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext"))
+    return bm25_topk(d, probes)
+'''
+    assert _builds_query_workload(flagged)
+
+    alias_free = '''
+def q98_anon(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    w = e.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_lsh(e, w, k=5)
+'''
+    assert _builds_query_workload(alias_free)
+
+    benign = '''
+def q01_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 100).groupBy(
+        "l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
+'''
+    assert not _builds_query_workload(benign)
