@@ -73,6 +73,7 @@ TEXT_QUERIES = {
     "q60_nb_quality",
     "q61_bm25",
     "q63_incremental_dedup",
+    "q64_streaming_ingest",
     "q22_doc_profile",
 }
 

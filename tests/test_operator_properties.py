@@ -304,3 +304,42 @@ def test_min_cost_supplier_matches_oracle(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_asof_single_table_matches_oracle(spark):
+    """Single-table as-of (the former q48 registry row, folded out in r09
+    for q64_streaming_ingest — REGISTRY.md): the former DuckDB oracle
+    lives on here. The as-of FAMILY stays registry-oracled via
+    q57_asof_two_table's native ASOF LEFT JOIN oracle."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q48_asof_join
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.event_id, r.user_id, r.purchase_ts, r.last_error_ts)
+        for r in q48_asof_join(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = set(
+        con.execute(
+            """
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   strftime(last_error_ts, '%Y-%m-%d %H:%M:%S') AS last_error_ts
+            FROM (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_error_ts
+              FROM events)
+            WHERE event_type = 'purchase'
+            """
+        ).fetchall()
+    )
+    assert got == want
