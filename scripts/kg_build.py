@@ -997,12 +997,15 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
 
     counts: dict[str, int] = {}
+    walls: dict[str, float] = {}
     for name, df in gold.items():
+        tt = time.perf_counter()
         df = to_gold_shape(name, df)
         conformed = registry.conform(df, name) if name in registry.decls else df
         path = os.path.join(args.out, f"{name}.parquet")
         conformed.write.mode("overwrite").parquet(path)
         counts[name] = spark.read.parquet(path).count()
+        walls[name] = round(time.perf_counter() - tt, 3)
 
     # registry round-trip validation: every written gold table re-reads with
     # exactly the declared StructType (nullable-insensitive compare)
@@ -1027,6 +1030,7 @@ def main() -> None:
                 "value": wall,
                 "unit": "sec",
                 "tables": counts,
+                "table_walls": walls,
                 "n_tables": len(counts),
                 "validated": sorted(n for n in counts if n in registry.decls),
                 "scale": args.scale,

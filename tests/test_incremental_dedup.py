@@ -273,3 +273,59 @@ def test_ingest_per_batch_work_constant_as_index_grows(spark, tmp_path):
     (j1, s1), (j2, s2), (j3, s3) = counts[1], counts[2], counts[3]
     assert j2 <= j1 and j3 <= j1, counts
     assert s2 <= s1 + 2 and s3 <= s1 + 2, counts
+
+
+def test_index_read_missing_path_empty_but_errors_propagate(spark, tmp_path):
+    """r8 ADVICE: a MISSING index reads as empty (first batch against an
+    unseeded index), but any OTHER read failure — e.g. a corrupt footer —
+    must raise and fail the micro-batch instead of silently disabling
+    dedup and letting duplicates land in gold."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        _read_batch_partitions,
+    )
+
+    schema = StructType(
+        [StructField("doc", LongType()), StructField("fp", StringType())]
+    )
+    missing = str(tmp_path / "nope")
+    assert _read_batch_partitions(spark, missing, schema, 0).count() == 0
+
+    corrupt = tmp_path / "corrupt" / "__batch_id=0"
+    corrupt.mkdir(parents=True)
+    (corrupt / "part-0000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        _read_batch_partitions(
+            spark, str(tmp_path / "corrupt"), schema, 1
+        ).count()
+
+
+def test_index_batch_id_roundtrips_beyond_int32(spark, tmp_path):
+    """r8 ADVICE: Structured Streaming batch ids are 64-bit longs — the
+    partition column must read back as LongType so a batch id beyond
+    int32 parses and the exclude filter still works."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        _read_batch_partitions,
+        _write_batch_partition,
+    )
+
+    schema = StructType(
+        [StructField("doc", LongType()), StructField("fp", StringType())]
+    )
+    path = str(tmp_path / "fp")
+    big = 2**33 + 7
+    _write_batch_partition(_df(spark, CORPUS[:1]).select(
+        F.col("doc_id").alias("doc"), F.lit("aa").alias("fp")), path, -1)
+    _write_batch_partition(_df(spark, CORPUS[1:2]).select(
+        F.col("doc_id").alias("doc"), F.lit("bb").alias("fp")), path, big)
+    # excluding the big batch leaves only the seed partition
+    kept = _read_batch_partitions(spark, path, schema, big)
+    assert [r.fp for r in kept.collect()] == ["aa"]
+    # and not excluding it reads both partitions back intact
+    both = _read_batch_partitions(spark, path, schema, -2)
+    assert {r.fp for r in both.collect()} == {"aa", "bb"}
