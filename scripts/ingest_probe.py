@@ -145,9 +145,6 @@ def main() -> None:
         landed = spark.read.parquet(gold_dir).filter(
             f"__batch_id = {b}"
         ).count()
-        idx_docs = args.seed_rows + sum(
-            1 for _ in range(0)
-        )  # index size below is reported from fp table
         fp_rows = spark.read.parquet(f"{index_dir}/fingerprints").count()
         print(
             f"batch {b:2d}: wall {wall:6.2f}s  landed {landed:5d}/"
