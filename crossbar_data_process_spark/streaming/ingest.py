@@ -36,6 +36,53 @@ from pyspark.sql import functions as F
 
 BATCH_COL = "__batch_id"
 _INDEX_TABLES = ("fingerprints", "buckets", "shingles")
+_META_FILE = "_index_meta.json"
+
+
+def _write_index_meta(
+    spark: SparkSession, index_dir: str, n: int, num_hashes: int, bands: int
+) -> None:
+    import json
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+
+    _hadoop_write_text(
+        spark,
+        f"{index_dir}/{_META_FILE}",
+        json.dumps({"n": n, "num_hashes": num_hashes, "bands": bands}),
+    )
+
+
+def _check_index_meta(
+    spark: SparkSession, index_dir: str, n: int, num_hashes: int, bands: int
+) -> None:
+    """LSH parameters are part of the index's identity: band keys built
+    with different (n, num_hashes, bands) NEVER collide with the stored
+    buckets, so a mismatched writer would silently stop flagging
+    near-dups — corrupt gold with no error anywhere. The seed persists
+    the parameters next to the index; the writer refuses to probe with
+    different ones. A pre-metadata index (no ``_index_meta.json``) is
+    accepted for back-compat."""
+    import json
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_META_FILE}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    stream = fs.open(jpath)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    want = json.loads(raw)
+    got = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    if want != got:
+        raise ValueError(
+            f"dedup index at {index_dir} was built with {want} but this "
+            f"writer is configured with {got} — band keys would never "
+            "collide and near-dups would silently stop being flagged; "
+            "re-seed the index or match the parameters"
+        )
 
 
 def seed_dedup_index(
@@ -59,6 +106,7 @@ def seed_dedup_index(
     )
     for name in _INDEX_TABLES:
         _write_batch_partition(idx[name], f"{index_dir}/{name}", seed_batch_id)
+    _write_index_meta(corpus.sparkSession, index_dir, n, num_hashes, bands)
 
 
 def dedup_ingest_writer(
@@ -97,6 +145,12 @@ def dedup_ingest_writer(
         minhash_lsh_pairs,
         resolve_neardups,
     )
+
+    # fail FAST on an LSH-parameter mismatch with the seeded index (at
+    # factory time, not mid-stream), and stamp the parameters if this
+    # writer is the one creating the index
+    _check_index_meta(spark, index_dir, n, num_hashes, bands)
+    _write_index_meta(spark, index_dir, n, num_hashes, bands)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # micro-batch: pin it once

@@ -329,3 +329,91 @@ def test_index_batch_id_roundtrips_beyond_int32(spark, tmp_path):
     # and not excluding it reads both partitions back intact
     both = _read_batch_partitions(spark, path, schema, -2)
     assert {r.fp for r in both.collect()} == {"aa", "bb"}
+
+
+def test_index_param_mismatch_fails_fast(spark, tmp_path):
+    """LSH parameters are part of the index's identity: band keys built
+    with different (n, num_hashes, bands) never collide with the stored
+    buckets, so a mismatched writer would SILENTLY stop flagging
+    near-dups. The seed stamps _index_meta.json; a writer configured
+    differently must refuse at factory time."""
+    import pytest as _pytest
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir, n=3, num_hashes=12, bands=6)
+
+    with _pytest.raises(ValueError, match="band keys would never collide"):
+        dedup_ingest_writer(spark, index_dir, gold_dir, bands=4, num_hashes=12)
+
+    # matching parameters construct fine and the sink still works
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+    sink(_df(spark, [(30, CORPUS[0][1]), (31, "novel doc about tidal marsh ecology and sediment transport")]), 0)
+    landed = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    assert landed == {31}
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across RESTARTS, not just sink replays: run the
+    bounded stream with only file 0 present (availableNow drains it and
+    stops), then add file 1 and restart with the SAME checkpoint — the
+    source must assign batch 1 to the new file and must NOT reprocess
+    file 0. Gold ends with each survivor in exactly one batch partition."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    input_dir = str(tmp_path / "input")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+
+    b0 = [(40, "first restart batch doc about volcanic island arc formation"),
+          (41, CORPUS[0][1])]                      # dup of the seed -> dropped
+    b1 = [(50, b0[0][1]),                           # dup of batch-0 survivor
+          (51, "second restart batch doc about deep ocean current circulation")]
+
+    def add_file(i, rows):
+        staging = str(tmp_path / f"stage{i}")
+        _df(spark, rows).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = _glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"f{i}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    add_file(0, b0)
+    run_stream()
+    first = {(r["doc_id"], r["__batch_id"]) for r in spark.read.parquet(gold_dir).collect()}
+    assert first == {(40, 0)}
+
+    add_file(1, b1)
+    run_stream()  # SAME checkpoint: resumes, processes ONLY the new file
+    after = {(r["doc_id"], r["__batch_id"]) for r in spark.read.parquet(gold_dir).collect()}
+    # batch 0 untouched (not reprocessed/duplicated); file 1 became batch 1;
+    # 50 was flagged against batch 0's survivor via the grown index
+    assert after == {(40, 0), (51, 1)}
