@@ -417,3 +417,35 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     # batch 0 untouched (not reprocessed/duplicated); file 1 became batch 1;
     # 50 was flagged against batch 0's survivor via the grown index
     assert after == {(40, 0), (51, 1)}
+
+
+def test_empty_micro_batch_is_a_safe_noop(spark, tmp_path):
+    """Structured Streaming delivers EMPTY micro-batches (idle source,
+    timeout triggers); the sink must treat them as no-ops — no error, no
+    gold/index mutation — or a quiet night would crash the ingest."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+
+    sink(_df(spark, [(60, "one real doc about karst cave hydrology and limestone")]), 0)
+    before = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    fp_before = spark.read.parquet(f"{index_dir}/fingerprints").count()
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sink(empty, 1)  # must not raise
+
+    after = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    assert after == before == {60}
+    assert spark.read.parquet(f"{index_dir}/fingerprints").count() == fp_before
+
+    # and a later real batch still dedups against everything
+    sink(_df(spark, [(70, "one real doc about karst cave hydrology and limestone"),
+                     (71, "fresh doc about prairie grassland fire succession cycles")]), 2)
+    final = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    assert final == {60, 71}
