@@ -17,11 +17,18 @@ half-written rows and (b) atomically replaces exactly its own gold and
 index partitions. At-least-once delivery becomes an exactly-once gold
 table and an exactly-once index.
 
-Scale shape: per batch, work is sized by the BATCH (the
-``flag_against_index`` contract — fp equi-join, bucket probe, verify
-join touch index rows only where the batch collides); the index reads
-are partition-pruned parquet scans of kilobyte-to-megabyte silver
-tables; nothing is data-sized on the driver.
+Scale shape (the honest cost model): per batch, every SHUFFLE and all
+O(n²)-risk work is sized by the BATCH — the fp check broadcasts the
+batch's fingerprints against the index (the index side is scanned
+map-side, never shuffled), the bucket probe and shingle verify touch
+index rows only where the batch collides. The residual corpus-sized
+term is one sequential columnar SCAN of the compact index per batch
+(fingerprints ≈ 30 bytes/doc, 2–3 orders smaller than the corpus) —
+the standard key-table-dedup shape; nothing is data-sized on the
+driver. The batch-per-day partition layout accumulates small files
+linearly in batch count; :func:`compact_batch_partitions` /
+:func:`compact_dedup_index` consolidate committed batches (crash-safe:
+duplicated index rows are provably harmless to ``flag_against_index``).
 
 Versus the reference: the reference re-downloads and re-dedups whole
 sources per run (`edge_data/ppi.py:100-151` drop_duplicates over fresh
@@ -205,6 +212,89 @@ def dedup_ingest_writer(
             _write_batch_partition(delta[name], f"{index_dir}/{name}", batch_id)
 
     return _sink
+
+
+def compact_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    before_batch: int,
+    target_files: int = 8,
+) -> dict[str, int]:
+    """Consolidate every ``__batch_id`` partition with id < ``before_batch``
+    into ONE new partition — the small-file compaction a batch-per-day
+    layout needs at scale: years of daily batches are thousands of
+    directories of kilobyte files, and both parquet footer-open cost and
+    driver listing scale with file count, not bytes. Returns
+    ``{"compacted_partitions": k, "rows": n, "new_batch_id": id}``
+    (zeros/no-op when fewer than 2 partitions qualify).
+
+    Correctness and crash-safety:
+
+    - the consolidated partition gets a MORE-NEGATIVE id than any existing
+      partition (min(ids) − 1, so ≤ −2) — it can never collide with a real
+      streaming batch id (≥ 0) and is therefore never excluded by the
+      replay-safety filter, exactly like the seed's −1;
+    - write-then-delete ordering: a crash between the consolidated write
+      and the source deletes leaves DUPLICATED index rows, which
+      ``flag_against_index`` is provably insensitive to (exact: groupBy
+      min; near: DISTINCT candidates + groupBy min-struct) — re-running
+      the compaction converges;
+    - PRECONDITION (document to operators): ``before_batch`` must not
+      exceed the stream's last COMMITTED batch id. Structured Streaming
+      only ever replays the in-flight uncommitted batch; compacting a
+      batch that could still replay would break the exclude-own-partition
+      replay guarantee (the replayed rows would sit in the consolidated
+      partition and flag against themselves). Compacting committed
+      batches is always safe; gold can be compacted with the same call
+      under the same precondition.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return {"compacted_partitions": 0, "rows": 0, "new_batch_id": 0}
+    ids = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
+            ids.append(int(name.split("=", 1)[1]))
+    to_compact = sorted(i for i in ids if i < before_batch)
+    if len(to_compact) < 2:
+        return {"compacted_partitions": 0, "rows": 0, "new_batch_id": 0}
+    new_id = min(ids) - 1
+
+    df = spark.read.parquet(path).filter(
+        F.col(BATCH_COL).isin(to_compact)  # partition-pruned read
+    ).drop(BATCH_COL)
+    consolidated = df.repartition(target_files)
+    n = consolidated.count()
+    _write_batch_partition(consolidated, path, new_id)
+    for i in to_compact:
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={i}"),
+            True,
+        )
+    return {
+        "compacted_partitions": len(to_compact),
+        "rows": n,
+        "new_batch_id": new_id,
+    }
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    before_batch: int,
+    target_files: int = 8,
+) -> dict[str, dict[str, int]]:
+    """Run :func:`compact_batch_partitions` over the three index tables.
+    Same precondition: ``before_batch`` ≤ the stream's last committed
+    batch id."""
+    return {
+        name: compact_batch_partitions(
+            spark, f"{index_dir}/{name}", before_batch, target_files
+        )
+        for name in _INDEX_TABLES
+    }
 
 
 def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:

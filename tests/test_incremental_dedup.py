@@ -449,3 +449,97 @@ def test_empty_micro_batch_is_a_safe_noop(spark, tmp_path):
                      (71, "fresh doc about prairie grassland fire succession cycles")]), 2)
     final = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
     assert final == {60, 71}
+
+
+def test_index_compaction_preserves_semantics(spark, tmp_path):
+    """compact_batch_partitions (r09): years of daily batches = thousands
+    of small-file partitions; compaction consolidates committed batches
+    into one more-negative partition. Post-compaction the index must flag
+    exactly what it flagged before — seed dups, cross-batch dups — and
+    later batches must keep extending it."""
+    import re
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        compact_dedup_index,
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+
+    sink(_df(spark, [(80, "alpine meadow pollinator networks in early summer bloom")]), 0)
+    sink(_df(spark, [(81, "urban heat island mitigation with reflective roofing materials")]), 1)
+    sink(_df(spark, [(82, "fermentation chemistry of sourdough starter microbial cultures")]), 2)
+
+    report = compact_dedup_index(spark, index_dir, before_batch=3)
+    # seed(-1) + batches 0..2 -> one consolidated partition per table
+    assert report["fingerprints"]["compacted_partitions"] == 4
+    assert report["fingerprints"]["new_batch_id"] == -2
+    import os
+    parts = sorted(os.listdir(f"{index_dir}/fingerprints"))
+    assert [p for p in parts if p.startswith("__batch_id=")] == ["__batch_id=-2"]
+
+    # semantics preserved: dups of the seed AND of every compacted batch
+    # are still flagged; novel lands and keeps extending the index
+    sink(_df(spark, [
+        (90, CORPUS[0][1]),          # seed dup
+        (91, "alpine meadow pollinator networks in early summer bloom"),   # batch-0 dup
+        (92, "fermentation chemistry of sourdough starter microbial cultures"),  # batch-2 dup
+        (93, "novel post-compaction doc about glacial moraine soil formation"),
+    ]), 3)
+    landed = {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+    assert landed == {80, 81, 82, 93}
+
+    # and batch 3's own rows joined the index under its own partition
+    parts = sorted(os.listdir(f"{index_dir}/fingerprints"))
+    assert "__batch_id=3" in parts
+
+
+def test_compaction_duplicate_rows_are_harmless_and_reconverge(spark, tmp_path):
+    """Crash-safety contract: a crash between the consolidated write and
+    the source deletes leaves DUPLICATED index rows. flag_against_index
+    must still emit exactly one flag per dup doc (exact: groupBy-min;
+    near: DISTINCT + min-struct), and re-running the compaction
+    converges back to a single consolidated partition."""
+    import os
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        _write_batch_partition,
+        compact_dedup_index,
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "index")
+    gold_dir = str(tmp_path / "gold")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    sink = dedup_ingest_writer(spark, index_dir, gold_dir, threshold=0.4)
+    sink(_df(spark, [(80, "alpine meadow pollinator networks in early summer bloom")]), 0)
+    compact_dedup_index(spark, index_dir, before_batch=1)
+
+    # simulate the crash window: duplicate the consolidated rows under a
+    # second negative partition (as if sources had not been deleted)
+    for name in ("fingerprints", "buckets", "shingles"):
+        path = f"{index_dir}/{name}"
+        dup = spark.read.parquet(path).drop("__batch_id")
+        _write_batch_partition(dup, path, -5)
+
+    sink(_df(spark, [
+        (90, CORPUS[0][1]),                                               # exact dup
+        (91, "alpine meadow pollinator networks in early summer blooms"),  # near dup of batch 0
+        (92, "a genuinely novel doc about river delta avulsion dynamics"),
+    ]), 1)
+    gold = spark.read.parquet(gold_dir).filter("__batch_id = 1")
+    assert {r.doc_id for r in gold.collect()} == {92}
+    # exactly one gold row per survivor — duplicated index rows did not
+    # duplicate anything downstream
+    assert gold.count() == 1
+
+    # re-running the compaction converges the duplicates away
+    compact_dedup_index(spark, index_dir, before_batch=2)
+    parts = [p for p in os.listdir(f"{index_dir}/fingerprints")
+             if p.startswith("__batch_id=")]
+    assert parts == ["__batch_id=-6"]
