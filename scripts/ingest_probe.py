@@ -159,6 +159,42 @@ def main() -> None:
         f"(flat ⇒ ~1.0; index grew {args.seed_rows} → "
         f"~{args.seed_rows + args.batches * int(args.batch_rows * 0.8)} docs)"
     )
+
+    # ---- compaction effect (r09): same-size probe batch before/after
+    # consolidating all committed partitions; the wall at local scale is
+    # floor-dominated, the structural win is the file/partition count
+    from crossbar_data_process_spark.streaming.ingest import (
+        compact_dedup_index,
+    )
+
+    def index_files() -> tuple[int, int]:
+        nf = np = 0
+        for name in ("fingerprints", "buckets", "shingles"):
+            for root, dirs, files in os.walk(f"{index_dir}/{name}"):
+                np += sum(d.startswith("__batch_id=") for d in dirs)
+                nf += sum(f.endswith(".parquet") for f in files)
+        return np, nf
+
+    def probe_batch(b: int) -> float:
+        rows = gen.batch(args.batch_rows)
+        bdf = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+        t0 = time.perf_counter()
+        sink(bdf, b)
+        return time.perf_counter() - t0
+
+    np_pre, nf_pre = index_files()
+    w_pre = probe_batch(args.batches)
+    t0 = time.perf_counter()
+    report = compact_dedup_index(spark, index_dir, before_batch=args.batches + 1)
+    t_compact = time.perf_counter() - t0
+    np_post, nf_post = index_files()
+    w_post = probe_batch(args.batches + 1)
+    print(
+        f"compaction: partitions/table {np_pre // 3} -> {np_post // 3}, "
+        f"parquet files {nf_pre} -> {nf_post} "
+        f"({report['fingerprints']['rows']} fp rows, {t_compact:.2f}s); "
+        f"probe-batch wall {w_pre:.2f}s pre vs {w_post:.2f}s post"
+    )
     spark.stop()
 
 
