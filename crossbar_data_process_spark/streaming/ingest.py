@@ -160,6 +160,18 @@ def dedup_ingest_writer(
     _write_index_meta(spark, index_dir, n, num_hashes, bands)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # a micro-batch from a file source arrives with one partition per
+        # FILE — a single-file batch serializes the fingerprint/window
+        # map-side work onto one core (measured 1.7x the whole sink wall:
+        # 11-12 s vs 6.9 s at 2k docs). textdedup._spread can't see this
+        # frame (foreachBatch hands a bare LogicalRDD: no inputFiles, no
+        # shuffle nodes), but that same bareness makes the direct RDD
+        # partition probe safe here — there are no upstream shuffle stages
+        # for plan-conversion to materialize (the _spread hazard).
+        sc = batch_df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < max(2, target // 4):
+            batch_df = batch_df.repartition(target)
         batch_df = batch_df.localCheckpoint()  # micro-batch: pin it once
 
         # 1a. within-batch exact dedup (min-id row per fingerprint)
