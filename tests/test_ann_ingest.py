@@ -1,0 +1,136 @@
+"""Streaming embedding ingest into the IVF silver (streaming/ann_ingest):
+streamed layout ≡ batch layout for the probe reader, replay idempotence,
+and the distributed quantizer-drift gauge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.ivf import (
+    ivf_fit,
+    ivf_fit_diagnostics,
+    ivf_topk_assigned,
+    quantizer_regime,
+    write_assigned_corpus,
+)
+from crossbar_data_process_spark.streaming.ann_ingest import (
+    ivf_ingest_writer,
+    read_assigned_silver,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(100):
+            v = c + rng.normal(size=32) * 0.6
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def centroids(clustered):
+    return ivf_fit(clustered, dim=32, nlist=8, iters=2, driver_fit_rows=400)
+
+
+def test_streamed_silver_equals_batch_silver_for_the_probe(
+    spark, clustered, centroids, tmp_path
+):
+    """Two micro-batches through the sink must give ivf_topk_assigned the
+    exact same answers as the one-shot write_assigned_corpus layout —
+    the streamed silver IS the production silver, not a variant."""
+    batch0 = clustered.filter(F.col("vec_id") % 2 == 0)
+    batch1 = clustered.filter(F.col("vec_id") % 2 == 1)
+    streamed = str(tmp_path / "streamed")
+    oneshot = str(tmp_path / "oneshot")
+
+    sink = ivf_ingest_writer(spark, centroids, streamed)
+    sink(batch0, 0)
+    sink(batch1, 1)
+    write_assigned_corpus(clustered, centroids, oneshot)
+
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in ivf_topk_assigned(
+            spark, streamed, q, centroids, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in ivf_topk_assigned(
+            spark, oneshot, q, centroids, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # and the reader round-trips the full corpus without the batch column
+    silver = read_assigned_silver(spark, streamed)
+    assert silver.count() == clustered.count()
+    assert "__batch_id" not in silver.columns
+
+
+def test_replay_overwrites_exactly_its_own_batch(spark, clustered, centroids, tmp_path):
+    """at-least-once foreachBatch: re-running (batch_df, batch_id) must
+    leave the silver with no duplicated vectors — dynamic overwrite of
+    the (cluster, __batch_id) leaves replaces exactly the batch's data."""
+    silver = str(tmp_path / "silver")
+    batch0 = clustered.filter(F.col("vec_id") < 400)
+    batch1 = clustered.filter(F.col("vec_id") >= 400)
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    sink(batch0, 0)
+    sink(batch1, 1)
+    before = read_assigned_silver(spark, silver).orderBy("vec_id").collect()
+
+    sink(batch0, 0)  # replay
+    after = read_assigned_silver(spark, silver).orderBy("vec_id").collect()
+    assert after == before
+    assert len(after) == clustered.count()
+
+
+def test_drift_gauge_flags_an_isotropic_batch(spark, clustered, centroids, tmp_path):
+    """The per-batch mean_top1 is the SAME statistic the driver-side fit
+    diagnostics compute (baseline at fit time) but evaluated as a pure
+    Column aggregation over the whole batch — when a drifted (isotropic)
+    batch arrives, the gauge drops through the quantizer_regime floor."""
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(spark, centroids, silver, metrics_dir=metrics)
+
+    rng = np.random.default_rng(23)
+    iso = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in rng.normal(size=32)]) for i in range(600)],
+        "vec_id long, embedding array<float>",
+    )
+    sink(clustered, 0)
+    sink(iso, 1)
+
+    m = {
+        int(r["__batch_id"]): r
+        for r in spark.read.parquet(metrics).collect()
+    }
+    assert m[0]["n_vectors"] == clustered.count()
+    # batch 0 agrees with the driver-side diagnostic (sample covers the
+    # whole fixture, so it is the same statistic over the same rows)
+    diag = ivf_fit_diagnostics(clustered, centroids, sample_rows=10_000)
+    assert m[0]["mean_top1"] == pytest.approx(diag["mean_top1"], rel=1e-6)
+    # regimes: fit-time corpus healthy, drifted batch flagged
+    assert quantizer_regime({"mean_top1": m[0]["mean_top1"]}, 8, 32) == "clustered"
+    assert quantizer_regime({"mean_top1": m[1]["mean_top1"]}, 8, 32) == "isotropic"
+
+
+def test_quantized_streamed_silver_probes(spark, clustered, centroids, tmp_path):
+    silver = str(tmp_path / "qsilver")
+    sink = ivf_ingest_writer(spark, centroids, silver, quantize=True)
+    sink(clustered, 0)
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    out = ivf_topk_assigned(
+        spark, silver, q, centroids, k=5, nprobe=3, quantized=True
+    )
+    assert out.count() == q.count() * 5
