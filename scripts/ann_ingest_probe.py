@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""ANN streaming-ingest probe (streaming/ann_ingest.py): N constant-size
+micro-batches of embeddings through `ivf_ingest_writer` against a GROWING
+cluster-partitioned silver — per-batch wall must stay flat (assignment is
+a pure projection and the write touches only the batch's own leaves;
+nothing reads the accumulated silver). Batches are generated DISTRIBUTED
+(spark.range + hash expressions — no driver-side vector lists).
+
+Run: python scripts/ann_ingest_probe.py [--batches N] [--batch-rows M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark import get_spark
+from crossbar_data_process_spark.operators.ivf import ivf_fit
+from crossbar_data_process_spark.streaming.ann_ingest import (
+    ivf_ingest_writer,
+    read_assigned_silver,
+)
+
+ROOT = "/tmp/ann_ingest_probe_r09"
+DIM = 32
+
+
+def gen_batch(spark, start: int, rows: int):
+    """Deterministic pseudo-random unit-scale vectors, generated scan-side:
+    component j of vector i = hash(i, j) mapped to [-1, 1)."""
+    return spark.range(start, start + rows).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id") * 131 + j), F.lit(2000)) / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--batch-rows", type=int, default=20_000)
+    args = ap.parse_args()
+
+    shutil.rmtree(ROOT, ignore_errors=True)
+    spark = get_spark(app_name="ann_ingest_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fit_corpus = gen_batch(spark, 0, args.batch_rows)
+    cents = ivf_fit(fit_corpus, dim=DIM, nlist=16, iters=2, driver_fit_rows=2048)
+    sink = ivf_ingest_writer(
+        spark, cents, f"{ROOT}/silver", metrics_dir=f"{ROOT}/metrics"
+    )
+
+    walls = []
+    for b in range(args.batches):
+        bdf = gen_batch(spark, b * args.batch_rows, args.batch_rows)
+        t0 = time.perf_counter()
+        sink(bdf, b)
+        walls.append(time.perf_counter() - t0)
+        print(f"batch {b:2d}: wall {walls[-1]:5.2f}s")
+    total = read_assigned_silver(spark, f"{ROOT}/silver").count()
+    early, late = np.mean(walls[1:4]), np.mean(walls[-3:])
+    print(
+        f"\nflatness: mean(batches 1-3) {early:.2f}s vs mean(last 3) "
+        f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
