@@ -27,8 +27,13 @@ term is one sequential columnar SCAN of the compact index per batch
 the standard key-table-dedup shape; nothing is data-sized on the
 driver. The batch-per-day partition layout accumulates small files
 linearly in batch count; :func:`compact_batch_partitions` /
-:func:`compact_dedup_index` consolidate committed batches (crash-safe:
-duplicated index rows are provably harmless to ``flag_against_index``).
+:func:`compact_dedup_index` / :func:`compact_gold` consolidate
+committed batches behind a manifest-committed rename protocol
+(crash-safe for BOTH the index and gold: no crash window leaves
+duplicated rows visible to a reader that goes through
+:func:`read_batch_table` — see ``compact_batch_partitions`` for the
+window-by-window argument; duplicated index rows would additionally be
+harmless to ``flag_against_index`` even without it).
 
 Versus the reference: the reference re-downloads and re-dedups whole
 sources per run (`edge_data/ppi.py:100-151` drop_duplicates over fresh
@@ -44,6 +49,22 @@ from pyspark.sql import functions as F
 BATCH_COL = "__batch_id"
 _INDEX_TABLES = ("fingerprints", "buckets", "shingles")
 _META_FILE = "_index_meta.json"
+_MANIFEST_FILE = "_compaction_manifest.json"
+_STAGING_PREFIX = ".compaction_staging_"
+
+
+def _fs_and_path(spark: SparkSession, uri: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(uri)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _hadoop_read_text(spark: SparkSession, uri: str) -> str:
+    fs, jpath = _fs_and_path(spark, uri)
+    stream = fs.open(jpath)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def _write_index_meta(
@@ -62,26 +83,24 @@ def _write_index_meta(
 
 def _check_index_meta(
     spark: SparkSession, index_dir: str, n: int, num_hashes: int, bands: int
-) -> None:
+) -> bool:
     """LSH parameters are part of the index's identity: band keys built
     with different (n, num_hashes, bands) NEVER collide with the stored
     buckets, so a mismatched writer would silently stop flagging
     near-dups — corrupt gold with no error anywhere. The seed persists
     the parameters next to the index; the writer refuses to probe with
     different ones. A pre-metadata index (no ``_index_meta.json``) is
-    accepted for back-compat."""
+    accepted for back-compat (the caller warns and leaves it unstamped —
+    stamping the writer's own parameters onto an index of unknown
+    identity would convert a one-time undetected mismatch into a
+    permanently 'verified' wrong identity; r9 ADVICE). Returns whether a
+    metadata file was present and verified."""
     import json
 
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{_META_FILE}")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = _fs_and_path(spark, f"{index_dir}/{_META_FILE}")
     if not fs.exists(jpath):
-        return
-    stream = fs.open(jpath)
-    try:
-        raw = bytes(stream.readAllBytes()).decode("utf-8")
-    finally:
-        stream.close()
-    want = json.loads(raw)
+        return False
+    want = json.loads(_hadoop_read_text(spark, f"{index_dir}/{_META_FILE}"))
     got = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if want != got:
         raise ValueError(
@@ -90,6 +109,7 @@ def _check_index_meta(
             "collide and near-dups would silently stop being flagged; "
             "re-seed the index or match the parameters"
         )
+    return True
 
 
 def seed_dedup_index(
@@ -154,10 +174,26 @@ def dedup_ingest_writer(
     )
 
     # fail FAST on an LSH-parameter mismatch with the seeded index (at
-    # factory time, not mid-stream), and stamp the parameters if this
-    # writer is the one creating the index
-    _check_index_meta(spark, index_dir, n, num_hashes, bands)
-    _write_index_meta(spark, index_dir, n, num_hashes, bands)
+    # factory time, not mid-stream). Stamp the parameters ONLY when this
+    # writer is the one creating the index (no index directory yet): a
+    # pre-metadata index was built with UNKNOWN parameters, and stamping
+    # the writer's own values onto it would turn a one-time undetected
+    # mismatch into a permanently 'verified' wrong identity (r9 ADVICE) —
+    # warn and leave it unstamped instead; re-seed to stamp it.
+    verified = _check_index_meta(spark, index_dir, n, num_hashes, bands)
+    fs, index_jpath = _fs_and_path(spark, index_dir)
+    if not fs.exists(index_jpath):
+        _write_index_meta(spark, index_dir, n, num_hashes, bands)
+    elif not verified:
+        import warnings
+
+        warnings.warn(
+            f"dedup index at {index_dir} predates {_META_FILE} — its LSH "
+            "parameters (n, num_hashes, bands) cannot be verified against "
+            "this writer's; leaving it unstamped. Re-seed with "
+            "seed_dedup_index to stamp a verified identity.",
+            stacklevel=2,
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         # a micro-batch from a file source arrives with one partition per
@@ -226,70 +262,204 @@ def dedup_ingest_writer(
     return _sink
 
 
+def recover_compaction(spark: SparkSession, path: str) -> dict | None:
+    """Complete (roll forward) a compaction that crashed mid-commit, or
+    sweep an uncommitted staging directory. Idempotent; called
+    automatically at the start of :func:`compact_batch_partitions` and
+    safe to call any time. Returns the rolled-forward manifest dict, or
+    ``None`` when there was nothing to recover.
+
+    The commit protocol (see :func:`compact_batch_partitions`) makes the
+    single-file manifest creation the commit point, so recovery is purely
+    mechanical:
+
+    - manifest present, target partition absent → the crash hit between
+      commit and rename: rename staging → target, then finish the source
+      deletes and drop the manifest;
+    - manifest present, target present → the crash hit mid-deletes:
+      finish the deletes, drop the manifest;
+    - no manifest → any ``.compaction_staging_*`` directory is an
+      UNCOMMITTED write that no reader ever saw (the ``.``-prefix hides
+      it from parquet discovery): delete it.
+    """
+    import json
+
+    fs, root = _fs_and_path(spark, path)
+    if not fs.exists(root):
+        return None
+    manifest_uri = f"{path}/{_MANIFEST_FILE}"
+    _, mpath = _fs_and_path(spark, manifest_uri)
+    if fs.exists(mpath):
+        m = json.loads(_hadoop_read_text(spark, manifest_uri))
+        _, staging = _fs_and_path(spark, f"{path}/{m['staging']}")
+        _, target = _fs_and_path(
+            spark, f"{path}/{BATCH_COL}={m['new_batch_id']}"
+        )
+        if not fs.exists(target) and fs.exists(staging):
+            fs.rename(staging, target)
+        for i in m["sources"]:
+            _, src = _fs_and_path(spark, f"{path}/{BATCH_COL}={i}")
+            fs.delete(src, True)
+        fs.delete(mpath, False)
+        return m
+    for st in fs.listStatus(root):
+        if st.getPath().getName().startswith(_STAGING_PREFIX):
+            fs.delete(st.getPath(), True)
+    return None
+
+
+def read_batch_table(spark: SparkSession, path: str) -> DataFrame:
+    """Exactly-once reader for a batch-partitioned table (gold or index):
+    the batch partitions, minus any partitions an in-flight compaction
+    has already superseded. During a compaction's only duplicate-bearing
+    window (consolidated partition renamed into place, source deletes
+    not yet finished) the manifest names the superseded sources — they
+    are excluded here, so a reader NEVER sees a row twice in any crash
+    window. Before the rename the consolidated rows are invisible (the
+    staging directory's ``.``-prefix hides it from parquet discovery)
+    and the sources are still authoritative, so the plain read is
+    already exact."""
+    import json
+
+    df = spark.read.parquet(path)
+    fs, mpath = _fs_and_path(spark, f"{path}/{_MANIFEST_FILE}")
+    if fs.exists(mpath):
+        m = json.loads(_hadoop_read_text(spark, f"{path}/{_MANIFEST_FILE}"))
+        _, target = _fs_and_path(
+            spark, f"{path}/{BATCH_COL}={m['new_batch_id']}"
+        )
+        # only exclude once the rename made the consolidated copy live;
+        # before that the sources are still the only copy of those rows
+        if fs.exists(target):
+            df = df.filter(~F.col(BATCH_COL).isin(m["sources"]))
+    return df
+
+
 def compact_batch_partitions(
     spark: SparkSession,
     path: str,
     before_batch: int,
     target_files: int = 8,
-) -> dict[str, int]:
+    dedup_cols: list[str] | None = None,
+) -> dict[str, int | None]:
     """Consolidate every ``__batch_id`` partition with id < ``before_batch``
     into ONE new partition — the small-file compaction a batch-per-day
     layout needs at scale: years of daily batches are thousands of
     directories of kilobyte files, and both parquet footer-open cost and
     driver listing scale with file count, not bytes. Returns
-    ``{"compacted_partitions": k, "rows": n, "new_batch_id": id}``
-    (zeros/no-op when fewer than 2 partitions qualify).
+    ``{"compacted_partitions": k, "rows": n, "new_batch_id": id}``;
+    on the no-op paths (missing table, fewer than 2 qualifying
+    partitions) ``new_batch_id`` is ``None`` — 0 is a legitimate
+    streaming batch id, so a sentinel id would be ambiguous (r9 ADVICE).
 
-    Correctness and crash-safety:
+    Correctness and crash-safety — the manifest-committed rename
+    protocol (safe for GOLD as well as the index, not merely
+    "duplicates are harmless"; r9 ADVICE):
+
+    1. the consolidated rows are written to a ``.``-prefixed STAGING
+       directory parquet discovery never lists — a crash here leaves an
+       invisible orphan that :func:`recover_compaction` sweeps;
+    2. a single-file MANIFEST (``_compaction_manifest.json``: new id,
+       staging name, source ids) is created — THE commit point;
+    3. staging is atomically renamed to ``__batch_id=<new_id>``;
+    4. the source partitions are deleted; 5. the manifest is removed.
+
+    Window-by-window: before 2 nothing changed for readers; between 2
+    and 3 the sources are still the only live copy (target absent →
+    :func:`read_batch_table` keeps them); between 3 and 5 both copies
+    exist on disk but the manifest names the superseded sources and
+    :func:`read_batch_table` excludes them — no reader observes a row
+    twice, and :func:`recover_compaction` (run automatically on the next
+    compaction) rolls the deletes forward. ``dedup_cols`` additionally
+    drops duplicate rows (by those columns, arbitrary survivor among
+    identical batches) during consolidation as defense-in-depth for
+    tables that acquired duplicates by external means.
 
     - the consolidated partition gets a MORE-NEGATIVE id than any existing
       partition (min(ids) − 1, so ≤ −2) — it can never collide with a real
       streaming batch id (≥ 0) and is therefore never excluded by the
       replay-safety filter, exactly like the seed's −1;
-    - write-then-delete ordering: a crash between the consolidated write
-      and the source deletes leaves DUPLICATED index rows, which
-      ``flag_against_index`` is provably insensitive to (exact: groupBy
-      min; near: DISTINCT candidates + groupBy min-struct) — re-running
-      the compaction converges;
     - PRECONDITION (document to operators): ``before_batch`` must not
       exceed the stream's last COMMITTED batch id. Structured Streaming
       only ever replays the in-flight uncommitted batch; compacting a
       batch that could still replay would break the exclude-own-partition
       replay guarantee (the replayed rows would sit in the consolidated
       partition and flag against themselves). Compacting committed
-      batches is always safe; gold can be compacted with the same call
-      under the same precondition.
+      batches is always safe — for the index (via
+      :func:`compact_dedup_index`) and for gold (via
+      :func:`compact_gold`) alike.
     """
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return {"compacted_partitions": 0, "rows": 0, "new_batch_id": 0}
+    import json
+
+    _noop = {"compacted_partitions": 0, "rows": 0, "new_batch_id": None}
+    fs, root = _fs_and_path(spark, path)
+    if not fs.exists(root):
+        return _noop
+    recover_compaction(spark, path)  # finish any crashed predecessor first
     ids = []
-    for st in fs.listStatus(jpath):
+    for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
             ids.append(int(name.split("=", 1)[1]))
     to_compact = sorted(i for i in ids if i < before_batch)
     if len(to_compact) < 2:
-        return {"compacted_partitions": 0, "rows": 0, "new_batch_id": 0}
+        return _noop
     new_id = min(ids) - 1
 
     df = spark.read.parquet(path).filter(
         F.col(BATCH_COL).isin(to_compact)  # partition-pruned read
     ).drop(BATCH_COL)
+    if dedup_cols:
+        df = df.dropDuplicates(dedup_cols)
     consolidated = df.repartition(target_files)
     n = consolidated.count()
-    _write_batch_partition(consolidated, path, new_id)
+    staging_name = f"{_STAGING_PREFIX}{new_id}"
+    # 1. invisible staging write (plain parquet — a partition directory
+    # holds bare files; the partition value lives in the dir name)
+    consolidated.write.mode("overwrite").parquet(f"{path}/{staging_name}")
+    # 2. COMMIT: the manifest's single-file creation
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+
+    _hadoop_write_text(
+        spark,
+        f"{path}/{_MANIFEST_FILE}",
+        json.dumps(
+            {"new_batch_id": new_id, "staging": staging_name,
+             "sources": to_compact}
+        ),
+    )
+    # 3.-5. roll forward: rename, delete sources, drop the manifest
+    _, staging = _fs_and_path(spark, f"{path}/{staging_name}")
+    _, target = _fs_and_path(spark, f"{path}/{BATCH_COL}={new_id}")
+    fs.rename(staging, target)
     for i in to_compact:
-        fs.delete(
-            spark._jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCH_COL}={i}"),
-            True,
-        )
+        _, src = _fs_and_path(spark, f"{path}/{BATCH_COL}={i}")
+        fs.delete(src, True)
+    _, mpath = _fs_and_path(spark, f"{path}/{_MANIFEST_FILE}")
+    fs.delete(mpath, False)
     return {
         "compacted_partitions": len(to_compact),
         "rows": n,
         "new_batch_id": new_id,
     }
+
+
+def compact_gold(
+    spark: SparkSession,
+    gold_dir: str,
+    before_batch: int,
+    id_col: str = "doc_id",
+    target_files: int = 8,
+) -> dict[str, int | None]:
+    """Compact the GOLD table's committed batch partitions. Rides the
+    same manifest-committed protocol as the index compaction — plus
+    ``dedup_cols=[id_col]``, so even a gold table that somehow acquired
+    duplicated ids (e.g. partitions copied in by hand) converges to one
+    row per id instead of preserving the duplicates forever (r9
+    ADVICE). Same ``before_batch`` ≤ last-committed-batch precondition."""
+    return compact_batch_partitions(
+        spark, gold_dir, before_batch, target_files, dedup_cols=[id_col]
+    )
 
 
 def compact_dedup_index(

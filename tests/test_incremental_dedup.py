@@ -543,3 +543,249 @@ def test_compaction_duplicate_rows_are_harmless_and_reconverge(spark, tmp_path):
     parts = [p for p in os.listdir(f"{index_dir}/fingerprints")
              if p.startswith("__batch_id=")]
     assert parts == ["__batch_id=-6"]
+
+
+# --- r10: manifest-committed compaction (gold-safe), recovery, readers ---
+
+
+def _gold_rows(spark, gold_dir):
+    return {r.doc_id for r in spark.read.parquet(gold_dir).collect()}
+
+
+def _mk_gold(spark, tmp_path, n_batches=3):
+    """A small batch-partitioned gold table written directly (one row per
+    batch, ids 100+i) — the compaction protocol is layout-level, so the
+    fixture does not need the full ingest pipeline."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        _write_batch_partition,
+    )
+
+    gold_dir = str(tmp_path / "gold")
+    for i in range(n_batches):
+        _write_batch_partition(
+            _df(spark, [(100 + i, f"doc body number {i}")]), gold_dir, i
+        )
+    return gold_dir
+
+
+def test_compaction_noop_paths_return_none_batch_id(spark, tmp_path):
+    """0 is a legitimate streaming batch id — the no-op paths must return
+    new_batch_id=None, not 0 (r9 ADVICE)."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        _write_batch_partition,
+        compact_batch_partitions,
+    )
+
+    missing = compact_batch_partitions(spark, str(tmp_path / "nope"), 99)
+    assert missing == {"compacted_partitions": 0, "rows": 0,
+                       "new_batch_id": None}
+
+    one = str(tmp_path / "one")
+    _write_batch_partition(_df(spark, [(1, "x")]), one, 0)
+    single = compact_batch_partitions(spark, one, 99)
+    assert single["new_batch_id"] is None
+    assert single["compacted_partitions"] == 0
+
+
+def test_compact_gold_consolidates_exactly(spark, tmp_path):
+    """compact_gold: one consolidated negative partition, same row set,
+    manifest and staging both gone afterwards."""
+    import os
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        compact_gold,
+        read_batch_table,
+    )
+
+    gold_dir = _mk_gold(spark, tmp_path, n_batches=4)
+    before = _gold_rows(spark, gold_dir)
+    report = compact_gold(spark, gold_dir, before_batch=3)
+    assert report["compacted_partitions"] == 3
+    assert report["new_batch_id"] == -1
+    parts = sorted(p for p in os.listdir(gold_dir)
+                   if p.startswith("__batch_id="))
+    assert parts == ["__batch_id=-1", "__batch_id=3"]
+    assert not any(p.startswith(".compaction_staging_")
+                   or p == "_compaction_manifest.json"
+                   for p in os.listdir(gold_dir))
+    assert _gold_rows(spark, gold_dir) == before
+    assert {r.doc_id for r in read_batch_table(spark, gold_dir).collect()} \
+        == before
+
+
+def test_compact_gold_dedups_by_id_during_consolidation(spark, tmp_path):
+    """Defense-in-depth (r9 ADVICE): a gold table that acquired
+    duplicated ids by external means (hand-copied partition) converges to
+    one row per id instead of preserving the duplicates forever."""
+    from crossbar_data_process_spark.streaming.ingest import (
+        _write_batch_partition,
+        compact_gold,
+    )
+
+    gold_dir = _mk_gold(spark, tmp_path, n_batches=3)
+    # externally-introduced duplicate of batch 0's row
+    _write_batch_partition(_df(spark, [(100, "doc body number 0")]),
+                           gold_dir, 7)
+    compact_gold(spark, gold_dir, before_batch=99)
+    gold = spark.read.parquet(gold_dir)
+    assert gold.count() == 3
+    assert _gold_rows(spark, gold_dir) == {100, 101, 102}
+
+
+def test_recover_compaction_pre_commit_crash_sweeps_staging(spark, tmp_path):
+    """Crash BEFORE the manifest commit: the staging directory is an
+    invisible orphan no reader ever saw — recovery deletes it and the
+    sources stay authoritative."""
+    import os
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        read_batch_table,
+        recover_compaction,
+    )
+
+    gold_dir = _mk_gold(spark, tmp_path)
+    before = _gold_rows(spark, gold_dir)
+    # simulate: consolidated rows staged, no manifest yet
+    stage = f"{gold_dir}/.compaction_staging_-1"
+    _df(spark, [(100, "doc body number 0"),
+                (101, "doc body number 1")]).drop("text") \
+        .write.parquet(stage)
+    # plain + exactly-once readers both ignore the dot-dir
+    assert _gold_rows(spark, gold_dir) == before
+    assert {r.doc_id for r in read_batch_table(spark, gold_dir).collect()} \
+        == before
+    m = recover_compaction(spark, gold_dir)
+    assert m is None
+    assert not os.path.exists(stage)
+    assert _gold_rows(spark, gold_dir) == before
+
+
+def test_recover_compaction_rolls_forward_both_commit_windows(spark, tmp_path):
+    """Crash AFTER the manifest commit, in both windows:
+
+    (a) before the rename — staging + manifest present, target absent:
+        read_batch_table keeps the sources (only live copy); recovery
+        renames, deletes sources, drops the manifest;
+    (b) after the rename, mid-deletes — both copies on disk: the plain
+        read sees duplicates but read_batch_table excludes the
+        manifest-named sources (exactly-once); recovery finishes the
+        deletes."""
+    import json
+    import os
+
+    from crossbar_data_process_spark.sources.writers import (
+        _hadoop_write_text,
+    )
+    from crossbar_data_process_spark.streaming.ingest import (
+        read_batch_table,
+        recover_compaction,
+    )
+
+    # --- window (a): committed, not yet renamed
+    gold_a = _mk_gold(spark, tmp_path / "a")
+    before = {100, 101, 102}
+    stage = f"{gold_a}/.compaction_staging_-1"
+    spark.read.parquet(gold_a).filter("__batch_id < 2") \
+        .drop("__batch_id").write.parquet(stage)
+    _hadoop_write_text(
+        spark, f"{gold_a}/_compaction_manifest.json",
+        json.dumps({"new_batch_id": -1, "staging": ".compaction_staging_-1",
+                    "sources": [0, 1]}),
+    )
+    got = {r.doc_id for r in read_batch_table(spark, gold_a).collect()}
+    assert got == before  # target absent -> sources still authoritative
+    m = recover_compaction(spark, gold_a)
+    assert m["new_batch_id"] == -1
+    parts = sorted(p for p in os.listdir(gold_a)
+                   if p.startswith("__batch_id="))
+    assert parts == ["__batch_id=-1", "__batch_id=2"]
+    assert not os.path.exists(f"{gold_a}/_compaction_manifest.json")
+    assert _gold_rows(spark, gold_a) == before
+
+    # --- window (b): renamed, sources not yet deleted
+    gold_b = _mk_gold(spark, tmp_path / "b")
+    spark.read.parquet(gold_b).filter("__batch_id < 2") \
+        .drop("__batch_id").write.parquet(f"{gold_b}/__batch_id=-1")
+    _hadoop_write_text(
+        spark, f"{gold_b}/_compaction_manifest.json",
+        json.dumps({"new_batch_id": -1, "staging": ".compaction_staging_-1",
+                    "sources": [0, 1]}),
+    )
+    # duplicates ARE on disk...
+    assert spark.read.parquet(gold_b).count() == 5
+    # ...but the exactly-once reader never shows a row twice
+    ex = read_batch_table(spark, gold_b)
+    assert ex.count() == 3
+    assert {r.doc_id for r in ex.collect()} == before
+    recover_compaction(spark, gold_b)
+    parts = sorted(p for p in os.listdir(gold_b)
+                   if p.startswith("__batch_id="))
+    assert parts == ["__batch_id=-1", "__batch_id=2"]
+    assert _gold_rows(spark, gold_b) == before
+
+
+def test_next_compaction_recovers_crashed_predecessor(spark, tmp_path):
+    """compact_batch_partitions starts by rolling forward any crashed
+    predecessor, so an operator who only ever calls compaction still
+    converges."""
+    import json
+    import os
+
+    from crossbar_data_process_spark.sources.writers import (
+        _hadoop_write_text,
+    )
+    from crossbar_data_process_spark.streaming.ingest import (
+        compact_batch_partitions,
+    )
+
+    gold_dir = _mk_gold(spark, tmp_path, n_batches=4)
+    stage = f"{gold_dir}/.compaction_staging_-1"
+    spark.read.parquet(gold_dir).filter("__batch_id < 2") \
+        .drop("__batch_id").write.parquet(stage)
+    _hadoop_write_text(
+        spark, f"{gold_dir}/_compaction_manifest.json",
+        json.dumps({"new_batch_id": -1, "staging": ".compaction_staging_-1",
+                    "sources": [0, 1]}),
+    )
+    report = compact_batch_partitions(spark, gold_dir, before_batch=4)
+    # predecessor rolled forward (-1 <- {0,1}), then this run compacted
+    # {-1, 2, 3} into -2
+    assert report["new_batch_id"] == -2
+    assert report["compacted_partitions"] == 3
+    parts = sorted(p for p in os.listdir(gold_dir)
+                   if p.startswith("__batch_id="))
+    assert parts == ["__batch_id=-2"]
+    assert _gold_rows(spark, gold_dir) == {100, 101, 102, 103}
+
+
+def test_premetadata_index_is_warned_not_stamped(spark, tmp_path):
+    """r9 ADVICE: an index that predates _index_meta.json has UNKNOWN LSH
+    parameters — the writer must warn and leave it unstamped (stamping
+    its own values would fabricate a 'verified' identity), while a writer
+    that CREATES the index still stamps it."""
+    import os
+    import warnings
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        seed_dedup_index,
+    )
+
+    # pre-metadata index: seed, then delete the meta file
+    index_dir = str(tmp_path / "index")
+    seed_dedup_index(_df(spark, CORPUS), index_dir)
+    os.remove(f"{index_dir}/_index_meta.json")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sink = dedup_ingest_writer(spark, index_dir,
+                                   str(tmp_path / "gold"), threshold=0.4)
+    assert any("cannot be verified" in str(w.message) for w in caught)
+    assert not os.path.exists(f"{index_dir}/_index_meta.json")
+    # and the unstamped writer still works
+    sink(_df(spark, [(80, "novel doc about tidal marsh sediment budgets")]), 0)
+    assert _gold_rows(spark, str(tmp_path / "gold")) == {80}
+
+    # fresh index: the creating writer stamps it
+    fresh_index = str(tmp_path / "fresh_index")
+    dedup_ingest_writer(spark, fresh_index, str(tmp_path / "gold2"))
+    assert os.path.exists(f"{fresh_index}/_index_meta.json")
