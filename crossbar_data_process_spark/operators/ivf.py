@@ -348,6 +348,16 @@ def write_assigned_corpus(
 
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    # stamp the quantizer's identity next to the data (after the
+    # overwrite, which wipes the dir): probes and auditors can verify
+    # their centroid matrix against the one the silver was assigned
+    # under — a mismatch means pruned-probe recall is silently wrong
+    # (streaming.ann_ingest.check_centroid_meta, r9 ADVICE)
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        _write_centroid_meta,
+    )
+
+    _write_centroid_meta(vectors.sparkSession, path, centroids)
     if metadata is not None:
         import json
 

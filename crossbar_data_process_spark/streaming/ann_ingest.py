@@ -38,10 +38,82 @@ from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.streaming.ingest import (
     BATCH_COL,
+    _fs_and_path,
+    _hadoop_read_text,
     _write_batch_partition,
 )
 
 _CLUSTER_COL = "cluster"
+_CENTROID_META = "_centroid_meta.json"
+
+
+def centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """Deterministic identity of a centroid matrix: md5 over the JSON
+    rendering of the float values. Two quantizers that assign even one
+    vector differently have different matrices, hence different
+    fingerprints; the same fitted matrix always reproduces the same
+    digest (json float repr is deterministic)."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [[float(x) for x in row] for row in centroids]
+    ).encode("utf-8")
+    return hashlib.md5(payload).hexdigest()
+
+
+def _write_centroid_meta(
+    spark: SparkSession, silver_dir: str, centroids: list[list[float]]
+) -> None:
+    import json
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+
+    _hadoop_write_text(
+        spark,
+        f"{silver_dir}/{_CENTROID_META}",
+        json.dumps(
+            {
+                "fingerprint": centroid_fingerprint(centroids),
+                "nlist": len(centroids),
+                "dim": len(centroids[0]),
+            }
+        ),
+    )
+
+
+def check_centroid_meta(
+    spark: SparkSession, silver_dir: str, centroids: list[list[float]]
+) -> bool:
+    """The centroid matrix is part of the silver's identity (the vector
+    twin of the text index's LSH parameters, ``ingest._check_index_meta``):
+    batches assigned under DIFFERENT centroids land in clusters that mean
+    something else, so pruned-probe (nprobe < nlist) recall silently
+    degrades with no error anywhere (r9 ADVICE). Raises on a fingerprint
+    mismatch; returns whether a sidecar was present and verified (a
+    pre-metadata silver is accepted for back-compat — the caller warns
+    and leaves it unstamped)."""
+    import json
+
+    meta_uri = f"{silver_dir}/{_CENTROID_META}"
+    fs, jpath = _fs_and_path(spark, meta_uri)
+    if not fs.exists(jpath):
+        return False
+    want = json.loads(_hadoop_read_text(spark, meta_uri))
+    got = {
+        "fingerprint": centroid_fingerprint(centroids),
+        "nlist": len(centroids),
+        "dim": len(centroids[0]),
+    }
+    if want != got:
+        raise ValueError(
+            f"IVF silver at {silver_dir} was built with a different "
+            f"quantizer (stored {want}, writer has {got}): appending "
+            "batches assigned under new centroids to lists assigned "
+            "under old ones silently degrades pruned-probe recall — "
+            "rebuild the silver (or restore the original centroids)"
+        )
+    return True
 
 
 def ivf_ingest_writer(
@@ -72,6 +144,28 @@ def ivf_ingest_writer(
         _unit,
         ivf_assign,
     )
+
+    # fail FAST on a quantizer-identity mismatch with the existing silver
+    # (factory time, not mid-stream) — mirrors ingest._check_index_meta.
+    # Stamp ONLY when this writer creates the silver; a pre-fingerprint
+    # silver was assigned under UNKNOWN centroids, so stamping this
+    # writer's matrix onto it would fabricate a 'verified' identity
+    # (same rationale as the text index's no-stamp rule, r9 ADVICE).
+    verified = check_centroid_meta(spark, silver_dir, centroids)
+    fs, silver_jpath = _fs_and_path(spark, silver_dir)
+    if not fs.exists(silver_jpath):
+        _write_centroid_meta(spark, silver_dir, centroids)
+    elif not verified:
+        import warnings
+
+        warnings.warn(
+            f"IVF silver at {silver_dir} predates {_CENTROID_META} — its "
+            "quantizer identity cannot be verified against this writer's "
+            "centroids; leaving it unstamped. Rebuild with "
+            "write_assigned_corpus (or re-create via this writer on an "
+            "empty directory) to stamp a verified identity.",
+            stacklevel=2,
+        )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         assigned = batch_df.withColumn(

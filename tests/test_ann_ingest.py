@@ -134,3 +134,57 @@ def test_quantized_streamed_silver_probes(spark, clustered, centroids, tmp_path)
         spark, silver, q, centroids, k=5, nprobe=3, quantized=True
     )
     assert out.count() == q.count() * 5
+
+
+def test_centroid_identity_guard(spark, clustered, centroids, tmp_path):
+    """r9 ADVICE: the centroid matrix is part of the silver's identity.
+    Creating writer stamps _centroid_meta.json; a restarted writer with
+    the SAME centroids passes; a writer with DIFFERENT centroids (e.g. a
+    refit) fails fast at factory time; a pre-fingerprint silver warns and
+    stays unstamped."""
+    import os
+    import warnings
+
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        centroid_fingerprint,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    assert os.path.exists(f"{silver}/_centroid_meta.json")
+    sink(clustered.filter(F.col("vec_id") < 100), 0)
+
+    # same centroids: restart verifies and works
+    sink2 = ivf_ingest_writer(spark, centroids, silver)
+    sink2(clustered.filter((F.col("vec_id") >= 100)
+                           & (F.col("vec_id") < 200)), 1)
+    assert read_assigned_silver(spark, silver).count() == 200
+
+    # refit (different matrix): refuse at factory time, not mid-stream
+    refit = [[float(x) + 0.25 for x in row] for row in centroids]
+    assert centroid_fingerprint(refit) != centroid_fingerprint(centroids)
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        ivf_ingest_writer(spark, refit, silver)
+
+    # pre-fingerprint silver: warn, leave unstamped
+    os.remove(f"{silver}/_centroid_meta.json")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ivf_ingest_writer(spark, refit, silver)
+    assert any("cannot be verified" in str(w.message) for w in caught)
+    assert not os.path.exists(f"{silver}/_centroid_meta.json")
+
+
+def test_batch_built_silver_is_stamped_too(spark, clustered, centroids, tmp_path):
+    """write_assigned_corpus stamps the same sidecar, so identity checks
+    work on batch-built silvers as well."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        check_centroid_meta,
+    )
+
+    oneshot = str(tmp_path / "oneshot")
+    write_assigned_corpus(clustered, centroids, oneshot)
+    assert check_centroid_meta(spark, oneshot, centroids) is True
+    refit = [[float(x) + 0.25 for x in row] for row in centroids]
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        check_centroid_meta(spark, oneshot, refit)
