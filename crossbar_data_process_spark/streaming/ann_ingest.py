@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.streaming.ingest import (
     BATCH_COL,
+    _MANIFEST_FILE,
+    _STAGING_PREFIX,
     _fs_and_path,
     _hadoop_read_text,
     _write_batch_partition,
@@ -204,5 +206,212 @@ def ivf_ingest_writer(
 def read_assigned_silver(spark: SparkSession, silver_dir: str) -> DataFrame:
     """The streamed silver without its replay bookkeeping column — same
     shape ``write_assigned_corpus`` produces (``ivf_topk_assigned`` needs
-    no adapter either way; it projects id/vector/cluster)."""
-    return spark.read.parquet(silver_dir).drop(BATCH_COL)
+    no adapter either way; it projects id/vector/cluster). Exactly-once
+    across every crash window of :func:`compact_ivf_silver`: during the
+    only duplicate-bearing window (some clusters' consolidated leaves
+    renamed into place, superseded sources not yet deleted) the manifest
+    names the superseded batch ids, and they are excluded — but only in
+    the clusters whose consolidated leaf is already live (before its
+    rename a cluster's sources are still the only copy of its rows)."""
+    import json
+
+    df = spark.read.parquet(silver_dir)
+    fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_MANIFEST_FILE}")
+    if fs.exists(mpath):
+        m = json.loads(
+            _hadoop_read_text(spark, f"{silver_dir}/{_MANIFEST_FILE}")
+        )
+        renamed = [
+            c
+            for c in m["clusters"]
+            if fs.exists(
+                _fs_and_path(
+                    spark,
+                    f"{silver_dir}/{_CLUSTER_COL}={c}"
+                    f"/{BATCH_COL}={m['new_batch_id']}",
+                )[1]
+            )
+        ]
+        if renamed:
+            df = df.filter(
+                ~(
+                    F.col(_CLUSTER_COL).isin(renamed)
+                    & F.col(BATCH_COL).isin(m["sources"])
+                )
+            )
+    return df.drop(BATCH_COL)
+
+
+def recover_ivf_compaction(spark: SparkSession, silver_dir: str) -> dict | None:
+    """Complete (roll forward) an IVF-silver compaction that crashed
+    mid-commit, or sweep an uncommitted staging directory. Idempotent;
+    run automatically at the start of :func:`compact_ivf_silver` and safe
+    to call any time. Same protocol as ``ingest.recover_compaction``,
+    adapted to the nested layout: the manifest commit covers ONE rename
+    per cluster, so recovery finishes whichever renames are still
+    pending (staged cluster dirs), then the source deletes, then drops
+    the manifest."""
+    import json
+
+    fs, root = _fs_and_path(spark, silver_dir)
+    if not fs.exists(root):
+        return None
+    manifest_uri = f"{silver_dir}/{_MANIFEST_FILE}"
+    _, mpath = _fs_and_path(spark, manifest_uri)
+    if fs.exists(mpath):
+        m = json.loads(_hadoop_read_text(spark, manifest_uri))
+        staging_uri = f"{silver_dir}/{m['staging']}"
+        _, staging = _fs_and_path(spark, staging_uri)
+        if fs.exists(staging):
+            for st in fs.listStatus(staging):
+                name = st.getPath().getName()
+                if not name.startswith(f"{_CLUSTER_COL}="):
+                    continue
+                _, target = _fs_and_path(
+                    spark,
+                    f"{silver_dir}/{name}/{BATCH_COL}={m['new_batch_id']}",
+                )
+                if fs.exists(target):
+                    fs.delete(st.getPath(), True)  # already live: drop dup
+                else:
+                    _, parent = _fs_and_path(spark, f"{silver_dir}/{name}")
+                    fs.mkdirs(parent)
+                    fs.rename(st.getPath(), target)
+            fs.delete(staging, True)
+        for c in m["clusters"]:
+            for i in m["sources"]:
+                _, src = _fs_and_path(
+                    spark, f"{silver_dir}/{_CLUSTER_COL}={c}/{BATCH_COL}={i}"
+                )
+                fs.delete(src, True)
+        fs.delete(mpath, False)
+        return m
+    for st in fs.listStatus(root):
+        if st.getPath().getName().startswith(_STAGING_PREFIX):
+            fs.delete(st.getPath(), True)
+    return None
+
+
+def compact_ivf_silver(
+    spark: SparkSession,
+    silver_dir: str,
+    before_batch: int,
+    target_files: int = 32,
+) -> dict[str, int | None]:
+    """Consolidate every committed streaming batch with id <
+    ``before_batch`` into ONE new ``__batch_id`` leaf per cluster — the
+    small-file compaction the streamed IVF layout needs even more
+    urgently than the text index: each micro-batch writes up to *nlist*
+    leaf directories, so a year of daily batches at nlist=1024 is
+    ~374k directories of kilobyte files, and both probe-time listing and
+    parquet footer-open cost scale with file count, not bytes. The
+    probed (``cluster`` first) layout is preserved — partition pruning
+    at probe time is untouched; only the batch level collapses.
+
+    Returns ``{"compacted_batches": k, "clusters": c, "rows": n,
+    "new_batch_id": id}``; on the no-op paths ``new_batch_id`` is
+    ``None`` (0 is a legitimate batch id).
+
+    Crash-safety — the same manifest-committed rename protocol as
+    ``ingest.compact_batch_partitions``, with one twist: the commit
+    covers one rename PER CLUSTER, so the mid-rename window leaves some
+    clusters consolidated and others not. :func:`read_assigned_silver`
+    stays exactly-once through it by excluding the manifest's superseded
+    sources only in clusters whose consolidated leaf is already live;
+    :func:`recover_ivf_compaction` rolls the remaining renames and the
+    deletes forward. The consolidated id is more-negative than any
+    existing batch id (min−1, ≤ −1), so it can never collide with a real
+    streaming batch id and is never excluded by the replay-safety
+    overwrite. Same PRECONDITION as the text compaction:
+    ``before_batch`` must not exceed the stream's last COMMITTED batch
+    id (Structured Streaming only ever replays the in-flight batch)."""
+    import json
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+
+    _noop = {
+        "compacted_batches": 0,
+        "clusters": 0,
+        "rows": 0,
+        "new_batch_id": None,
+    }
+    fs, root = _fs_and_path(spark, silver_dir)
+    if not fs.exists(root):
+        return _noop
+    recover_ivf_compaction(spark, silver_dir)
+    ids: set[int] = set()
+    cluster_ids: dict[int, set[int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{_CLUSTER_COL}=")):
+            continue
+        c = int(name.split("=", 1)[1])
+        for leaf in fs.listStatus(st.getPath()):
+            lname = leaf.getPath().getName()
+            if leaf.isDirectory() and lname.startswith(f"{BATCH_COL}="):
+                b = int(lname.split("=", 1)[1])
+                ids.add(b)
+                cluster_ids.setdefault(c, set()).add(b)
+    to_compact = sorted(i for i in ids if i < before_batch)
+    if len(to_compact) < 2:
+        return _noop
+    new_id = min(ids) - 1
+
+    df = (
+        spark.read.parquet(silver_dir)
+        .filter(F.col(BATCH_COL).isin(to_compact))  # partition-pruned
+        .drop(BATCH_COL)
+    )
+    # one task (=> one file) per cluster, several clusters per task slot
+    consolidated = df.repartition(max(1, int(target_files)), _CLUSTER_COL)
+    n = consolidated.count()
+    staging_name = f"{_STAGING_PREFIX}{new_id}"
+    # 1. invisible staging write, cluster-partitioned so each cluster's
+    # consolidated leaf is one rename away from its final location
+    consolidated.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
+        f"{silver_dir}/{staging_name}"
+    )
+    compact_set = set(to_compact)
+    src_clusters = sorted(
+        c for c, bs in cluster_ids.items() if bs & compact_set
+    )
+    # 2. COMMIT: single-file manifest creation
+    _hadoop_write_text(
+        spark,
+        f"{silver_dir}/{_MANIFEST_FILE}",
+        json.dumps(
+            {
+                "new_batch_id": new_id,
+                "staging": staging_name,
+                "sources": to_compact,
+                "clusters": src_clusters,
+            }
+        ),
+    )
+    # 3.-5. roll forward: per-cluster renames, source deletes, manifest
+    _, staging = _fs_and_path(spark, f"{silver_dir}/{staging_name}")
+    for st in fs.listStatus(staging):
+        name = st.getPath().getName()
+        if not name.startswith(f"{_CLUSTER_COL}="):
+            continue
+        _, parent = _fs_and_path(spark, f"{silver_dir}/{name}")
+        fs.mkdirs(parent)
+        _, target = _fs_and_path(
+            spark, f"{silver_dir}/{name}/{BATCH_COL}={new_id}"
+        )
+        fs.rename(st.getPath(), target)
+    fs.delete(staging, True)
+    for c in src_clusters:
+        for i in to_compact:
+            _, src = _fs_and_path(
+                spark, f"{silver_dir}/{_CLUSTER_COL}={c}/{BATCH_COL}={i}"
+            )
+            fs.delete(src, True)
+    _, mpath = _fs_and_path(spark, f"{silver_dir}/{_MANIFEST_FILE}")
+    fs.delete(mpath, False)
+    return {
+        "compacted_batches": len(to_compact),
+        "clusters": len(src_clusters),
+        "rows": n,
+        "new_batch_id": new_id,
+    }

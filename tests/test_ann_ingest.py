@@ -188,3 +188,156 @@ def test_batch_built_silver_is_stamped_too(spark, clustered, centroids, tmp_path
     refit = [[float(x) + 0.25 for x in row] for row in centroids]
     with pytest.raises(ValueError, match="different\\s+quantizer"):
         check_centroid_meta(spark, oneshot, refit)
+
+
+def _silver_tree(silver):
+    """{cluster: sorted batch ids}, plus total parquet file count."""
+    import os
+
+    tree, files = {}, 0
+    for cname in sorted(os.listdir(silver)):
+        if not cname.startswith("cluster="):
+            continue
+        c = int(cname.split("=")[1])
+        for bname in sorted(os.listdir(os.path.join(silver, cname))):
+            if not bname.startswith("__batch_id="):
+                continue
+            tree.setdefault(c, []).append(int(bname.split("=")[1]))
+            files += sum(
+                f.endswith(".parquet")
+                for f in os.listdir(os.path.join(silver, cname, bname))
+            )
+    return tree, files
+
+
+def test_ivf_silver_compaction_preserves_probe_and_cuts_files(
+    spark, clustered, centroids, tmp_path
+):
+    """compact_ivf_silver: one consolidated leaf per cluster, probe
+    answers identical, file count collapses from (clusters x batches) to
+    (clusters), later batches keep appending, and a replayed committed
+    batch can no longer resurrect (its leaves are gone — dynamic
+    overwrite writes it fresh, which the precondition forbids but the
+    layout tolerates)."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        compact_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    for i in range(4):
+        sink(clustered.filter(F.col("vec_id") % 4 == i), i)
+
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    def probe():
+        return {
+            (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 6))
+            for r in ivf_topk_assigned(
+                spark, silver, q, centroids, k=5, nprobe=8
+            ).collect()
+        }
+
+    before_tree, before_files = _silver_tree(silver)
+    assert all(len(bs) == 4 for bs in before_tree.values())
+    want = probe()
+
+    report = compact_ivf_silver(spark, silver, before_batch=3)
+    assert report["compacted_batches"] == 3
+    assert report["new_batch_id"] == -1
+    assert report["rows"] == 600
+
+    tree, files = _silver_tree(silver)
+    assert all(bs == [-1, 3] for bs in tree.values())
+    # 8 clusters x 4 batches -> 8 x (1 consolidated + batch 3)
+    assert files < before_files
+    assert probe() == want
+
+    # later batches keep appending under the probed layout
+    extra = clustered.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    sink(extra, 4)
+    assert read_assigned_silver(spark, silver).count() == 808
+
+
+def test_ivf_compaction_noop_returns_none(spark, tmp_path):
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        compact_ivf_silver,
+    )
+
+    r = compact_ivf_silver(spark, str(tmp_path / "nope"), 10)
+    assert r["new_batch_id"] is None and r["compacted_batches"] == 0
+
+
+def test_ivf_compaction_crash_windows_are_exactly_once(
+    spark, clustered, centroids, tmp_path
+):
+    """The nested layout's extra window: SOME clusters renamed, others
+    not. read_assigned_silver must stay exactly-once (exclude superseded
+    sources only where the consolidated leaf is live), and recovery must
+    converge the tree."""
+    import json
+    import os
+    import shutil
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        recover_ivf_compaction,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    for i in range(3):
+        sink(clustered.filter(F.col("vec_id") % 3 == i), i)
+    want = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert len(want) == 800
+
+    # stage the consolidation of batches {0,1} by hand (crash before any
+    # rename): stage dir cluster-partitioned, manifest committed
+    staging = f"{silver}/.compaction_staging_-1"
+    (
+        spark.read.parquet(silver)
+        .filter(F.col("__batch_id") < 2)
+        .drop("__batch_id")
+        .write.partitionBy("cluster")
+        .parquet(staging)
+    )
+    clusters = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(silver)
+        if p.startswith("cluster=")
+    )
+    _hadoop_write_text(
+        spark,
+        f"{silver}/_compaction_manifest.json",
+        json.dumps(
+            {"new_batch_id": -1, "staging": ".compaction_staging_-1",
+             "sources": [0, 1], "clusters": clusters}
+        ),
+    )
+    # window A: committed, nothing renamed -> sources still authoritative
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert got == want
+
+    # window B: PARTIAL rename — first two clusters' leaves made live,
+    # their sources still on disk (duplicates present in those clusters)
+    for c in clusters[:2]:
+        shutil.move(
+            f"{staging}/cluster={c}",
+            f"{silver}/cluster={c}/__batch_id=-1",
+        )
+    plain = spark.read.parquet(silver).count()
+    assert plain > len(want)  # duplicates really are on disk
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert got == want
+    assert read_assigned_silver(spark, silver).count() == len(want)
+
+    # recovery converges: remaining renames + deletes + manifest drop
+    m = recover_ivf_compaction(spark, silver)
+    assert m["new_batch_id"] == -1
+    tree, _ = _silver_tree(silver)
+    assert all(bs == [-1, 2] for bs in tree.values())
+    assert not os.path.exists(f"{silver}/_compaction_manifest.json")
+    assert not os.path.exists(staging)
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert got == want
