@@ -110,6 +110,10 @@ BENCH_QUERIES = [
     # r09 addition: end-to-end streaming ingest (q48_asof_join's folded
     # slot), benchmarked from day one
     "q64_streaming_ingest",
+    # r10 additions: benchmark decontamination (q04's folded slot) and
+    # deterministic mix sampling (q35's folded slot), benchmarked from day one
+    "q65_contamination",
+    "q66_mixture_sample",
 ]
 
 
@@ -274,15 +278,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------- A2/W1 keep-best-per-group (ppi.py:135-137)
-@query(
-    "q04_keep_best_order",
-    """
-SELECT o_custkey, o_orderkey, o_totalprice
-FROM orders
-QUALIFY row_number() OVER (
-  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
-""",
-)
+# r10: folded out of the registry → slot to q65_contamination (REGISTRY.md).
+# A2/W1/O1 stay hash-checked via q18_topk_per_group — the IDENTICAL
+# row_number-over-ordered-window (keep-best ≡ top-k at k=1) — plus the
+# hypothesis argmax property test; this exact query's former DuckDB oracle
+# lives on in tests/test_operator_properties.py::test_keep_best_matches_oracle.
 def q04_keep_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.operators.dedup import keep_best
 
@@ -1777,15 +1777,11 @@ def q34_blacklist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------- A5 group + collect ordered list (uniprot.py:102-107)
-@query(
-    "q35_collect_ordered",
-    """
-SELECT o_custkey,
-       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys,
-       COUNT(*) AS n
-FROM orders GROUP BY o_custkey
-""",
-)
+# r10: folded out of the registry → slot to q66_mixture_sample (REGISTRY.md).
+# A5 group+collect stays hash-checked via q09_provenance_union (collect_set
+# pipe-union aggregation over the same grouped shape); this exact query's
+# former DuckDB oracle lives on in
+# tests/test_operator_properties.py::test_collect_ordered_matches_oracle.
 def q35_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
@@ -2707,6 +2703,118 @@ def q64_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------- benchmark decontamination, driver-oracled (r10)
+# Training-data hygiene charter surface (operators/textdedup.contamination_
+# flags), previously pytest-only (tests/test_neardup_resolution.py) and an
+# optional q55 stage: flag corpus documents sharing any 8-token n-gram with
+# an evaluation/benchmark set — the screen every pretraining mix runs before
+# freezing. The benchmark is carved from the corpus by a CONSTANT-bounded
+# predicate (doc_id % 7 = 0 AND doc_id < 5000 — the q61 workload-pinning
+# rule: the eval suite must NOT grow with the corpus, or scale probes
+# measure benchmark growth instead of engine scaling; real eval suites are
+# fixed-size by nature). Scale shape: the benchmark side is shingled,
+# deduped, and BROADCAST — the corpus is never shuffled; per-doc hit counts
+# aggregate on the (small) match set only.
+_CONTAM_BENCH = "(doc_id % 7 = 0 AND doc_id < 5000)"
+
+
+@query(
+    "q65_contamination",
+    f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                                      i -> array_to_string(t[i:i+7], ' '))) AS s
+  FROM toks),
+bench AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE {_CONTAM_BENCH}),
+corpus AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE NOT {_CONTAM_BENCH})
+SELECT doc_id, COUNT(*) AS n_contaminated_ngrams
+FROM corpus JOIN bench USING (tok) GROUP BY doc_id
+""",
+)
+def q65_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.textdedup import (
+        contamination_flags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 5000)
+    return contamination_flags(d.filter(~is_bench), d.filter(is_bench), n=8)
+
+
+# --------------------- deterministic training-mix sampling, driver-oracled
+# (r10). operators/sampling.py was pytest-only since r04: per-row md5-bucket
+# membership (no RNG — reproducible across runs, partitionings, retries, and
+# ENGINES, which is exactly what makes it oracle-able: DuckDB reproduces the
+# identical draw digit-by-digit). The declared form composes the two
+# production operators end-to-end: source_mix (per-source keep fractions in
+# ONE scan-side CASE filter; sources absent from the mix are dropped — a mix
+# is a whitelist, src16-19 exercise that) then assign_split (train/val/test
+# from cumulative bucket boundaries of an INDEPENDENT salt — membership in
+# the mix and the split assignment are separate draws on the same key).
+# Scale shape: pure scan-side expressions, ZERO shuffles (plan pinned in
+# tests/test_plan_shapes.py) — at 100 TB the mix is a filter pushed to the
+# scan, not a sampling job.
+_MIX_WEIGHTS = {f"src{i}": ((i * 7) % 10 + 1) / 10 for i in range(16)}
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _bucket_sql(salt: str) -> str:
+    """DuckDB twin of sampling._bucket: 32-bit md5-prefix of
+    (salt, 0x1f, key) — the q26 hex-digit idiom — mod 1e6."""
+    return (
+        "list_sum(list_transform(range(1, 9), "
+        f"i -> (strpos('0123456789abcdef', md5('{salt}' || chr(31) || "
+        "CAST(doc_id AS VARCHAR))[i:i]) - 1) "
+        "* (1::BIGINT << (4 * (8 - i))))) % 1000000"
+    )
+
+
+def _mixture_oracle() -> str:
+    mix_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{s}' THEN {int(w * 1_000_000)}"
+            for s, w in sorted(_MIX_WEIGHTS.items())
+        )
+        + " ELSE NULL END"
+    )
+    # assign_split semantics: names in sorted order against cumulative
+    # boundaries — sorted({train,val,test}) = [test, train, val].
+    return f"""
+WITH b AS (SELECT doc_id, source,
+                  {_bucket_sql("mix")} AS mb,
+                  {_bucket_sql("split")} AS sb
+           FROM documents)
+SELECT doc_id, source,
+       CASE WHEN sb < 100000 THEN 'test'
+            WHEN sb < 900000 THEN 'train'
+            ELSE 'val' END AS split
+FROM b WHERE mb < ({mix_case})
+"""
+
+
+@query("q66_mixture_sample", _mixture_oracle())
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crossbar_data_process_spark.operators.sampling import (
+        assign_split,
+        source_mix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = source_mix(
+        d, _MIX_WEIGHTS, source_col="source", key_col="doc_id", salt="mix"
+    )
+    return mixed.select(
+        "doc_id",
+        "source",
+        assign_split("doc_id", _SPLIT_WEIGHTS, salt="split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order defense + registry discipline. The driver records
 # CORRECTNESS rows for AT MOST the first 50 registered queries, so the
@@ -2718,7 +2826,10 @@ def q64_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r09 new surface first
+    # r10 new surfaces first
+    "q65_contamination",
+    "q66_mixture_sample",
+    # r09 new surface
     "q64_streaming_ingest",
     # r08 new/reshaped surfaces
     "q63_incremental_dedup",

@@ -343,3 +343,63 @@ def test_asof_single_table_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_keep_best_matches_oracle(spark):
+    """keep-best-per-group (the former q04 registry row, folded out in r10
+    for q65_contamination — REGISTRY.md): the former DuckDB oracle lives
+    on here. A2/W1/O1 stay registry-oracled via q18_topk_per_group's
+    identical row_number window (keep-best ≡ top-k at k=1)."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q04_keep_best_order
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.o_custkey, r.o_orderkey, float(r.o_totalprice))
+        for r in q04_keep_best_order(s, sf).collect()
+    }
+    want = {
+        (a, b, float(c))
+        for a, b, c in duckdb.sql(
+            f"""
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM read_parquet('{sf}/orders.parquet')
+            QUALIFY row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) = 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_collect_ordered_matches_oracle(spark):
+    """Group + ordered collect (the former q35 registry row, folded out in
+    r10 for q66_mixture_sample — REGISTRY.md): the former DuckDB oracle
+    lives on here. A5 group+collect stays registry-oracled via
+    q09_provenance_union's collect_set pipe-union aggregation."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import q35_collect_ordered
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.o_custkey, r.orderkeys, r.n)
+        for r in q35_collect_ordered(s, sf).collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"""
+            SELECT o_custkey,
+                   array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                     AS orderkeys,
+                   COUNT(*) AS n
+            FROM read_parquet('{sf}/orders.parquet')
+            GROUP BY o_custkey
+            """
+        ).fetchall()
+    )
+    assert got == want
