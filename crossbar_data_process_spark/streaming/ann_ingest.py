@@ -297,6 +297,7 @@ def compact_ivf_silver(
     silver_dir: str,
     before_batch: int,
     target_files: int = 32,
+    files_per_cluster: int = 1,
 ) -> dict[str, int | None]:
     """Consolidate every committed streaming batch with id <
     ``before_batch`` into ONE new ``__batch_id`` leaf per cluster — the
@@ -362,8 +363,24 @@ def compact_ivf_silver(
         .filter(F.col(BATCH_COL).isin(to_compact))  # partition-pruned
         .drop(BATCH_COL)
     )
-    # one task (=> one file) per cluster, several clusters per task slot
-    consolidated = df.repartition(max(1, int(target_files)), _CLUSTER_COL)
+    # Default: one task (=> one file) per cluster, several clusters per
+    # task slot. When a cluster's consolidated rows outgrow one healthy
+    # parquet file (hot clusters at large compaction cadence), raise
+    # ``files_per_cluster``: a deterministic row-hash salt joins the
+    # shuffle key, so each cluster fans out over up to that many files
+    # while the leaf layout (and probe-time pruning) is unchanged.
+    if files_per_cluster > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(int(files_per_cluster)),
+        )
+        consolidated = df.repartition(
+            max(1, int(target_files)), F.col(_CLUSTER_COL), salt
+        )
+    else:
+        consolidated = df.repartition(
+            max(1, int(target_files)), _CLUSTER_COL
+        )
     n = consolidated.count()
     staging_name = f"{_STAGING_PREFIX}{new_id}"
     # 1. invisible staging write, cluster-partitioned so each cluster's

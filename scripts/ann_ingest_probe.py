@@ -7,6 +7,13 @@ nothing reads the accumulated silver). Batches are generated DISTRIBUTED
 (spark.range + hash expressions — no driver-side vector lists).
 
 Run: python scripts/ann_ingest_probe.py [--batches N] [--batch-rows M]
+
+With --compact (r10): after the batches land, run `compact_ivf_silver`
+over all committed batches and measure what compaction actually buys —
+parquet file count (the probe-time listing/footer-open cost that scales
+with file count, not bytes), probe wall before/after on an identical
+fixed workload, and a bit-identical probe-answer check (compaction must
+be invisible to `ivf_topk_assigned` except in I/O shape).
 """
 
 from __future__ import annotations
@@ -53,6 +60,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--batch-rows", type=int, default=20_000)
+    ap.add_argument("--compact", action="store_true")
     args = ap.parse_args()
 
     shutil.rmtree(ROOT, ignore_errors=True)
@@ -78,7 +86,58 @@ def main() -> None:
         f"\nflatness: mean(batches 1-3) {early:.2f}s vs mean(last 3) "
         f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
     )
+    if args.compact:
+        _compaction_phase(spark, cents, args.batches)
     spark.stop()
+
+
+def _silver_files(silver: str) -> tuple[int, int]:
+    """(parquet files, batch-leaf dirs) under the cluster-partitioned tree."""
+    files = leaves = 0
+    for dirpath, _dirnames, filenames in os.walk(silver):
+        base = os.path.basename(dirpath)
+        if base.startswith("__batch_id="):
+            leaves += 1
+        files += sum(f.endswith(".parquet") for f in filenames)
+    return files, leaves
+
+
+def _compaction_phase(spark, cents, batches: int) -> None:
+    from crossbar_data_process_spark.operators.ivf import ivf_topk_assigned
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        compact_ivf_silver,
+    )
+
+    silver = f"{ROOT}/silver"
+    queries = gen_batch(spark, 0, 64)
+
+    def probe() -> tuple[float, list]:
+        t0 = time.perf_counter()
+        rows = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, round(r.cosine, 6))
+            for r in ivf_topk_assigned(
+                spark, silver, queries, cents, k=10, nprobe=4
+            ).collect()
+        )
+        return time.perf_counter() - t0, rows
+
+    f0, l0 = _silver_files(silver)
+    w1, want = probe()
+    w2, _ = probe()  # warm repeat: listing/footers cached
+    t0 = time.perf_counter()
+    rep = compact_ivf_silver(spark, silver, before_batch=batches)
+    tc = time.perf_counter() - t0
+    f1, l1 = _silver_files(silver)
+    w3, got = probe()
+    w4, got2 = probe()
+    assert got == want and got2 == want, "compaction changed probe answers"
+    print(
+        f"\ncompaction: {rep['compacted_batches']} batches x "
+        f"{rep['clusters']} clusters ({rep['rows']} rows) in {tc:.2f}s\n"
+        f"  files {f0} -> {f1}   batch leaves {l0} -> {l1}\n"
+        f"  probe wall cold/warm {w1:.2f}/{w2:.2f}s pre  ->  "
+        f"{w3:.2f}/{w4:.2f}s post  (answers bit-identical)"
+    )
 
 
 if __name__ == "__main__":

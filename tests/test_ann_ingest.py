@@ -341,3 +341,39 @@ def test_ivf_compaction_crash_windows_are_exactly_once(
     assert not os.path.exists(staging)
     got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
     assert got == want
+
+
+def test_ivf_compaction_files_per_cluster_fans_out(
+    spark, clustered, centroids, tmp_path
+):
+    """files_per_cluster > 1: hot clusters consolidate into several files
+    (bounded parquet file size at scale) under the same leaf layout, with
+    probe answers unchanged."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        compact_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    for i in range(3):
+        sink(clustered.filter(F.col("vec_id") % 3 == i), i)
+    want = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+
+    rep = compact_ivf_silver(
+        spark, silver, before_batch=3, files_per_cluster=4
+    )
+    assert rep["compacted_batches"] == 3
+
+    import os
+
+    fanned = 0
+    for cname in os.listdir(silver):
+        if not cname.startswith("cluster="):
+            continue
+        leaf = os.path.join(silver, cname, f"__batch_id={rep['new_batch_id']}")
+        n = sum(f.endswith(".parquet") for f in os.listdir(leaf))
+        assert 1 <= n <= 4
+        fanned += n > 1
+    assert fanned > 0, "no cluster fanned out beyond one file"
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert got == want
