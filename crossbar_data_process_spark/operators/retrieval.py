@@ -133,3 +133,64 @@ def bm25_topk(
         top_k,
         rank_col="rnk",
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    combine heterogeneous retrievers (BM25 lexical + dense cosine, or any
+    mix) without score calibration: each system contributes
+    1/(k + rank) per (query, doc), summed across systems; scores from
+    different systems never meet, only RANKS do, so a system with wild
+    score scales cannot dominate.
+
+    Determinism contract: each contribution is materialized as integer
+    MICROS (floor(1e6/(k+rank) + 0.5)) and summed as longs — the sum is
+    exact and order/partitioning-independent (a double sum of reciprocals
+    is not), then divided back down; ties break on the doc id. This keeps
+    the operator oracle-able in any engine with 64-bit integers.
+
+    Scale shape: input rankings are top-k-per-query tables — Q×k rows,
+    MINUSCULE next to the corpora they were ranked from; the union +
+    groupBy shuffles only these. The expensive work already happened
+    inside the per-system retrievers (``bm25_topk``'s inverted-index path,
+    ``ivf_topk_assigned``'s pruned probe); fusion adds one small shuffle.
+
+    Returns (query_col, doc_col, rrf_score, n_systems, rnk) — top_k rows
+    per query, rrf_score descending.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            (
+                F.floor(
+                    F.lit(1_000_000.0) / (F.lit(k) + F.col(rank_col))
+                    + F.lit(0.5)
+                )
+            ).cast("long").alias("__micros"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy(query_col, doc_col).agg(
+        (F.sum("__micros") / F.lit(1_000_000.0)).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    return top_k_per_group(
+        scored,
+        [query_col],
+        [F.desc("rrf_score"), F.asc(doc_col)],
+        top_k,
+        rank_col="rnk",
+    )

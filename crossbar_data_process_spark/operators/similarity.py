@@ -350,3 +350,104 @@ def cosine_topk_quantized(
         k,
         rank_col="rnk",
     )
+
+
+def neighbor_pairs_ivf(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
+    Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
+    cluster). The data-ADAPTIVE counterpart of :func:`neighbor_pairs_lsh`:
+    random hyperplanes split the space blindly, while fitted centroids put
+    the comparison budget where the density is — near-dups sit next to
+    each other by construction, so same-cluster candidacy catches them at
+    nprobe=1 cost. Reuses the IVF quantizer (``operators.ivf.ivf_fit`` /
+    ``load_centroids``) — one fitted artifact serves search (q54) and
+    dedup.
+
+    Candidates are Σ c_i²/2 over cluster sizes instead of n²/2; the
+    shuffle is keyed on the int cluster id. ``max_cluster_size`` is the
+    skew lever (same contract as ``minhash_lsh_pairs.max_bucket_size``):
+    clusters above the cap — quantizer failure modes, e.g. a dead-center
+    catch-all — are EXCLUDED from pair generation rather than allowed to
+    go quadratic; pairs inside them are missed (documented trade, they
+    need a finer quantizer, not a bigger join).
+
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥ threshold.
+    Cross-cluster near-dups (borderline vectors quantized apart) are the
+    recall trade vs the LSH multiprobe variant — measured in
+    tests/test_semantic_dedup.py.
+    """
+    from crossbar_data_process_spark.operators.ivf import ivf_assign
+
+    assigned = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+    )
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .filter(F.col("__csz") <= max_cluster_size)
+            .drop("__csz")
+        )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    # shuffle-hash: both sides are corpus-sized — refuse a broadcast that
+    # local stats would allow but scale forbids (same rule as textdedup)
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup end-to-end: k-means-bucketed cosine pairs →
+    connected components → one surviving representative per semantic
+    cluster (min id). Same survivors contract as
+    ``textdedup.resolve_neardups`` — returns (``id_col``, cluster_size)
+    covering the whole corpus, untouched vectors surviving with
+    cluster_size 1 — so text and embedding dedup plug into the same
+    downstream (curation funnels, incremental ingest).
+
+    Scale: the pair stage is Σ c_i² (cluster-bounded, never n²); the
+    component resolution touches only pair-involved ids
+    (``resolve_neardups``'s contract). At 100 TB this is one silver of
+    assignments + a per-cluster self-join — the corpus is shuffled once,
+    on the cluster id."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        resolve_neardups,
+    )
+
+    pairs = neighbor_pairs_ivf(
+        vectors, centroids, threshold, id_col, vec_col, max_cluster_size
+    )
+    return resolve_neardups(
+        vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"
+    )

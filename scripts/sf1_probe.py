@@ -75,6 +75,13 @@ TEXT_QUERIES = {
     "q63_incremental_dedup",
     "q64_streaming_ingest",
     "q22_doc_profile",
+    # r10: contamination screens text — Zipf path so shingle df statistics
+    # are realistic; the benchmark carve (doc_id < 5000) is the small
+    # corpus' literal prefix, so the eval set is IDENTICAL at both scales
+    # (the workload-pinning property, by construction). q66_mixture_sample
+    # stays on the replica path: it reads only (doc_id, source) and the
+    # Zipf corpus has a single source value, which would zero out its mix.
+    "q65_contamination",
 }
 
 # key -> offset unit must exceed the key's max at sf0.1

@@ -209,3 +209,107 @@ def test_statistical_operators_survive_empty_inputs(spark):
     assert bm25_topk(docs, empty_q).count() == 0
     assert doc_surprisal(empty_docs).count() == 0
     assert nb_classify(empty_docs, F.lit(True)).count() == 0
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, rnk long"
+    )
+
+
+def test_rrf_hand_computed_fusion(spark):
+    """Two systems, k=60: contributions are floor(1e6/(60+r)+0.5) micros,
+    summed exactly — checked against hand arithmetic."""
+    from crossbar_data_process_spark.operators.retrieval import rrf_fuse
+
+    lex = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    dense = _rank_df(spark, [(1, 11, 1), (1, 13, 2), (1, 10, 3)])
+    got = {
+        r.doc_id: (r.rrf_score, r.n_systems, r.rnk)
+        for r in rrf_fuse([lex, dense], k=60, top_k=10).collect()
+    }
+
+    def c(r):
+        return int(1_000_000 / (60 + r) + 0.5)
+
+    assert got[11] == ((c(2) + c(1)) / 1e6, 2, 1)  # best: 1st + 2nd
+    assert got[10] == ((c(1) + c(3)) / 1e6, 2, 2)
+    # single-system docs still rank, ordered by their one contribution:
+    # 13 carries c(2)=16129 micros > 12's c(3)=15873
+    assert got[13] == (c(2) / 1e6, 1, 3)
+    assert got[12] == (c(3) / 1e6, 1, 4)
+
+
+def test_rrf_tie_breaks_on_doc_id(spark):
+    from crossbar_data_process_spark.operators.retrieval import rrf_fuse
+
+    a = _rank_df(spark, [(1, 20, 1), (1, 30, 2)])
+    b = _rank_df(spark, [(1, 30, 1), (1, 20, 2)])
+    out = rrf_fuse([a, b], top_k=10).collect()
+    # symmetric ranks => identical scores; smaller doc id wins rank 1
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rnk)] == [20, 30]
+    assert len({r.rrf_score for r in out}) == 1
+
+
+def test_rrf_partition_invariant_and_exact(spark):
+    """Integer-micros accumulation: byte-identical scores however the
+    inputs are partitioned (a double 1/(k+r) sum would not be)."""
+    import random
+
+    from crossbar_data_process_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(7)
+    rows = [
+        (q, d, r)
+        for q in range(20)
+        for r, d in enumerate(rng.sample(range(100), 10), start=1)
+    ]
+    sys1, sys2 = _rank_df(spark, rows), _rank_df(
+        spark, [(q, (d * 7) % 100, r) for q, d, r in rows]
+    )
+    one = rrf_fuse([sys1.coalesce(1), sys2.coalesce(1)]).collect()
+    many = rrf_fuse([sys1.repartition(17), sys2.repartition(3)]).collect()
+    key = lambda r: (r.query_id, r.rnk)
+    assert sorted(
+        [(r.query_id, r.rnk, r.doc_id, r.rrf_score) for r in one]
+    ) == sorted([(r.query_id, r.rnk, r.doc_id, r.rrf_score) for r in many])
+
+
+def test_rrf_fuses_bm25_with_dense_ranking(spark):
+    """End-to-end hybrid: BM25 lexical ranking fused with a synthetic
+    dense ranking over the same query set — the RAG-stack composition the
+    operator exists for. Fused top-1 must come from the union of per-
+    system top-1s' docs and every fused row must appear in at least one
+    input ranking."""
+    from crossbar_data_process_spark.operators.retrieval import rrf_fuse
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles partition data across executors"),
+            (2, "the cat sat on the mat"),
+            (3, "partition pruning skips parquet files"),
+            (4, "dogs chase cats in the yard"),
+            (5, "adaptive query execution replans shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "shuffle partition"), (200, "cat")],
+        "query_id long, query_text string",
+    )
+    lex = bm25_topk(docs, queries, top_k=3)
+    dense = _rank_df(
+        spark, [(100, 5, 1), (100, 1, 2), (200, 4, 1), (200, 2, 2)]
+    )
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rnk"), dense], top_k=3)
+    rows = fused.collect()
+    allowed = {(r.query_id, r.doc_id) for r in lex.collect()} | {
+        (r.query_id, r.doc_id) for r in dense.collect()
+    }
+    assert {(r.query_id, r.doc_id) for r in rows} <= allowed
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    # docs ranked by BOTH systems outrank single-system docs at equal ranks
+    top100 = min(by_q[100], key=lambda r: r.rnk)
+    assert top100.n_systems == 2
