@@ -126,6 +126,7 @@ def ivf_ingest_writer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quantize: bool = False,
+    dedup_threshold: float | None = None,
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -140,6 +141,19 @@ def ivf_ingest_writer(
     ``quantize=True`` stores int8 codes + qscale (4× smaller silver),
     matching ``write_assigned_corpus(..., quantize=True)``; assignment
     still uses the full-precision vector.
+
+    ``dedup_threshold`` turns the sink into an INCREMENTAL semantic-dedup
+    ingest (the vector twin of ``ingest.dedup_ingest_writer``): before
+    the append, the batch is deduped within itself
+    (``similarity.semantic_dedup`` — min-id survivors per component) and
+    then flagged against everything already landed
+    (:func:`flag_semantic_dups`, own batch excluded so replays are
+    exactly-once); only survivors land, so the silver never accumulates
+    two vectors within ``dedup_threshold`` cosine of each other in the
+    same cluster — within a batch, across batches, against the seed.
+    Work stays batch-sized: both checks are cluster-pruned joins with the
+    batch broadcast. The drift metrics still describe the FULL incoming
+    batch (monitoring sees what arrived, not what survived).
     """
     from crossbar_data_process_spark.operators.ivf import (
         _centroid_scores,
@@ -169,7 +183,41 @@ def ivf_ingest_writer(
             stacklevel=2,
         )
 
+    def _has_data() -> bool:
+        if not fs.exists(silver_jpath):
+            return False
+        return any(
+            st.getPath().getName().startswith(f"{_CLUSTER_COL}=")
+            for st in fs.listStatus(silver_jpath)
+        )
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df
+        if dedup_threshold is not None:
+            from crossbar_data_process_spark.operators.similarity import (
+                semantic_dedup,
+            )
+
+            survivors = semantic_dedup(
+                batch_df,
+                centroids,
+                threshold=dedup_threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).select(id_col)
+            batch_df = batch_df.join(survivors, id_col, "left_semi")
+            if _has_data():
+                flags = flag_semantic_dups(
+                    spark,
+                    silver_dir,
+                    batch_df,
+                    centroids,
+                    threshold=dedup_threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    exclude_batch_id=int(batch_id),
+                ).select(id_col)
+                batch_df = batch_df.join(flags, id_col, "left_anti")
         assigned = batch_df.withColumn(
             _CLUSTER_COL, ivf_assign(F.col(vec_col), centroids)
         )
@@ -191,7 +239,7 @@ def ivf_ingest_writer(
         if metrics_dir is not None:
             top1 = F.array_max(_centroid_scores(F.col("__u"), centroids))
             metrics = (
-                _unit(batch_df, vec_col, "__u")
+                _unit(incoming, vec_col, "__u")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("n_vectors"),
                     F.avg(top1).alias("mean_top1"),
@@ -203,7 +251,11 @@ def ivf_ingest_writer(
     return _sink
 
 
-def read_assigned_silver(spark: SparkSession, silver_dir: str) -> DataFrame:
+def read_assigned_silver(
+    spark: SparkSession,
+    silver_dir: str,
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
     """The streamed silver without its replay bookkeeping column — same
     shape ``write_assigned_corpus`` produces (``ivf_topk_assigned`` needs
     no adapter either way; it projects id/vector/cluster). Exactly-once
@@ -212,10 +264,17 @@ def read_assigned_silver(spark: SparkSession, silver_dir: str) -> DataFrame:
     renamed into place, superseded sources not yet deleted) the manifest
     names the superseded batch ids, and they are excluded — but only in
     the clusters whose consolidated leaf is already live (before its
-    rename a cluster's sources are still the only copy of its rows)."""
+    rename a cluster's sources are still the only copy of its rows).
+
+    ``exclude_batch_id`` drops one batch's own partitions before the
+    bookkeeping column is removed — the replay-safety view a
+    ``foreachBatch`` re-run needs when checking its batch against
+    everything ALREADY landed (its own previous attempt must not count)."""
     import json
 
     df = spark.read.parquet(silver_dir)
+    if exclude_batch_id is not None:
+        df = df.filter(F.col(BATCH_COL) != int(exclude_batch_id))
     fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_MANIFEST_FILE}")
     if fs.exists(mpath):
         m = json.loads(
@@ -432,3 +491,67 @@ def compact_ivf_silver(
         "rows": n,
         "new_batch_id": new_id,
     }
+
+
+def flag_semantic_dups(
+    spark: SparkSession,
+    silver_dir: str,
+    batch_df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """Check an embedding batch against the landed IVF silver — the
+    vector twin of ``textdedup.flag_against_index``: one row per
+    DUPLICATE batch vector, (``id_col``, matched_vec, cosine) with the
+    LOWEST-id silver match at/above ``threshold`` as the deterministic
+    witness. Survivors = ``batch_df.join(flags, id_col, "left_anti")``.
+
+    Candidacy is same-cluster only (the SemDeDup trade — a near-dup and
+    its copy quantize together by construction; borderline cross-cluster
+    pairs are the documented recall cost, same as
+    ``similarity.neighbor_pairs_ivf``). The centroid identity is verified
+    against the silver's fingerprint sidecar first — flagging against
+    clusters that mean something else silently misses everything.
+
+    Scale shape: work is sized by the BATCH, never the silver — the batch
+    side is assigned by pure projection and BROADCAST into a join keyed
+    on the partition column, so the silver scan dynamically prunes to the
+    batch's clusters and each candidate pays one fused cosine; the
+    witness agg groups only the matched pairs. ``exclude_batch_id`` makes
+    the check replay-safe inside ``foreachBatch`` (at-least-once: a
+    re-run must not see its own previous attempt as the corpus).
+    """
+    from crossbar_data_process_spark.operators.ivf import ivf_assign
+    from crossbar_data_process_spark.operators.similarity import cosine
+
+    check_centroid_meta(spark, silver_dir, centroids)
+    silver = read_assigned_silver(
+        spark, silver_dir, exclude_batch_id=exclude_batch_id
+    ).select(
+        F.col(id_col).alias("matched_vec"),
+        F.col(vec_col).alias("sv"),
+        F.col(_CLUSTER_COL).cast("int").alias(_CLUSTER_COL),
+    )
+    probes = batch_df.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("bv"),
+        ivf_assign(F.col(vec_col), centroids).alias(_CLUSTER_COL),
+    )
+    matches = (
+        silver.join(F.broadcast(probes), _CLUSTER_COL)
+        .withColumn("cosine", cosine(F.col("bv"), F.col("sv")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # lowest-id witness (deterministic), carrying ITS cosine — the same
+    # convention as the text flags (min_by ties are impossible: matched
+    # ids are unique within a group)
+    return (
+        matches.groupBy(F.col("__bid").alias(id_col))
+        .agg(
+            F.min("matched_vec").alias("matched_vec"),
+            F.min_by("cosine", "matched_vec").alias("cosine"),
+        )
+    )

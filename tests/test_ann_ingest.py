@@ -377,3 +377,102 @@ def test_ivf_compaction_files_per_cluster_fans_out(
     assert fanned > 0, "no cluster fanned out beyond one file"
     got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
     assert got == want
+
+
+def test_flag_semantic_dups_witnesses(spark, clustered, centroids, tmp_path):
+    """Vector twin of flag_against_index: exact copy and tiny-noise
+    near-dup of landed vectors are flagged with the LOWEST-id silver
+    witness; novel vectors are not; excluding a batch id removes its
+    rows from the corpus view (replay safety)."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        flag_semantic_dups,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    sink(clustered, 0)
+
+    base = {r.vec_id: r.embedding for r in clustered.limit(3).collect()}
+    (id0, v0), (id1, v1) = list(base.items())[:2]
+    batch = spark.createDataFrame(
+        [
+            (9000, [float(x) for x in v0]),                     # exact copy
+            (9001, [float(x) + 0.001 for x in v1]),             # near-dup
+            (9002, [float((i * 37) % 11 - 5) for i in range(32)]),  # novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    flags = {
+        r.vec_id: (r.matched_vec, r.cosine)
+        for r in flag_semantic_dups(
+            spark, silver, batch, centroids, threshold=0.999
+        ).collect()
+    }
+    assert set(flags) == {9000, 9001}
+    assert flags[9000][0] == id0 and flags[9000][1] >= 0.999999
+    assert flags[9001][0] == id1
+    # excluding batch 0 empties the corpus view -> nothing to flag against
+    none = flag_semantic_dups(
+        spark, silver, batch, centroids, threshold=0.999, exclude_batch_id=0
+    )
+    assert none.count() == 0
+
+
+def test_flag_semantic_dups_refuses_wrong_centroids(
+    spark, clustered, centroids, tmp_path
+):
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        flag_semantic_dups,
+    )
+
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver)(clustered, 0)
+    refit = [[float(x) + 0.25 for x in row] for row in centroids]
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        flag_semantic_dups(spark, silver, clustered.limit(1), refit)
+
+
+def test_dedup_ingest_writer_end_to_end(spark, clustered, centroids, tmp_path):
+    """dedup_threshold: within-batch dups collapse to min-id survivors,
+    cross-batch re-ingests are dropped against the landed silver, novel
+    vectors land, and a replayed batch leaves the silver byte-identical
+    (exactly-once under at-least-once delivery)."""
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(
+        spark, centroids, silver, dedup_threshold=0.999
+    )
+
+    seed = clustered.filter(F.col("vec_id") < 700)
+    sink(seed, 0)
+    assert read_assigned_silver(spark, silver).count() == 700
+
+    v = {r.vec_id: r.embedding for r in seed.limit(2).collect()}
+    (sid0, sv0), (_sid1, sv1) = list(v.items())[:2]
+    novel = clustered.filter(F.col("vec_id") >= 700).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    extras = spark.createDataFrame(
+        [
+            (20_000, [float(x) for x in sv0]),          # re-ingest of seed
+            (20_001, [float(x) + 0.001 for x in sv1]),  # near-dup of seed
+            (20_002, [float(x) for x in sv0]),          # within-batch dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    batch1 = novel.unionByName(extras)
+    sink(batch1, 1)
+
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert {r.vec_id for r in novel.collect()} <= got
+    assert got.isdisjoint({20_000, 20_001, 20_002})
+    before = sorted(
+        (r.vec_id, r.cluster)
+        for r in read_assigned_silver(spark, silver).collect()
+    )
+
+    sink(batch1, 1)  # at-least-once replay
+    after = sorted(
+        (r.vec_id, r.cluster)
+        for r in read_assigned_silver(spark, silver).collect()
+    )
+    assert after == before
