@@ -216,6 +216,7 @@ def ivf_ingest_writer(
                     id_col=id_col,
                     vec_col=vec_col,
                     exclude_batch_id=int(batch_id),
+                    quantized=quantize,
                 ).select(id_col)
                 batch_df = batch_df.join(flags, id_col, "left_anti")
         assigned = batch_df.withColumn(
@@ -502,6 +503,7 @@ def flag_semantic_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_batch_id: int | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Check an embedding batch against the landed IVF silver — the
     vector twin of ``textdedup.flag_against_index``: one row per
@@ -523,6 +525,12 @@ def flag_semantic_dups(
     witness agg groups only the matched pairs. ``exclude_batch_id`` makes
     the check replay-safe inside ``foreachBatch`` (at-least-once: a
     re-run must not see its own previous attempt as the corpus).
+
+    ``quantized=True`` reads an int8 silver (``qvec``) and scores the
+    float batch against the raw codes — cosine is scale-invariant so
+    qscale never enters (the ``ivf_topk_assigned`` contract); only the
+    m/254-per-component rounding moves near-``threshold`` cosines, so
+    set the threshold with that band in mind.
     """
     from crossbar_data_process_spark.operators.ivf import ivf_assign
     from crossbar_data_process_spark.operators.similarity import cosine
@@ -532,7 +540,7 @@ def flag_semantic_dups(
         spark, silver_dir, exclude_batch_id=exclude_batch_id
     ).select(
         F.col(id_col).alias("matched_vec"),
-        F.col(vec_col).alias("sv"),
+        F.col("qvec" if quantized else vec_col).alias("sv"),
         F.col(_CLUSTER_COL).cast("int").alias(_CLUSTER_COL),
     )
     probes = batch_df.select(

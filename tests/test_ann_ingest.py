@@ -476,3 +476,77 @@ def test_dedup_ingest_writer_end_to_end(spark, clustered, centroids, tmp_path):
         for r in read_assigned_silver(spark, silver).collect()
     )
     assert after == before
+
+
+def test_dedup_ingest_quantized_silver(spark, clustered, centroids, tmp_path):
+    """dedup_threshold composes with quantize=True: the flag scores the
+    float batch against the int8 codes (scale-invariant cosine), so an
+    exact re-ingest is still caught against a quantized silver."""
+    silver = str(tmp_path / "qsilver")
+    sink = ivf_ingest_writer(
+        spark, centroids, silver, quantize=True, dedup_threshold=0.999
+    )
+    seed = clustered.filter(F.col("vec_id") < 700)
+    sink(seed, 0)
+
+    sv0 = seed.limit(1).collect()[0].embedding
+    batch = spark.createDataFrame(
+        [
+            (20_000, [float(x) for x in sv0]),  # re-ingest
+            (20_001, [float((i * 37) % 11 - 5) for i in range(32)]),  # novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    sink(batch, 1)
+    got = {r.vec_id for r in spark.read.parquet(silver).collect()}
+    assert 20_001 in got and 20_000 not in got
+
+
+def test_dedup_ingest_per_batch_work_constant_as_silver_grows(
+    spark, clustered, centroids, tmp_path
+):
+    """The incremental-semantic-dedup claim, pinned on EXECUTED work (the
+    text ingest's r8 pin, vector edition): identically-shaped batches
+    against a growing silver may not execute more jobs, at most AQE-level
+    stage jitter — the silver participates only through cluster-pruned
+    reads and batch-broadcast joins."""
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(
+        spark, centroids, silver, dedup_threshold=0.999
+    )
+    sink(clustered, 0)  # seed: 800 vectors
+
+    rng_base = 50_000
+
+    def batch(b):
+        # same shape every time: 40 fresh vectors (ids disjoint per batch)
+        return clustered.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + rng_base + 1000 * b).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.lit(float(b)) * 0.5).cast("float"),
+            ).alias("embedding"),
+        )
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run_counted(b):
+        group = f"annpin-{b}"
+        sc.setJobGroup(group, f"batch {b}")
+        try:
+            sink(batch(b), b)
+        finally:
+            sc.setJobGroup(None, None)
+        job_ids = tracker.getJobIdsForGroup(group)
+        stages = sum(
+            len(tracker.getJobInfo(j).stageIds)
+            for j in job_ids
+            if tracker.getJobInfo(j)
+        )
+        return len(job_ids), stages
+
+    counts = [run_counted(b) for b in range(1, 5)]
+    (j1, s1), (j2, s2), (j3, s3) = counts[1], counts[2], counts[3]
+    assert j2 <= j1 and j3 <= j1, counts
+    assert s2 <= s1 + 2 and s3 <= s1 + 2, counts
