@@ -385,9 +385,18 @@ def neighbor_pairs_ivf(
     """
     from crossbar_data_process_spark.operators.ivf import ivf_assign
 
+    # Precompute the norm ONCE per vector: every vector meets
+    # ~cluster_size candidates, and cosine() would recompute BOTH norms
+    # per PAIR — carrying the scalar norm makes each candidate one dot
+    # product plus a scalar divide, ~3x less array work on the pair
+    # stage (scripts/semdedup_probe.py). (Not done by pre-dividing into
+    # unit vectors: a transform lambda that captures an outer column
+    # miscompiles under self-join attribute dedup — INTERNAL_ERROR
+    # ATTRIBUTE_NOT_FOUND on generated-expression sources.)
     assigned = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         ivf_assign(F.col(vec_col), centroids).alias("cluster"),
     )
     if max_cluster_size is not None:
@@ -410,7 +419,16 @@ def neighbor_pairs_ivf(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn("cosine", cosine(F.col("a.v"), F.col("b.v")))
+        # precomputed norms => ONE dot per candidate; identical 1e-6
+        # rounding and zero-norm (NaN, filtered) semantics as cosine()
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.n") * F.col("b.n")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.id").alias("vec_a"),

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Semantic-dedup scale probe (operators/similarity.semantic_dedup):
+measure the Σc² candidate claim on deterministic clustered corpora at N
+and 10N vectors, holding EXPECTED CLUSTER SIZE constant (nlist scales
+with the corpus — the SemDeDup production posture; with nlist FIXED,
+per-cluster populations grow linearly and the pair stage grows
+quadratically, which is the documented anti-pattern, not a plan).
+
+Corpora are generated distributed (spark.range + hash exprs, no driver
+lists): every 20th vector is a tiny-noise copy of its predecessor (the
+planted near-dup), everything else is center + noise. Reports wall
+clock, survivor counts, and the plant-detection rate at both sizes.
+
+Run: python scripts/semdedup_probe.py [--small N] [--factor K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark import get_spark
+from crossbar_data_process_spark.operators.ivf import ivf_fit
+from crossbar_data_process_spark.operators.similarity import semantic_dedup
+
+DIM = 32
+CLUSTER_SIZE = 500  # expected vectors per fitted list, held constant
+
+
+def gen(spark, n: int, ncenters: int):
+    """id i: center(base % ncenters) + 0.3-noise; every 20th id copies its
+    predecessor's vector plus 1e-4 jitter (the planted near-dup)."""
+    base = F.when(
+        F.col("id") % 20 == 19, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    g = base % ncenters
+
+    def comp(j):
+        center = (
+            F.pmod(F.xxhash64(g * 73 + j), F.lit(2000)) / 1000.0 - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64(base * 131 + j), F.lit(2000)) / 1000.0 - 1.0
+        ) * 0.3
+        jitter = (
+            F.pmod(F.xxhash64(F.col("id") * 17 + j), F.lit(2000)) / 1000.0
+            - 1.0
+        ) * 1e-4
+        return (center + noise + jitter).cast("float")
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(DIM)]).alias("embedding"),
+    )
+
+
+def run(spark, n: int) -> dict:
+    ncenters = max(8, n // CLUSTER_SIZE)
+    corpus = gen(spark, n, ncenters)
+    t0 = time.perf_counter()
+    cents = ivf_fit(
+        corpus, dim=DIM, nlist=ncenters, iters=2, driver_fit_rows=20_000
+    )
+    t_fit = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = semantic_dedup(corpus, cents, threshold=0.999)
+    survivors = out.count()
+    t_dedup = time.perf_counter() - t0
+    plants = n // 20
+    return {
+        "n": n,
+        "nlist": ncenters,
+        "t_fit": round(t_fit, 2),
+        "t_dedup": round(t_dedup, 2),
+        "survivors": survivors,
+        "dropped": n - survivors,
+        "plants": plants,
+        "plant_recall": round((n - survivors) / plants, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", type=int, default=50_000)
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="semdedup_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    small = run(spark, args.small)
+    big = run(spark, args.small * args.factor)
+    print("\nsmall:", small)
+    print("big:  ", big)
+    print(
+        f"slope (dedup wall, {args.factor}x corpus at constant cluster "
+        f"size): {big['t_dedup'] / small['t_dedup']:.2f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
