@@ -194,3 +194,79 @@ def rrf_fuse(
         top_k,
         rank_col="rnk",
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity stage after retrieval/fusion: greedily pick the
+    candidate maximizing ``lam·relevance − (1−lam)·max_cosine_to_already_
+    picked``, so near-duplicate hits don't crowd the context window.
+    ``lam=1`` reduces to pure relevance order.
+
+    Greedy selection is inherently sequential PER QUERY, so this is the
+    sanctioned Arrow path (``applyInPandas`` — same contract as the BPE
+    apply): one vectorized numpy kernel per query group. That is the
+    RIGHT shape at scale because the input is a top-N candidate table
+    from a retriever (N ≤ a few hundred), never a corpus: Q×N rows
+    shuffle once on the query id and each group's O(k·N·d) greedy loop
+    touches only its own candidates. Determinism: ties break on the doc
+    id; scores are relevance-scaled cosines, reproducible bit-for-bit
+    for a fixed candidate set (numpy double ops, no RNG).
+
+    Returns (query_col, doc_col, mmr_score, rnk) with rnk 1..k in
+    selection order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    fields = {f.name: f.dataType.simpleString() for f in candidates.schema}
+    out_schema = (
+        f"{query_col} {fields[query_col]}, {doc_col} {fields[doc_col]}, "
+        "mmr_score double, rnk long"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order regardless of arrival order
+        pdf = pdf.sort_values(doc_col, kind="mergesort").reset_index(drop=True)
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+        units = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[~avail] = -np.inf
+            best = int(np.argmax(mmr))  # argmax takes the FIRST max:
+            picked.append(best)  # ties -> lowest doc id (sorted order)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+            sims = units @ units[best]
+            np.maximum(max_sim, sims, out=max_sim)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[picked].to_numpy(),
+                doc_col: pdf[doc_col].iloc[picked].to_numpy(),
+                "mmr_score": scores,
+                "rnk": np.arange(1, len(picked) + 1, dtype=np.int64),
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_mmr, out_schema)

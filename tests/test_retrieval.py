@@ -313,3 +313,94 @@ def test_rrf_fuses_bm25_with_dense_ranking(spark):
     # docs ranked by BOTH systems outrank single-system docs at equal ranks
     top100 = min(by_q[100], key=lambda r: r.rnk)
     assert top100.n_systems == 2
+
+
+def _cand_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, doc_id long, score double, embedding array<float>"
+    )
+
+
+def test_mmr_demotes_redundant_candidates(spark):
+    """Two near-identical high-relevance docs: pure relevance ranks them
+    1-2, MMR at lam=0.5 interleaves the diverse doc ahead of the clone."""
+    from crossbar_data_process_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, 10, 1.00, [1.0, 0.0, 0.0]),
+        (1, 11, 0.98, [0.999, 0.01, 0.0]),   # near-clone of 10
+        (1, 12, 0.70, [0.0, 1.0, 0.0]),      # orthogonal, lower relevance
+    ]
+    out = sorted(
+        mmr_rerank(_cand_df(spark, rows), k=3, lam=0.5).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.doc_id for r in out] == [10, 12, 11]
+    # and lam=1 is pure relevance order
+    pure = sorted(
+        mmr_rerank(_cand_df(spark, rows), k=3, lam=1.0).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.doc_id for r in pure] == [10, 11, 12]
+
+
+def test_mmr_tie_breaks_on_doc_id_and_bounds_k(spark):
+    from crossbar_data_process_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, 30, 0.9, [1.0, 0.0]),
+        (1, 20, 0.9, [0.0, 1.0]),  # identical relevance, orthogonal
+        (1, 40, 0.1, [1.0, 1.0]),
+    ]
+    out = sorted(
+        mmr_rerank(_cand_df(spark, rows), k=2, lam=1.0).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(out) == 2
+    assert out[0].doc_id == 20  # tie -> lowest doc id first
+
+
+def test_mmr_partition_invariant(spark):
+    import random
+
+    from crossbar_data_process_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(11)
+    rows = [
+        (q, d, round(rng.random(), 6),
+         [round(rng.random(), 6) for _ in range(8)])
+        for q in range(6)
+        for d in rng.sample(range(1000), 40)
+    ]
+    a = mmr_rerank(_cand_df(spark, rows).repartition(1), k=5).collect()
+    b = mmr_rerank(_cand_df(spark, rows).repartition(13), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mmr_composes_with_rrf(spark):
+    """retrieve -> fuse -> diversify: rrf output joined back to vectors
+    feeds mmr_rerank — the full RAG re-ranking chain."""
+    from crossbar_data_process_spark.operators.retrieval import (
+        mmr_rerank,
+        rrf_fuse,
+    )
+
+    lex = _rank_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    dense = _rank_df(spark, [(1, 11, 1), (1, 10, 2), (1, 12, 3)])
+    fused = rrf_fuse([lex, dense], top_k=3)
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.999, 0.01]),
+            (12, [0.0, 1.0]),
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    cands = fused.join(vecs, "doc_id").select(
+        "query_id", "doc_id", F.col("rrf_score").alias("score"), "embedding"
+    )
+    out = sorted(
+        mmr_rerank(cands, k=3, lam=0.5).collect(), key=lambda r: r.rnk
+    )
+    # 10/11 fuse nearly equal but are clones; 12 must come second
+    assert out[1].doc_id == 12
