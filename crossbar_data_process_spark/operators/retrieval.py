@@ -164,6 +164,11 @@ def rrf_fuse(
 
     Returns (query_col, doc_col, rrf_score, n_systems, rnk) — top_k rows
     per query, rrf_score descending.
+
+    PRECONDITION: each input ranking has at most one row per
+    (query, doc) — the ``bm25_topk``/``ivf_topk_assigned`` contract. A
+    system emitting duplicates would double-count its contribution
+    (n_systems counts ROWS, so such inputs are visible in the output).
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")

@@ -108,3 +108,56 @@ def assign_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return (last if expr is None else expr.otherwise(last)).alias("split")
+
+
+def source_mix_by_tokens(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    token_col: str,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Training-mix downsampling specified the way mixes are actually
+    planned — PER-SOURCE TOKEN BUDGETS (e.g. ``{"web": 50_000_000_000,
+    "papers": 10_000_000_000}``) — compiled into :func:`source_mix`
+    fractions from the measured per-source token totals: fraction =
+    min(1, budget / total). Returns (sampled_df, derived_fractions) so
+    the compiled mix can be logged/frozen alongside the run.
+
+    A source's EXPECTED sampled token count is its budget exactly
+    (per-row hash membership is unbiased); the realized count differs by
+    sampling noise — O(sqrt(rows)) rows, negligible at corpus scale. A
+    budget at or above the source's total keeps the whole source;
+    sources absent from ``budgets`` are dropped (whitelist, as in
+    ``source_mix``).
+
+    Scale shape: ONE groupBy over (source) — a result bounded by the
+    number of sources, the bounded-collect contract (mirrors the IVF
+    fit / BPE vocab rule: driver state is hyperparameter-sized) — then
+    the same zero-shuffle scan-side CASE filter as ``source_mix``.
+    """
+    for src, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {src!r} must be >= 0, got {b}")
+    totals = {
+        r["src"]: r["toks"]
+        for r in docs.filter(F.col(source_col).isin(list(budgets)))
+        .groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(F.col(token_col)).alias("toks"))
+        .collect()
+    }
+    fractions = {
+        src: min(1.0, budgets[src] / totals[src]) if totals.get(src) else 0.0
+        for src in budgets
+    }
+    # a zero fraction drops the source — same as omitting it, but the
+    # returned dict documents the decision
+    sampled = source_mix(
+        docs,
+        {s: f for s, f in fractions.items() if f > 0.0},
+        source_col=source_col,
+        key_col=key_col,
+        salt=salt,
+    )
+    return sampled, fractions

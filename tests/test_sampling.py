@@ -126,3 +126,62 @@ def test_assign_split_validates_weights(spark):
 
     with _pytest.raises(ValueError):
         assign_split("doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_source_mix_by_tokens_hits_budgets(spark):
+    """Budgets compile to fractions = budget/total; realized token counts
+    land within sampling noise; over-budget sources keep everything;
+    unbudgeted sources are dropped; the derived fractions are returned
+    for freezing."""
+    import random
+
+    from crossbar_data_process_spark.operators.sampling import (
+        source_mix_by_tokens,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, ["web", "papers", "code"][i % 3], rng.randint(50, 150))
+        for i in range(3000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    totals = {}
+    for _i, s, t in rows:
+        totals[s] = totals.get(s, 0) + t
+
+    budgets = {"web": totals["web"] // 4, "papers": totals["papers"] * 2}
+    out, fr = source_mix_by_tokens(docs, budgets, token_col="n_tokens")
+    assert fr["papers"] == 1.0
+    assert abs(fr["web"] - 0.25) < 0.01
+
+    got = {
+        r.source: r.toks
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert set(got) == {"web", "papers"}  # code dropped (whitelist)
+    assert got["papers"] == totals["papers"]  # over-budget: all kept
+    # realized web tokens within 3 sigma of the budget (~1000 docs kept
+    # with fraction .25 -> sigma ~ sqrt(250)*100 tokens)
+    assert abs(got["web"] - budgets["web"]) < 5 * 100 * (250 ** 0.5)
+
+    # deterministic: same call, same rows
+    out2, _ = source_mix_by_tokens(docs, budgets, token_col="n_tokens")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_source_mix_by_tokens_zero_and_empty(spark):
+    from crossbar_data_process_spark.operators.sampling import (
+        source_mix_by_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web", 10)], "doc_id long, source string, n_tokens long"
+    )
+    out, fr = source_mix_by_tokens(docs, {"web": 0}, token_col="n_tokens")
+    assert fr == {"web": 0.0} and out.count() == 0
+    out, fr = source_mix_by_tokens(docs, {"ghost": 5}, token_col="n_tokens")
+    assert fr == {"ghost": 0.0} and out.count() == 0
