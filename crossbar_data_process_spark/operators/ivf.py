@@ -393,8 +393,21 @@ def ivf_topk_assigned(
 
     ``quantized=True`` reads an int8 silver layout (4x less probe I/O) and
     ranks against the raw codes — cosine is scale-invariant, so qscale
-    never enters the hot path; only quantization rounding costs recall."""
-    corpus = spark.read.parquet(path).select(
+    never enters the hot path; only quantization rounding costs recall.
+
+    The read goes through ``streaming.ann_ingest.read_assigned_silver``
+    so a STREAMED silver is exactly-once even inside
+    ``compact_ivf_silver``'s crash window (r10 review: a raw parquet
+    read would score every vector of a half-compacted cluster twice —
+    the same neighbor occupying two top-k ranks — until the next
+    compaction's recovery ran). For a one-shot ``write_assigned_corpus``
+    silver the reader is a plain scan: no manifest, no batch column,
+    nothing added to the plan."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        read_assigned_silver,
+    )
+
+    corpus = read_assigned_silver(spark, path).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec" if quantized else vec_col).alias("cv"),
         F.col("cluster").cast("int").alias("cluster"),

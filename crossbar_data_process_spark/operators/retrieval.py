@@ -254,17 +254,23 @@ def mmr_rerank(
         n = len(pdf)
         picked: list[int] = []
         scores: list[float] = []
-        max_sim = np.zeros(n)
-        avail = np.ones(n, dtype=bool)
-        for _ in range(min(k, n)):
-            mmr = lam * rel - (1.0 - lam) * max_sim
+        max_sim = None  # undefined until something is picked: the first
+        avail = np.ones(n, dtype=bool)  # pick is pure relevance, and a
+        for _ in range(min(k, n)):  # NEGATIVE max-cosine genuinely boosts
+            if max_sim is None:  # (anti-similar docs add diversity) —
+                mmr = lam * rel  # never clamped at zero (r10 review)
+            else:
+                mmr = lam * rel - (1.0 - lam) * max_sim
             mmr[~avail] = -np.inf
             best = int(np.argmax(mmr))  # argmax takes the FIRST max:
             picked.append(best)  # ties -> lowest doc id (sorted order)
             scores.append(float(mmr[best]))
             avail[best] = False
             sims = units @ units[best]
-            np.maximum(max_sim, sims, out=max_sim)
+            if max_sim is None:
+                max_sim = sims.copy()
+            else:
+                np.maximum(max_sim, sims, out=max_sim)
         return pd.DataFrame(
             {
                 query_col: pdf[query_col].iloc[picked].to_numpy(),

@@ -147,10 +147,16 @@ def source_mix_by_tokens(
         .agg(F.sum(F.col(token_col)).alias("toks"))
         .collect()
     }
-    fractions = {
-        src: min(1.0, budgets[src] / totals[src]) if totals.get(src) else 0.0
-        for src in budgets
-    }
+    def _fraction(src: str) -> float:
+        total = totals.get(src)
+        if total is None or not total:  # absent source, all-NULL or 0-token
+            # rows: budget >= total(0) means KEEP (the documented
+            # contract; keeping costs 0 tokens) — except an explicit
+            # 0 budget, which is a deliberate drop (r10 review)
+            return 1.0 if budgets[src] > 0 and src in totals else 0.0
+        return min(1.0, budgets[src] / total)
+
+    fractions = {src: _fraction(src) for src in budgets}
     # a zero fraction drops the source — same as omitting it, but the
     # returned dict documents the decision
     sampled = source_mix(

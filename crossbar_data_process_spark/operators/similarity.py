@@ -36,7 +36,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column, scale: int = 6) -> Column:
-    return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
+    """NULL (not an error) when either vector has zero norm: the session
+    runs ANSI mode, where a plain ``/`` on a 0 divisor is DIVIDE_BY_ZERO
+    and aborts the job — in a streaming dedup sink, a wedged stream
+    (r10 review). ``try_divide`` keeps one evaluation of the norms and
+    identical values whenever the divisor is nonzero, so every oracle
+    hash is unchanged; downstream threshold filters drop the NULLs
+    (zero vectors have no direction)."""
+    return F.round(F.try_divide(dot(a, b), norm(a) * norm(b)), scale)
 
 
 def cosine_topk(
@@ -419,13 +426,17 @@ def neighbor_pairs_ivf(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        # precomputed norms => ONE dot per candidate; identical 1e-6
-        # rounding and zero-norm (NaN, filtered) semantics as cosine()
+        # precomputed norms => ONE dot per candidate, same 1e-6 rounding
+        # and try_divide zero-norm semantics as cosine() (ANSI mode: a
+        # plain / on a 0 divisor aborts the job; NULL is dropped by the
+        # threshold filter — zero vectors pair with nothing)
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.n") * F.col("b.n")),
+                F.try_divide(
+                    dot(F.col("a.v"), F.col("b.v")),
+                    F.col("a.n") * F.col("b.n"),
+                ),
                 6,
             ),
         )

@@ -441,13 +441,22 @@ def compact_ivf_silver(
         consolidated = df.repartition(
             max(1, int(target_files)), _CLUSTER_COL
         )
-    n = consolidated.count()
+    # the row count rides the WRITE via observe() — a separate count()
+    # would read and shuffle the whole to-compact corpus a second time
+    # (r10 review)
+    from pyspark.sql import Observation
+
+    obs = Observation("ivf_compaction_rows")
+    consolidated = consolidated.observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     staging_name = f"{_STAGING_PREFIX}{new_id}"
     # 1. invisible staging write, cluster-partitioned so each cluster's
     # consolidated leaf is one rename away from its final location
     consolidated.write.mode("overwrite").partitionBy(_CLUSTER_COL).parquet(
         f"{silver_dir}/{staging_name}"
     )
+    n = int(obs.get["rows"])
     compact_set = set(to_compact)
     src_clusters = sorted(
         c for c, bs in cluster_ids.items() if bs & compact_set

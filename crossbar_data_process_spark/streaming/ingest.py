@@ -412,11 +412,20 @@ def compact_batch_partitions(
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
     consolidated = df.repartition(target_files)
-    n = consolidated.count()
+    # the row count rides the WRITE via observe() — a separate count()
+    # would read and shuffle the whole to-compact corpus a second time
+    # (r10 review)
+    from pyspark.sql import Observation
+
+    obs = Observation("compaction_rows")
+    consolidated = consolidated.observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     staging_name = f"{_STAGING_PREFIX}{new_id}"
     # 1. invisible staging write (plain parquet — a partition directory
     # holds bare files; the partition value lives in the dir name)
     consolidated.write.mode("overwrite").parquet(f"{path}/{staging_name}")
+    n = int(obs.get["rows"])
     # 2. COMMIT: the manifest's single-file creation
     from crossbar_data_process_spark.sources.writers import _hadoop_write_text
 

@@ -331,6 +331,19 @@ def test_ivf_compaction_crash_windows_are_exactly_once(
     got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
     assert got == want
     assert read_assigned_silver(spark, silver).count() == len(want)
+    # and the PRODUCTION probe is exactly-once through the window too —
+    # ivf_topk_assigned routes through the manifest-aware reader (r10
+    # review: a raw read would rank a half-compacted cluster's vectors
+    # twice, the same neighbor at two top-k ranks)
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    probed = ivf_topk_assigned(
+        spark, silver, q, centroids, k=5, nprobe=8
+    ).collect()
+    per_query = {}
+    for r in probed:
+        per_query.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid, ns in per_query.items():
+        assert len(ns) == len(set(ns)), (qid, ns)
 
     # recovery converges: remaining renames + deletes + manifest drop
     m = recover_ivf_compaction(spark, silver)

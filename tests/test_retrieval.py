@@ -404,3 +404,23 @@ def test_mmr_composes_with_rrf(spark):
     )
     # 10/11 fuse nearly equal but are clones; 12 must come second
     assert out[1].doc_id == 12
+
+
+def test_mmr_anti_similar_candidates_are_boosted_not_clamped(spark):
+    """The MMR penalty term is the TRUE max cosine — a candidate
+    anti-similar to everything picked gets a negative penalty (a boost),
+    not a zero-clamped one (r10 review)."""
+    from crossbar_data_process_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (1, 10, 1.00, [1.0, 0.0]),
+        (1, 11, 0.50, [-1.0, 0.0]),   # anti-parallel to 10: boost
+        (1, 12, 0.60, [0.0, 1.0]),    # orthogonal, higher relevance
+    ]
+    out = sorted(
+        mmr_rerank(_cand_df(spark, rows), k=3, lam=0.5).collect(),
+        key=lambda r: r.rnk,
+    )
+    # true MMR: 11 scores 0.25 + 0.5 = 0.75 > 12's 0.30 - 0 = 0.30
+    assert [r.doc_id for r in out] == [10, 11, 12]
+    assert abs(out[1].mmr_score - 0.75) < 1e-9

@@ -185,3 +185,22 @@ def test_source_mix_by_tokens_zero_and_empty(spark):
     assert fr == {"web": 0.0} and out.count() == 0
     out, fr = source_mix_by_tokens(docs, {"ghost": 5}, token_col="n_tokens")
     assert fr == {"ghost": 0.0} and out.count() == 0
+
+
+def test_source_mix_by_tokens_zero_total_keeps_budgeted_source(spark):
+    """A source present with 0 measured tokens and a positive budget is
+    KEPT whole (budget >= total(0), per the contract; keeping costs 0
+    tokens) — not silently dropped (r10 review)."""
+    from crossbar_data_process_spark.operators.sampling import (
+        source_mix_by_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "empty", 0), (2, "empty", 0), (3, "web", 100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out, fr = source_mix_by_tokens(
+        docs, {"empty": 10, "web": 100}, token_col="n_tokens"
+    )
+    assert fr == {"empty": 1.0, "web": 1.0}
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}

@@ -126,3 +126,19 @@ def test_partition_invariance(spark, corpus, cents):
         ).collect()
     }
     assert one == many
+
+
+def test_zero_vector_does_not_abort_ansi(spark, cents):
+    """ANSI mode: a zero-norm embedding must yield NULL cosine (paired
+    with nothing), never DIVIDE_BY_ZERO (r10 review — in the streaming
+    dedup sink that exception wedges the stream on every replay)."""
+    rows = [
+        (1, [1.0] * DIM),
+        (2, [1.0] * DIM),          # near-dup of 1
+        (3, [0.0] * DIM),          # zero vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = neighbor_pairs_ivf(df, cents, threshold=0.9).collect()
+    assert {(r.vec_a, r.vec_b) for r in pairs} == {(1, 2)}
+    out = {r.vec_id for r in semantic_dedup(df, cents, threshold=0.9).collect()}
+    assert out == {1, 3}  # 2 deduped; the zero vector survives untouched
