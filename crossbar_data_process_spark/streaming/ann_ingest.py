@@ -151,9 +151,22 @@ def ivf_ingest_writer(
     exactly-once); only survivors land, so the silver never accumulates
     two vectors within ``dedup_threshold`` cosine of each other in the
     same cluster — within a batch, across batches, against the seed.
-    Work stays batch-sized: both checks are cluster-pruned joins with the
-    batch broadcast. The drift metrics still describe the FULL incoming
-    batch (monitoring sees what arrived, not what survived).
+
+    Cost shape, stated honestly: the within-batch check is batch-sized
+    (Σ batch_c²), but the cross-silver flag pays one dot per
+    (silver row in a probed cluster × batch vector in that cluster) —
+    ``Σ_c silver_c · batch_c``, which grows with the SILVER when nlist
+    is fixed and the batch covers most clusters. It is per-batch
+    constant only while cluster populations stay bounded — the same
+    posture as ``semantic_dedup`` itself: scale nlist with the corpus
+    and REFIT/re-shard when the drift gauge (or cluster-size skew)
+    says the quantizer has outgrown the data. This is intrinsic to
+    dense within-cluster comparison (the text ingest's flag stays
+    batch-sized because exact-fp and LSH probes touch only COLLIDING
+    index rows; a vector near-dup check has no sparse collision
+    structure at a cosine threshold below exactness). The drift
+    metrics still describe the FULL incoming batch (monitoring sees
+    what arrived, not what survived).
     """
     from crossbar_data_process_spark.operators.ivf import (
         _centroid_scores,

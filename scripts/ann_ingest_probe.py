@@ -61,6 +61,15 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=10)
     ap.add_argument("--batch-rows", type=int, default=20_000)
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument(
+        "--dedup",
+        type=float,
+        default=None,
+        metavar="TAU",
+        help="run the sink with dedup_threshold=TAU (incremental "
+        "semantic dedup): per-batch wall must stay flat because the "
+        "flag is a cluster-pruned batch-broadcast join",
+    )
     args = ap.parse_args()
 
     shutil.rmtree(ROOT, ignore_errors=True)
@@ -70,7 +79,11 @@ def main() -> None:
     fit_corpus = gen_batch(spark, 0, args.batch_rows)
     cents = ivf_fit(fit_corpus, dim=DIM, nlist=16, iters=2, driver_fit_rows=2048)
     sink = ivf_ingest_writer(
-        spark, cents, f"{ROOT}/silver", metrics_dir=f"{ROOT}/metrics"
+        spark,
+        cents,
+        f"{ROOT}/silver",
+        metrics_dir=f"{ROOT}/metrics",
+        dedup_threshold=args.dedup,
     )
 
     walls = []
