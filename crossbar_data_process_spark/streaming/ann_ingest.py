@@ -585,3 +585,41 @@ def flag_semantic_dups(
             F.min_by("cosine", "matched_vec").alias("cosine"),
         )
     )
+
+
+def cluster_size_stats(spark: SparkSession, silver_dir: str) -> dict:
+    """Cluster-population skew gauge — the operational trigger the
+    dedup/flag cost statements point at: the cross-silver flag and
+    ``semantic_dedup`` both pay per-cluster-population work, so when
+    populations outgrow their fitted size (corpus grew, or a catch-all
+    cell formed), it is time to refit/re-shard the quantizer. ONE
+    groupBy over the partition column (exactly-once through compaction
+    windows via :func:`read_assigned_silver`).
+
+    Returns ``{"clusters", "rows", "mean", "p99", "max", "imbalance"}``
+    (imbalance = max/mean; ~1 for a healthy quantizer, large when a
+    catch-all cluster has formed — the same failure mode
+    ``ivf_fit_diagnostics``'s mass_imbalance measures at fit time, here
+    measured on the LANDED silver instead of a fit sample)."""
+    row = (
+        read_assigned_silver(spark, silver_dir)
+        .groupBy(_CLUSTER_COL)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("clusters"),
+            F.sum("c").alias("rows"),
+            F.avg("c").alias("mean"),
+            F.percentile_approx("c", 0.99).alias("p99"),
+            F.max("c").alias("max"),
+        )
+        .collect()[0]
+    )
+    mean = float(row["mean"]) if row["mean"] else 0.0
+    return {
+        "clusters": int(row["clusters"]),
+        "rows": int(row["rows"] or 0),
+        "mean": round(mean, 2),
+        "p99": int(row["p99"] or 0),
+        "max": int(row["max"] or 0),
+        "imbalance": round(float(row["max"]) / mean, 2) if mean else 0.0,
+    }
