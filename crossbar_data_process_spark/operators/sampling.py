@@ -149,11 +149,15 @@ def source_mix_by_tokens(
     }
     def _fraction(src: str) -> float:
         total = totals.get(src)
-        if total is None or not total:  # absent source, all-NULL or 0-token
-            # rows: budget >= total(0) means KEEP (the documented
-            # contract; keeping costs 0 tokens) — except an explicit
-            # 0 budget, which is a deliberate drop (r10 review)
-            return 1.0 if budgets[src] > 0 and src in totals else 0.0
+        if total is None or not total:
+            # zero measured tokens — whether the source has 0-token/
+            # all-NULL rows or simply NO rows yet (it may not have
+            # arrived): budget >= total(0) means KEEP (costs 0 tokens,
+            # and a later-arriving source is then governed by its frozen
+            # 1.0 until the mix is recompiled). Only an explicit 0
+            # budget is a deliberate drop (r10 review + r10 ADVICE:
+            # the absent-source case must not silently freeze 0.0).
+            return 1.0 if budgets[src] > 0 else 0.0
         return min(1.0, budgets[src] / total)
 
     fractions = {src: _fraction(src) for src in budgets}

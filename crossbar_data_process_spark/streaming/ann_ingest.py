@@ -197,12 +197,7 @@ def ivf_ingest_writer(
         )
 
     def _has_data() -> bool:
-        if not fs.exists(silver_jpath):
-            return False
-        return any(
-            st.getPath().getName().startswith(f"{_CLUSTER_COL}=")
-            for st in fs.listStatus(silver_jpath)
-        )
+        return _silver_has_data(spark, silver_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         incoming = batch_df
@@ -265,6 +260,56 @@ def ivf_ingest_writer(
     return _sink
 
 
+def _silver_has_data(spark: SparkSession, silver_dir: str) -> bool:
+    """True iff at least one ``cluster=`` partition directory has landed
+    — the distinction between "silver initialized" (directory + metadata
+    sidecar exist) and "silver has data" (a batch actually wrote): a
+    freshly stamped silver is readable metadata but an unreadable
+    parquet source (schema inference has nothing to look at)."""
+    fs, jpath = _fs_and_path(spark, silver_dir)
+    if not fs.exists(jpath):
+        return False
+    return any(
+        st.getPath().getName().startswith(f"{_CLUSTER_COL}=")
+        for st in fs.listStatus(jpath)
+    )
+
+
+def _list_silver_leaves(
+    spark: SparkSession, silver_dir: str
+) -> tuple[dict[int, dict[int, str]], dict[int, str]]:
+    """ONE listing walk over the silver: ``(batched, flat)`` where
+    ``batched`` is ``{cluster: {batch_id: leaf_uri}}`` for the streamed
+    ``cluster=/.../__batch_id=`` layout and ``flat`` is
+    ``{cluster: dir_uri}`` for cluster directories holding data files
+    directly (the one-shot ``write_assigned_corpus`` layout, which has
+    no batch level). Callers derive the read set AND any
+    compaction-exclusion decision from this single snapshot (each
+    cluster directory is one atomic ``listStatus``), instead of mixing
+    a file listing taken at one time with ``fs.exists`` probes taken at
+    another (r10 ADVICE)."""
+    fs, root = _fs_and_path(spark, silver_dir)
+    batched: dict[int, dict[int, str]] = {}
+    flat: dict[int, str] = {}
+    if not fs.exists(root):
+        return batched, flat
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{_CLUSTER_COL}=")):
+            continue
+        c = int(name.split("=", 1)[1])
+        has_batch = False
+        for leaf in fs.listStatus(st.getPath()):
+            lname = leaf.getPath().getName()
+            if leaf.isDirectory() and lname.startswith(f"{BATCH_COL}="):
+                b = int(lname.split("=", 1)[1])
+                batched.setdefault(c, {})[b] = leaf.getPath().toString()
+                has_batch = True
+        if not has_batch:
+            flat[c] = st.getPath().toString()
+    return batched, flat
+
+
 def read_assigned_silver(
     spark: SparkSession,
     silver_dir: str,
@@ -280,36 +325,68 @@ def read_assigned_silver(
     the clusters whose consolidated leaf is already live (before its
     rename a cluster's sources are still the only copy of its rows).
 
+    The leaf enumeration and the per-cluster liveness decision come from
+    the SAME snapshot (:func:`_list_silver_leaves` — one listing pass,
+    manifest consulted after, "live" = the consolidated leaf appeared in
+    that listing). A reader that listed source leaves first and probed
+    ``fs.exists(target)`` later could race a LIVE compaction into
+    silently dropping a cluster's compacted rows (r10 ADVICE); with the
+    snapshot rule a concurrent commit can at worst delete a listed
+    source before Spark opens it — a loud missing-path error to retry,
+    never a silent wrong top-k.
+
     ``exclude_batch_id`` drops one batch's own partitions before the
     bookkeeping column is removed — the replay-safety view a
     ``foreachBatch`` re-run needs when checking its batch against
     everything ALREADY landed (its own previous attempt must not count)."""
     import json
 
-    df = spark.read.parquet(silver_dir)
-    if exclude_batch_id is not None:
-        df = df.filter(F.col(BATCH_COL) != int(exclude_batch_id))
+    batched, flat = _list_silver_leaves(spark, silver_dir)
+    if flat and batched:
+        raise ValueError(
+            f"IVF silver at {silver_dir} mixes batch-partitioned and "
+            f"unpartitioned {_CLUSTER_COL}= directories — the one-shot "
+            "and streamed layouts cannot share a directory"
+        )
+    if flat:  # one-shot write_assigned_corpus layout: no batch level,
+        # no compaction bookkeeping — every cluster dir is authoritative
+        return spark.read.option("basePath", silver_dir).parquet(
+            *[flat[c] for c in sorted(flat)]
+        )
+    if not batched:
+        raise ValueError(
+            f"IVF silver at {silver_dir} has no landed data partitions "
+            f"(no {_CLUSTER_COL}=* leaves to read)"
+        )
+    manifest = None
     fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_MANIFEST_FILE}")
     if fs.exists(mpath):
-        m = json.loads(
+        manifest = json.loads(
             _hadoop_read_text(spark, f"{silver_dir}/{_MANIFEST_FILE}")
         )
+    # read the FULL snapshot's leaves; exclusions are partition filters
+    # (planning-time pruned, so excluded leaves are never opened, and an
+    # excluded-to-empty view is an empty DataFrame, not an error)
+    paths = [
+        uri
+        for c in sorted(batched)
+        for _, uri in sorted(batched[c].items())
+    ]
+    df = spark.read.option("basePath", silver_dir).parquet(*paths)
+    if exclude_batch_id is not None:
+        df = df.filter(F.col(BATCH_COL) != int(exclude_batch_id))
+    if manifest is not None:
+        # "live" = the consolidated leaf appeared in THIS snapshot
         renamed = [
             c
-            for c in m["clusters"]
-            if fs.exists(
-                _fs_and_path(
-                    spark,
-                    f"{silver_dir}/{_CLUSTER_COL}={c}"
-                    f"/{BATCH_COL}={m['new_batch_id']}",
-                )[1]
-            )
+            for c in manifest["clusters"]
+            if manifest["new_batch_id"] in batched.get(c, {})
         ]
         if renamed:
             df = df.filter(
                 ~(
                     F.col(_CLUSTER_COL).isin(renamed)
-                    & F.col(BATCH_COL).isin(m["sources"])
+                    & F.col(BATCH_COL).isin(manifest["sources"])
                 )
             )
     return df.drop(BATCH_COL)
@@ -555,24 +632,42 @@ def flag_semantic_dups(
     set the threshold with that band in mind.
     """
     from crossbar_data_process_spark.operators.ivf import ivf_assign
-    from crossbar_data_process_spark.operators.similarity import cosine
+    from crossbar_data_process_spark.operators.similarity import dot, norm
 
     check_centroid_meta(spark, silver_dir, centroids)
+    # norms are precomputed ONCE per vector on each side and carried as
+    # scalars into the join — cosine() would recompute BOTH array norms
+    # per (silver row × batch vector) candidate, the per-batch hot path
+    # of the dedup sink (~3x less array work; the same lesson measured
+    # on neighbor_pairs_ivf's pair stage, r10 ADVICE). Same try_divide
+    # zero-norm semantics and 1e-6 rounding as cosine(), so scores are
+    # value-identical on every nonzero-norm pair.
     silver = read_assigned_silver(
         spark, silver_dir, exclude_batch_id=exclude_batch_id
     ).select(
         F.col(id_col).alias("matched_vec"),
         F.col("qvec" if quantized else vec_col).alias("sv"),
+        norm(F.col("qvec" if quantized else vec_col)).alias("__sn"),
         F.col(_CLUSTER_COL).cast("int").alias(_CLUSTER_COL),
     )
     probes = batch_df.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("bv"),
+        norm(F.col(vec_col)).alias("__bn"),
         ivf_assign(F.col(vec_col), centroids).alias(_CLUSTER_COL),
     )
     matches = (
         silver.join(F.broadcast(probes), _CLUSTER_COL)
-        .withColumn("cosine", cosine(F.col("bv"), F.col("sv")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("bv"), F.col("sv")),
+                    F.col("__bn") * F.col("__sn"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     # lowest-id witness (deterministic), carrying ITS cosine — the same
@@ -600,7 +695,21 @@ def cluster_size_stats(spark: SparkSession, silver_dir: str) -> dict:
     (imbalance = max/mean; ~1 for a healthy quantizer, large when a
     catch-all cluster has formed — the same failure mode
     ``ivf_fit_diagnostics``'s mass_imbalance measures at fit time, here
-    measured on the LANDED silver instead of a fit sample)."""
+    measured on the LANDED silver instead of a fit sample).
+
+    Safe to run at ANY point in the silver's lifecycle: a directory that
+    exists but has no landed batches yet (factory stamped the centroid
+    sidecar, no data arrived) returns zeroed stats instead of Spark's
+    unable-to-infer-schema error (r10 ADVICE)."""
+    if not _silver_has_data(spark, silver_dir):
+        return {
+            "clusters": 0,
+            "rows": 0,
+            "mean": 0.0,
+            "p99": 0,
+            "max": 0,
+            "imbalance": 0.0,
+        }
     row = (
         read_assigned_silver(spark, silver_dir)
         .groupBy(_CLUSTER_COL)

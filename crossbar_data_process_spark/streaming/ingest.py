@@ -317,20 +317,44 @@ def read_batch_table(spark: SparkSession, path: str) -> DataFrame:
     are excluded here, so a reader NEVER sees a row twice in any crash
     window. Before the rename the consolidated rows are invisible (the
     staging directory's ``.``-prefix hides it from parquet discovery)
-    and the sources are still authoritative, so the plain read is
-    already exact."""
+    and the sources are still authoritative, so the source partitions
+    alone are already exact.
+
+    The read set and the exclusion decision derive from ONE directory
+    snapshot: the batch leaves are enumerated in a single ``listStatus``
+    pass, the manifest is consulted AFTER, and the consolidated
+    partition counts as live only if it appeared in that same listing
+    (r10 ADVICE — a reader that listed files first and probed
+    ``fs.exists(target)`` later could list the sources pre-rename, see
+    the target live post-rename, and silently drop the compacted rows).
+    With the snapshot rule every crash window is exact; a compaction
+    COMMITTING CONCURRENTLY with the read can at worst delete a listed
+    source before Spark opens it — a loud missing-path error to retry,
+    never a silent wrong result."""
     import json
 
-    df = spark.read.parquet(path)
-    fs, mpath = _fs_and_path(spark, f"{path}/{_MANIFEST_FILE}")
+    fs, root = _fs_and_path(spark, path)
+    batches: dict[int, str] = {}
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
+                batches[int(name.split("=", 1)[1])] = st.getPath().toString()
+    if not batches:
+        # missing table / no landed partitions: same error surface as a
+        # plain read of the directory
+        return spark.read.parquet(path)
+    df = spark.read.option("basePath", path).parquet(
+        *[p for _, p in sorted(batches.items())]
+    )
+    _, mpath = _fs_and_path(spark, f"{path}/{_MANIFEST_FILE}")
     if fs.exists(mpath):
         m = json.loads(_hadoop_read_text(spark, f"{path}/{_MANIFEST_FILE}"))
-        _, target = _fs_and_path(
-            spark, f"{path}/{BATCH_COL}={m['new_batch_id']}"
-        )
-        # only exclude once the rename made the consolidated copy live;
-        # before that the sources are still the only copy of those rows
-        if fs.exists(target):
+        # only exclude once the rename made the consolidated copy live
+        # IN THIS SNAPSHOT; before that the sources are the only copy.
+        # Exclusion as a partition filter: planning-time pruned, the
+        # superseded leaves are never opened
+        if m["new_batch_id"] in batches:
             df = df.filter(~F.col(BATCH_COL).isin(m["sources"]))
     return df
 

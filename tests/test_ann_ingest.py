@@ -588,3 +588,105 @@ def test_cluster_size_stats_gauge(spark, clustered, centroids, tmp_path):
     assert stats["rows"] == sum(manual.values()) == clustered.count()
     assert stats["max"] == max(manual.values())
     assert 1.0 <= stats["imbalance"] <= 3.0  # balanced 8x100 fixture
+
+
+def test_cluster_size_stats_empty_silver_returns_zeroes(
+    spark, centroids, tmp_path
+):
+    """A silver that EXISTS but has no landed batches (factory stamped
+    the centroid sidecar; no data arrived) must yield zeroed stats, not
+    Spark's unable-to-infer-schema error — the gauge is positioned as
+    safe to run at any point in the lifecycle (r10 ADVICE). A missing
+    directory behaves the same."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        cluster_size_stats,
+    )
+
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver)  # stamps meta, no batch
+    stats = cluster_size_stats(spark, silver)
+    assert stats == {
+        "clusters": 0,
+        "rows": 0,
+        "mean": 0.0,
+        "p99": 0,
+        "max": 0,
+        "imbalance": 0.0,
+    }
+    assert cluster_size_stats(spark, str(tmp_path / "nope"))["rows"] == 0
+    # the raw reader states the emptiness loudly instead of an opaque
+    # schema-inference error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no landed data"):
+        read_assigned_silver(spark, silver)
+
+
+def test_reader_decisions_come_from_one_snapshot(
+    spark, clustered, centroids, tmp_path, monkeypatch
+):
+    """The r10 ADVICE race, pinned: a reader whose leaf LISTING predates
+    a live compaction's renames must keep the source leaves it listed
+    (still on disk until the delete phase) — deriving the exclusion from
+    fresh ``fs.exists`` probes against the post-rename tree would
+    silently drop every compacted cluster's rows. Simulated by freezing
+    the snapshot pre-rename, then completing all renames on disk."""
+    import json
+    import os
+    import shutil
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+    from crossbar_data_process_spark.streaming import ann_ingest
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    for i in range(3):
+        sink(clustered.filter(F.col("vec_id") % 3 == i), i)
+    want = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert len(want) == 800
+
+    stale = ann_ingest._list_silver_leaves(spark, silver)  # pre-rename
+
+    # complete a compaction of batches {0,1} on disk up to (not incl.)
+    # the delete phase: staging write, manifest commit, EVERY rename
+    staging = f"{silver}/.compaction_staging_-1"
+    (
+        spark.read.parquet(silver)
+        .filter(F.col("__batch_id") < 2)
+        .drop("__batch_id")
+        .write.partitionBy("cluster")
+        .parquet(staging)
+    )
+    clusters = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(silver)
+        if p.startswith("cluster=")
+    )
+    _hadoop_write_text(
+        spark,
+        f"{silver}/_compaction_manifest.json",
+        json.dumps(
+            {"new_batch_id": -1, "staging": ".compaction_staging_-1",
+             "sources": [0, 1], "clusters": clusters}
+        ),
+    )
+    for c in clusters:
+        shutil.move(
+            f"{staging}/cluster={c}",
+            f"{silver}/cluster={c}/__batch_id=-1",
+        )
+
+    # reader pinned to the pre-rename snapshot: sources are the only
+    # copy IN THAT SNAPSHOT and must all be read — no silent drop
+    monkeypatch.setattr(ann_ingest, "_list_silver_leaves", lambda *_: stale)
+    got = {
+        r.vec_id
+        for r in ann_ingest.read_assigned_silver(spark, silver).collect()
+    }
+    assert got == want
+    monkeypatch.undo()
+
+    # and a FRESH snapshot through the fully-renamed window stays
+    # exactly-once (consolidated leaves in, superseded sources out)
+    got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
+    assert got == want

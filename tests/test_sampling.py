@@ -183,8 +183,11 @@ def test_source_mix_by_tokens_zero_and_empty(spark):
     )
     out, fr = source_mix_by_tokens(docs, {"web": 0}, token_col="n_tokens")
     assert fr == {"web": 0.0} and out.count() == 0
+    # a budgeted source with NO rows at all freezes 1.0, symmetric with
+    # the present-but-zero-token case (both cost 0 tokens; r10 ADVICE) —
+    # there is still nothing to keep, so the sample is empty
     out, fr = source_mix_by_tokens(docs, {"ghost": 5}, token_col="n_tokens")
-    assert fr == {"ghost": 0.0} and out.count() == 0
+    assert fr == {"ghost": 1.0} and out.count() == 0
 
 
 def test_source_mix_by_tokens_zero_total_keeps_budgeted_source(spark):
