@@ -1,0 +1,418 @@
+"""Product quantization (PQ) ANN — the storage-side scale path that
+complements the candidate-side pruning in ``operators/ivf.py`` (engine
+extension; charter: "an IVF or LSH-bucketed variant as the scale path").
+The reference (HUBioDataLab/CROssBAR-Data-Process) has no vector search at
+all — this is charter scope, same family as similarity.py/ivf.py.
+
+What PQ buys at 100 TB: a dim-64 float32 vector is 256 bytes; its PQ code
+at m=4 subspaces × 256 codes is 4 bytes. The ANN *candidate* problem is
+solved by IVF partition pruning (scan ≈ nprobe/nlist of the corpus); the
+remaining cost is the *bytes per scanned row*, and PQ cuts that 64×. ADC
+(asymmetric distance computation, Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search") keeps the query side exact:
+per query, a lookup table of distances from each query SUBVECTOR to every
+code is built once (m·k fold evaluations), after which scoring a corpus
+row is m array lookups + (m−1) adds — no per-pair O(dim) arithmetic.
+
+Determinism contract (what makes the plan SQL-oracle-able, the q67
+registry row): every per-code distance goes through ``lm._fround`` —
+floor-based half-up rounding, exact in Spark and DuckDB alike — BEFORE
+the argmin/sum, and ties take the FIRST code index in both engines
+(``array_position``/``list_position`` are both first-occurrence). Codes
+and ADC scores are therefore bit-identical across engines and re-runs.
+
+Scale shape:
+- ``pq_encode``: a pure projection over the corpus (no join, no shuffle);
+  each subvector is bound in its own projection below the HOF so the
+  O(dsub) slice is evaluated once per row, not once per code (the HOF
+  no-CSE trap, round-7 measurement).
+- ``pq_adc_topk``: queries (with their LUTs) broadcast; the corpus is
+  scanned once; the only shuffle is the per-query top-k window.
+- ``write_pq_corpus`` / ``ivf_pq_topk_assigned``: the IVF-PQ silver —
+  cluster-partitioned like ``ivf.write_assigned_corpus`` but storing the
+  m-byte codes INSTEAD of the raw vector, so a probe read moves
+  ≈ nprobe/nlist × corpus_rows × m bytes. Probe reads prune partitions
+  (cluster key) AND columns (codes only — the scan's ReadSchema never
+  mentions an embedding column; pinned in tests/test_pq.py).
+- ``pq_fit``: per-subspace Lloyd's in numpy over ONE bounded md5-ordered
+  sample collect (the FAISS-style training contract; same bounded-driver
+  rationale as ``ivf_fit(driver_fit_rows=...)``) — driver memory is
+  sample×dim doubles, a hyperparameter, never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.lm import _fround
+from crossbar_data_process_spark.operators.topk import top_k_per_group
+
+
+def pq_codebooks_fixed(
+    dim: int, m: int = 4, k: int = 16, seed: int = 987654321
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random codebooks (the same LCG family as
+    ``similarity._hyperplanes``, independent seed): m books × k codes ×
+    (dim/m) components in [-1, 1]. The INJECTED-codebook production shape —
+    codebooks are fit offline (``pq_fit``) and loaded at query time; a
+    fixed literal set is what makes the encode/ADC machinery expressible
+    as a static SQL oracle (q67), exactly as q39/q49 oracle the hyperplane
+    series. Recall of *fitted* codebooks is measured in tests/test_pq.py."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    state = seed
+    books = []
+    for _ in range(m):
+        book = []
+        for _ in range(k):
+            row = []
+            for _ in range(dsub):
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (1 << 63)
+                row.append((state / float(1 << 63)) * 2.0 - 1.0)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _book_matrix(book: list[list[float]]) -> Column:
+    """k × dsub literal matrix column (one subspace's codebook)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Left-to-right fold squared Euclidean distance — the summation order
+    matches the SQL oracle's list_reduce exactly (same contract as
+    ``similarity.dot``)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_subvecs(
+    df: DataFrame, vec_col: str, m: int, dsub: int
+) -> DataFrame:
+    """Bind the m subvector slices in their OWN projection: a slice inlined
+    inside the per-code HOF lambda would be re-evaluated once per code
+    (k× the O(dsub) copy — the HOF no-CSE trap)."""
+    return df.select(
+        "*",
+        *[
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"__sv{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def _code_dists(j: int, book: list[list[float]]) -> Column:
+    """Array of rounded distances from bound subvector ``__sv{j}`` to each
+    of the k codes — ONE HOF over the literal book (a flat k-subtree form
+    would bloat codegen for large k, same rationale as
+    ``ivf._centroid_scores``)."""
+    return F.transform(
+        _book_matrix(book),
+        lambda cb: _fround(_sqdist(F.col(f"__sv{j}"), cb), 6),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+    keep_vec: bool = True,
+) -> DataFrame:
+    """Corpus-side PQ encode: per subspace, the 0-based index of the
+    nearest code (rounded distance, ties → first index — deterministic in
+    both engines). A pure projection: no join, no shuffle; at 100 TB this
+    is one linear pass executed next to the scan.
+
+    ``keep_vec=False`` drops the raw vector — the silver-layout shape
+    (``write_pq_corpus``), where the m-byte code column IS the stored
+    representation."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    pre = _with_subvecs(df, vec_col, m, dsub)
+
+    def code(j: int) -> Column:
+        d = _code_dists(j, codebooks[j])
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    cols = [c for c in df.columns if keep_vec or c != vec_col]
+    return pre.select(
+        *cols, F.array(*[code(j) for j in range(m)]).alias(out_col)
+    )
+
+
+def pq_query_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "lut",
+) -> DataFrame:
+    """Query-side ADC lookup table: the flattened m·k array of rounded
+    distances from each query subvector to every code (subspace-major —
+    ``lut[j*k + c]`` is subspace j, code c). Built once per query; the
+    query set is workload-bounded, so the frame broadcasts."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    pre = _with_subvecs(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        "__qv",
+        m,
+        dsub,
+    )
+    lut = F.flatten(
+        F.array(*[_code_dists(j, codebooks[j]) for j in range(m)])
+    )
+    return pre.select("query_id", "__qv", lut.alias(out_col))
+
+
+def pq_adc_expr(
+    codes_col: Column, lut_col: Column, m: int, k: int
+) -> Column:
+    """ADC score: Σ_j lut[j·k + codes[j]] — m array lookups + (m−1)
+    left-to-right adds per (query, row) pair, re-rounded at 1e-6 (the sum
+    of 1e-6-grid terms is engine-identical, the re-round keeps the output
+    on the grid). This is the hot-path expression the whole scheme exists
+    for: no O(dim) arithmetic touches corpus rows at query time."""
+    total = None
+    for j in range(m):
+        term = F.element_at(
+            lut_col, (F.lit(j * k) + F.element_at(codes_col, j + 1) + 1).cast("int")
+        )
+        total = term if total is None else total + term
+    return _fround(total, 6)
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    query_luts: DataFrame,
+    m: int,
+    k_codes: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    lut_col: str = "lut",
+) -> DataFrame:
+    """PQ-ADC top-k: broadcast the (query_id, lut) frame against the
+    encoded corpus, score each pair with ``pq_adc_expr``, keep the k
+    SMALLEST distances per query (ties → ascending neighbor id). The
+    corpus is scanned once, partition-parallel; the only shuffle is the
+    per-query top-k window on |Q| keys — the same shape as
+    ``similarity.cosine_topk`` with the per-pair O(dim) fold replaced by
+    m lookups."""
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes")
+    )
+    q = query_luts.select("query_id", F.col(lut_col).alias("__lut"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc", pq_adc_expr(F.col("__codes"), F.col("__lut"), m, k_codes)
+        )
+        .select("query_id", "neighbor_id", "adc")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.asc("adc"), F.asc("neighbor_id")],
+        k,
+        rank_col="rnk",
+    )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_fit_rows: int = 2048,
+) -> list[list[list[float]]]:
+    """Data-adaptive codebooks: per-subspace Lloyd's in numpy over ONE
+    bounded md5-ordered sample collect (driver memory driver_fit_rows×dim
+    doubles — a hyperparameter, never data-sized; the same training
+    contract as ``ivf_fit(driver_fit_rows=...)``). Raw vectors, not unit:
+    ADC is Euclidean, magnitudes matter. Seeds are the first k sample
+    rows' subvectors (md5 order — deterministic, no RNG state); argmin
+    takes the first index on ties; an empty cluster keeps its previous
+    centroid. Returns m × k × (dim/m) nested lists."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rows = (
+        vectors.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        )
+        .orderBy(F.md5(F.col("__id").cast("string")))
+        .limit(max(driver_fit_rows, k))
+        .select("__v")
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(
+            f"pq_fit needs at least k={k} sample vectors, got {len(x)}"
+        )
+    books = []
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cents = xj[:k].copy()
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first-min, as the encode tie rule
+            for c in range(k):
+                members = xj[assign == c]
+                if len(members) == 0:
+                    continue  # empty cluster keeps previous centroid
+                cents[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_reconstruct(
+    codes_col: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Decode: concat of each subspace's selected code vector — the
+    approximate vector ``array<double>`` (quantization error is the fit's
+    within-cell variance; measured against raw cosine in tests)."""
+    m = len(codebooks)
+    parts = [
+        F.element_at(
+            _book_matrix(codebooks[j]),
+            (F.element_at(codes_col, j + 1) + 1).cast("int"),
+        )
+        for j in range(m)
+    ]
+    return F.flatten(F.array(*parts))
+
+
+def write_pq_corpus(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF-PQ silver: assign every vector to its IVF list (pure
+    projection — ``ivf.ivf_assign``), PQ-encode it, and write cluster-
+    partitioned WITHOUT the raw vector — rows carry (id, codes[m]) only.
+    Probe reads then prune partitions (cluster) and columns (codes), so
+    the probe I/O is ≈ nprobe/nlist × m bytes/row instead of the float
+    corpus. The quantizer identity (centroids + codebooks) is stamped
+    next to the data: a probe against the wrong codebooks is silently
+    wrong, same failure mode as ``_write_centroid_meta`` guards."""
+    import json
+
+    from crossbar_data_process_spark.operators.ivf import ivf_assign
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        _write_centroid_meta,
+    )
+
+    assigned = vectors.withColumn(
+        "cluster", ivf_assign(F.col(vec_col), centroids)
+    )
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col, keep_vec=False)
+    encoded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    # stamps go AFTER the overwrite (which wipes the dir)
+    _write_centroid_meta(vectors.sparkSession, path, centroids)
+    _hadoop_write_text(
+        vectors.sparkSession,
+        f"{path}/_pq_codebooks.json",
+        json.dumps({"m": len(codebooks), "k": len(codebooks[0]),
+                    "dsub": len(codebooks[0][0]), "codebooks": codebooks}),
+    )
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Read back the codebooks a PQ silver was encoded under — the only
+    codebooks its codes are meaningful against."""
+    import json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_pq_codebooks.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))["codebooks"]
+
+
+def ivf_pq_topk_assigned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe over a :func:`write_pq_corpus` silver: per query, build
+    the ADC LUT once and explode the nprobe nearest lists; join on the
+    PARTITION column (dynamic pruning restricts the scan to probed lists);
+    score candidates with m lookups each. The scan reads (id, codes,
+    cluster) only — ReadSchema never mentions the embedding column
+    (pinned in tests/test_pq.py). This is the full 100 TB read path:
+    partition-pruned AND byte-pruned."""
+    from crossbar_data_process_spark.operators.ivf import _probe_list
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        read_assigned_silver,
+    )
+
+    m, k_codes = len(codebooks), len(codebooks[0])
+    corpus = read_assigned_silver(spark, path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__codes"),
+        F.col("cluster").cast("int").alias("cluster"),
+    )
+    # LUT and probe list are bound BELOW the explode (Generate hoists
+    # non-generator expressions above itself and never merges projections
+    # across it — the round-7 17x lesson), so each is evaluated once per
+    # query, not once per probed list.
+    luts = pq_query_lut(queries, codebooks, vec_col=vec_col, id_col=id_col)
+    probes = luts.select(
+        "query_id",
+        "lut",
+        F.explode(
+            _probe_list(F.col("__qv"), centroids, nprobe)
+        ).alias("cluster"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc", pq_adc_expr(F.col("__codes"), F.col("lut"), m, k_codes)
+        )
+        .select("query_id", "neighbor_id", "adc")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.asc("adc"), F.asc("neighbor_id")],
+        k,
+        rank_col="rnk",
+    )

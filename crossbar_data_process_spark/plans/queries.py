@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     # deterministic mix sampling (q35's folded slot), benchmarked from day one
     "q65_contamination",
     "q66_mixture_sample",
+    # r11 addition: PQ-ADC top-k (q39_ann_lsh's folded slot), benchmarked
+    # from day one
+    "q67_pq_adc_topk",
 ]
 
 
@@ -1952,7 +1955,12 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
 """
 
 
-@query("q39_ann_lsh", _ann_lsh_oracle())
+# r11 fold: the q39 registry row moved to tests/test_operator_properties.py::
+# test_ann_lsh_matches_oracle (the former DuckDB oracle above lives on there
+# verbatim); its slot went to q67_pq_adc_topk (REGISTRY.md). The LSH family
+# stays registry-oracled via q49_embedding_neardup_lsh (the IDENTICAL
+# _lsh_bucket_sql signature over the same plane series — the richer pair
+# surface) and the cosine/top-k window via q27/q54.
 def q39_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.operators.similarity import cosine_topk_lsh
 
@@ -1961,6 +1969,102 @@ def q39_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cosine_topk_lsh(e, q, dim=64, k=5, n_planes=6)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# -------- product-quantization ADC top-k (operators/pq.py — the
+# storage-side ANN scale path: 4-byte codes instead of 256-byte vectors,
+# m lookups instead of O(dim) arithmetic per scored pair). The codebooks
+# are the deterministic LCG set (pq_codebooks_fixed — the injected-codebook
+# production shape: books are fit offline and loaded), so the oracle embeds
+# the literal m×k×dsub matrix exactly as q49 embeds the hyperplane series.
+# Every per-code distance goes through the floor-based _fround on BOTH
+# sides before the argmin/sum (the r7 round() half-case lesson), and ties
+# take the first code index in both engines — codes and ADC scores are
+# bit-identical. Data-adaptive pq_fit recall is measured in tests/test_pq.py.
+def _pq_fround_sql(x: str) -> str:
+    """floor-based half-up at 1e-6 — exact in both engines (lm._fround)."""
+    return f"floor(({x}) * 1000000 + 0.5) / 1000000"
+
+
+def _pq_dists_sql(book: list[list[float]], sv: str, dsub: int) -> str:
+    """Rounded squared-Euclidean distances from subvector column ``sv`` to
+    each code of one book — literal matrix, left-to-right fold (mirrors
+    pq._sqdist / pq._code_dists)."""
+    lit = "[" + ", ".join(
+        "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in code) + "]"
+        for code in book
+    ) + "]"
+    sq = (
+        f"list_reduce(list_transform(range(1, {dsub + 1}), "
+        f"i -> (CAST({sv}[i] AS DOUBLE) - cb[i]) * "
+        f"(CAST({sv}[i] AS DOUBLE) - cb[i])), (x, y) -> x + y)"
+    )
+    return f"list_transform({lit}, cb -> {_pq_fround_sql(sq)})"
+
+
+def _pq_adc_oracle(
+    dim: int = 64, m: int = 4, k: int = 16, topk: int = 5
+) -> str:
+    from crossbar_data_process_spark.operators.pq import pq_codebooks_fixed
+
+    books = pq_codebooks_fixed(dim, m, k)
+    dsub = dim // m
+    sv_cols = ", ".join(
+        f"embedding[{j * dsub + 1}:{(j + 1) * dsub}] AS s{j}" for j in range(m)
+    )
+    d_cols = ", ".join(
+        f"{_pq_dists_sql(books[j], f's{j}', dsub)} AS d{j}" for j in range(m)
+    )
+    codes = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) - 1" for j in range(m)
+    )
+    lut = " || ".join(f"d{j}" for j in range(m))
+    adc = " + ".join(
+        f"q.lut[{j * k} + e.codes[{j + 1}] + 1]" for j in range(m)
+    )
+    return f"""
+WITH sv AS (SELECT vec_id, {sv_cols} FROM embeddings),
+d AS (SELECT vec_id, {d_cols} FROM sv),
+enc AS (SELECT vec_id, [{codes}] AS codes FROM d),
+qlut AS (SELECT vec_id AS query_id, {lut} AS lut FROM d WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_pq_fround_sql(adc)} AS adc
+  FROM enc e JOIN qlut q ON e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, adc, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= {topk}
+"""
+
+
+@query("q67_pq_adc_topk", _pq_adc_oracle())
+def q67_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k (Jégou et al. 2011): encode the corpus into m=4
+    subspace codes (pure projection, scan-side), build each query's ADC
+    lookup table once, broadcast the 10-query LUT frame, score every
+    corpus row with m array lookups, window top-5 ascending distance.
+    The workload is constant-bounded (vec_id < 10 — _WORKLOAD_BOUNDS)."""
+    from crossbar_data_process_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_query_lut,
+    )
+    from crossbar_data_process_spark.operators.textdedup import _spread
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks_fixed(64, m=4, k=16)
+    # single-file parquet scans arrive as ONE partition; the encode is the
+    # CPU-heavy scan-side stage, so spread it across the cores first
+    codes = pq_encode(
+        _spread(e.select("vec_id", "embedding")), books, keep_vec=False
+    )
+    luts = pq_query_lut(e.filter(F.col("vec_id") < 10), books)
+    out = pq_adc_topk(codes, luts, m=4, k_codes=16, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "adc", F.col("rnk").cast("long").alias("rnk")
     )
 
 
@@ -2826,7 +2930,9 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r10 new surfaces first
+    # r11 new surface first
+    "q67_pq_adc_topk",
+    # r10 new surfaces
     "q65_contamination",
     "q66_mixture_sample",
     # r09 new surface

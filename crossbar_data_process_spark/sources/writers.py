@@ -73,6 +73,31 @@ def biocypher_tuples(
             yield (None, row["src"], row["tgt"], row["label"], props)
 
 
+def _sharded(
+    df: DataFrame, id_col: str, n_shards: int, salt: str
+) -> DataFrame:
+    """The deterministic global pseudo-shuffle shared by the parquet and
+    JSONL shard writers: order key ``md5(salt || id)``, shard = leading 60
+    bits mod n_shards, rows sorted by the key within their shard. One
+    repartition on the shard id + a sortWithinPartitions — the minimum any
+    global shuffle pays; each shard is written by exactly one task. The
+    ``__key`` column is kept for callers that need the in-shard order to
+    survive a row-to-text projection."""
+    key = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__key", key)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.conv(F.substring("__key", 1, 15), 16, 10).cast("long"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "__key", id_col)
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -103,20 +128,7 @@ def write_training_shards(
     """
     import json
 
-    key = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
-    out = (
-        df.withColumn("__key", key)
-        .withColumn(
-            "shard",
-            F.pmod(
-                F.conv(F.substring("__key", 1, 15), 16, 10).cast("long"),
-                F.lit(n_shards),
-            ).cast("int"),
-        )
-        .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "__key", id_col)
-        .drop("__key")
-    )
+    out = _sharded(df, id_col, n_shards, salt).drop("__key")
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
     # count what actually landed, from the written files' footers — a
     # metadata-only read, instead of re-running the repartition+sort job
@@ -133,6 +145,68 @@ def write_training_shards(
     # finding). The parquet shards already go through this layer.
     payload = json.dumps(
         {"n_shards": n_shards, "salt": salt, "id_col": id_col, "shards": counts},
+        sort_keys=True,
+    )
+    _hadoop_write_text(df.sparkSession, f"{path}/manifest.json", payload)
+    return counts
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "",
+    compression: str | None = None,
+) -> dict[int, int]:
+    """Training-data export as sharded JSONL — the interchange format
+    tokenizer/training pipelines actually consume (one JSON object per
+    line). Same deterministic md5 pseudo-shuffle and manifest contract as
+    :func:`write_training_shards` (same corpus + salt ⇒ byte-identical
+    shard files on any cluster size or input partitioning), with the row
+    serialized via ``to_json(struct(*))`` — JVM-side, no Python in the
+    write path.
+
+    ``compression`` (e.g. ``"gzip"``) maps to the text sink's codec —
+    at 100 TB the shards are network I/O for the training job, so
+    compressed JSONL is the realistic shape. Returns {shard: line_count}
+    and writes ``manifest.json`` next to the shards.
+
+    Determinism caveat that makes this NOT just ``.write.json()``: the
+    DataFrameWriter's json sink writes one file per task with
+    nondeterministic row order under AQE coalescing; this writer pins
+    (shard, md5-key) order and one file per shard directory."""
+    import json
+
+    data_cols = df.columns
+    out = _sharded(df, id_col, n_shards, salt).select(
+        "shard",
+        F.to_json(F.struct(*data_cols)).alias("value"),
+    )
+    w = out.write.mode("overwrite").partitionBy("shard")
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.text(path)
+    counts = {
+        int(r.shard): int(r.n)
+        for r in df.sparkSession.read.text(path)
+        .withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"),
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    payload = json.dumps(
+        {
+            "format": "jsonl",
+            "compression": compression,
+            "n_shards": n_shards,
+            "salt": salt,
+            "id_col": id_col,
+            "shards": counts,
+        },
         sort_keys=True,
     )
     _hadoop_write_text(df.sparkSession, f"{path}/manifest.json", payload)

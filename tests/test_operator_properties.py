@@ -403,3 +403,32 @@ def test_collect_ordered_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_ann_lsh_matches_oracle(spark):
+    """LSH-bucketed cosine top-k (the former q39 registry row, folded out
+    in r11 for q67_pq_adc_topk — REGISTRY.md): the former DuckDB oracle
+    lives on here verbatim (_ann_lsh_oracle). The LSH family stays
+    registry-oracled via q49_embedding_neardup_lsh (identical
+    _lsh_bucket_sql signature over the same plane series); the cosine
+    ranking window via q27/q54."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _ann_lsh_oracle,
+        q39_ann_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in q39_ann_lsh(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = set(map(tuple, con.sql(_ann_lsh_oracle()).fetchall()))
+    assert got == want

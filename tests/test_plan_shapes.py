@@ -102,6 +102,12 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     #   token-mass/vocab totals the same way (operators/lm.py).
     # - q61_bm25: the corpus scalars (N, avgdl) ride the same 1-row
     #   broadcast into the idf table (operators/retrieval.py).
+    # - q67_pq_adc_topk: same contract as q27 — the 10-row query-LUT frame
+    #   is broadcast against the encoded corpus on the non-equi
+    #   self-exclusion; the corpus streams once and each pair costs m
+    #   lookups, not O(dim) (the candidate-PRUNED variant is
+    #   ivf_pq_topk_assigned, an equi-join on the cluster partition key —
+    #   pinned in tests/test_pq.py).
     # Anything else is a plan regression.
     if name not in (
         "q38_pagerank",
@@ -110,6 +116,7 @@ def test_no_cartesian_in_any_declared_query(spark, name):
         "q60_nb_quality",
         "q22_doc_profile",
         "q61_bm25",
+        "q67_pq_adc_topk",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -169,7 +176,9 @@ _WORKLOAD_BOUNDS = {
     "q65_contamination": r'F\.col\("doc_id"\)\s*<\s*5000',
     "q27_cosine_topk": r'F\.col\("vec_id"\)\s*<\s*10',
     "q54_ivf_topk": r'F\.col\("vec_id"\)\s*<\s*10',
-    "q39_ann_lsh": r'F\.col\("vec_id"\)\s*<\s*10',
+    # r11: q39_ann_lsh folded out of the registry (REGISTRY.md) — its bound
+    # lives on in the property test; q67 carries the same 10-query carve
+    "q67_pq_adc_topk": r'F\.col\("vec_id"\)\s*<\s*10',
 }
 
 
@@ -197,7 +206,8 @@ def _builds_query_workload(src: str) -> bool:
     2. semantic: the source both FILTERS a corpus id column (the workload-
        carving idiom ``F.col("<x>_id") <op> ...``) and calls a retrieval/
        ANN operator that takes a query frame (bm25_topk, cosine_topk*,
-       ivf_topk*) — regardless of what the frame is named.
+       ivf_topk*, pq_adc_topk, pq_query_lut, ivf_pq_topk*) — regardless of
+       what the frame is named.
     """
     import re
 
@@ -209,7 +219,9 @@ def _builds_query_workload(src: str) -> bool:
         return True
     carves_ids = re.search(r'F\.col\(\s*"\w*_?id"\s*\)\s*[<>%=!]', src)
     takes_query_frame = re.search(
-        r"\b(bm25_topk|cosine_topk\w*|ivf_topk\w*)\s*\(", src
+        r"\b(bm25_topk|cosine_topk\w*|ivf_topk\w*|pq_adc_topk|pq_query_lut"
+        r"|ivf_pq_topk\w*)\s*\(",
+        src,
     )
     return bool(carves_ids and takes_query_frame)
 

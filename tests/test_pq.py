@@ -1,0 +1,224 @@
+"""Product quantization (operators/pq.py): fitted-codebook recall against
+brute-force Euclidean ground truth on a clustered corpus, quantization
+error vs the fixed LCG books, encode determinism, and the IVF-PQ silver
+read path (partition pruning + column pruning — the scan must never
+mention the embedding column)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.operators.pq import (
+    ivf_pq_topk_assigned,
+    load_pq_codebooks,
+    pq_adc_topk,
+    pq_codebooks_fixed,
+    pq_encode,
+    pq_fit,
+    pq_query_lut,
+    pq_reconstruct,
+    write_pq_corpus,
+    _sqdist,
+)
+
+DIM, M, K = 32, 4, 16
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 well-separated gaussian clusters of 150 vectors (dim 32) with 10
+    planted NEAR-DUPLICATES of each cluster's first vector (σ=0.05 vs the
+    cluster spread σ=0.6). PQ resolves distance TIERS, not within-cell
+    ordering — quantization error is the within-cell variance, so ranking
+    149 equidistant cluster-mates is unresolvable at code granularity by
+    design (measured recall ≈ 1/15, the random-within-cluster floor).
+    The planted dups give each query a ground-truth top-10 separated from
+    the background by ~100× in squared distance — the tier structure the
+    recall claim is about (and the shape of the real workload: near-dup
+    retrieval over a clustered corpus)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, DIM)) * 4.0
+    rows = []
+    vid = 0
+    firsts = []
+    for c in centers:
+        first = None
+        for i in range(150):
+            v = c + rng.normal(size=DIM) * 0.6
+            if i == 0:
+                first = v
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        firsts.append(first)
+    for first in firsts:
+        for _ in range(10):
+            v = first + rng.normal(size=DIM) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _exact_euclid_topk(vectors, queries, k):
+    """Test-side brute-force squared-Euclidean top-k ground truth."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("d2", _sqdist(F.col("qv"), F.col("cv")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def test_pq_adc_recall_vs_exact(spark, clustered):
+    """Fitted books at a realistic code rate (m=8 subspaces × 32 codes —
+    8 bytes/vector), ADC top-10 vs exact Euclidean top-10 on the planted
+    near-dup tiers. Measured 1.0 at this config; the m=4/k=16 oracle
+    config resolves only ~0.6 here — the recall/bitrate trade is real and
+    the fit knob is what buys it."""
+    books = pq_fit(clustered, dim=DIM, m=8, k=32, iters=10)
+    q = clustered.filter((F.col("vec_id") % 150 == 0) & (F.col("vec_id") < 1200))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in _exact_euclid_topk(clustered, q, 10).collect()
+    }
+    codes = pq_encode(clustered, books, keep_vec=False)
+    luts = pq_query_lut(q, books)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(codes, luts, 8, 32, k=10).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_pq_fit_beats_fixed_codebooks(spark, clustered):
+    """Mean reconstruction error (squared Euclid between vector and its
+    decoded code) must be materially lower with fitted books than with
+    the data-oblivious LCG books — the entire point of training."""
+
+    def mean_err(books):
+        enc = pq_encode(clustered, books)
+        rec = enc.withColumn(
+            "err", _sqdist(F.col("embedding"), pq_reconstruct(F.col("codes"), books))
+        )
+        return rec.agg(F.avg("err")).first()[0]
+
+    fitted = mean_err(pq_fit(clustered, dim=DIM, m=M, k=K, iters=8))
+    fixed = mean_err(pq_codebooks_fixed(DIM, M, K))
+    assert fitted < fixed / 2, (fitted, fixed)
+
+
+def test_pq_encode_deterministic_and_bounded(spark, clustered):
+    books = pq_codebooks_fixed(DIM, M, K)
+    a = pq_encode(clustered, books).orderBy("vec_id").collect()
+    b = pq_encode(clustered, books).orderBy("vec_id").collect()
+    assert [r.codes for r in a] == [r.codes for r in b]
+    for r in a[:50]:
+        assert len(r.codes) == M
+        assert all(0 <= c < K for c in r.codes)
+
+
+def test_pq_encode_keep_vec_false_drops_vector(spark, clustered):
+    books = pq_codebooks_fixed(DIM, M, K)
+    cols = pq_encode(clustered, books, keep_vec=False).columns
+    assert "embedding" not in cols and "codes" in cols and "vec_id" in cols
+
+
+def test_ivf_pq_silver_matches_full_adc_at_full_probe(spark, clustered, tmp_path):
+    """nprobe == nlist makes the IVF-PQ silver path exactly equal to the
+    in-memory full-corpus ADC (every list probed), AND the probe scan must
+    be partition-pruned (dynamicpruning) and column-pruned: the silver
+    stores codes only, so the scan's ReadSchema must not mention an
+    embedding column — the byte-shrink the layout exists for."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+
+    books = pq_fit(clustered, dim=DIM, m=M, k=K, iters=4)
+    cents = ivf_fit(clustered, dim=DIM, nlist=8, iters=2)
+    path = str(tmp_path / "pq_silver")
+    write_pq_corpus(clustered, cents, books, path)
+
+    q = clustered.filter((F.col("vec_id") % 150 == 0) & (F.col("vec_id") < 1200))
+    assigned = ivf_pq_topk_assigned(
+        spark, path, q, cents, books, k=10, nprobe=8
+    )
+    full = pq_adc_topk(
+        pq_encode(clustered, books, keep_vec=False),
+        pq_query_lut(q, books),
+        M,
+        K,
+        k=10,
+    )
+    assert {
+        (r.query_id, r.neighbor_id, r.adc, r.rnk) for r in assigned.collect()
+    } == {(r.query_id, r.neighbor_id, r.adc, r.rnk) for r in full.collect()}
+
+    pruned = ivf_pq_topk_assigned(
+        spark, path, q, cents, books, k=10, nprobe=2
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join must prune corpus partitions"
+    )
+    # column pruning: the parquet scan reads codes, never a vector column
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, "no scan node found"
+    for ln in scan_lines:
+        assert "embedding" not in ln, ln
+
+
+def test_ivf_pq_pruned_probe_recall(spark, clustered):
+    """nprobe=2 of nlist=8 on the clustered fixture: the IVF candidate cut
+    composed with PQ scoring still finds most true neighbors — the
+    composed scale path is usable, not just plumbed."""
+    import os
+    import tempfile
+
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+
+    books = pq_fit(clustered, dim=DIM, m=8, k=32, iters=10)
+    cents = ivf_fit(clustered, dim=DIM, nlist=8, iters=2)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "pq_silver")
+        write_pq_corpus(clustered, cents, books, path)
+        q = clustered.filter((F.col("vec_id") % 150 == 0) & (F.col("vec_id") < 1200))
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in _exact_euclid_topk(clustered, q, 10).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_pq_topk_assigned(
+                spark, path, q, cents, books, k=10, nprobe=2
+            ).collect()
+        }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_pq_codebooks_roundtrip(spark, clustered, tmp_path):
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+
+    books = pq_fit(clustered, dim=DIM, m=M, k=K, iters=2)
+    cents = ivf_fit(clustered, dim=DIM, nlist=4, iters=1)
+    path = str(tmp_path / "pq_silver")
+    write_pq_corpus(clustered, cents, books, path)
+    assert load_pq_codebooks(spark, path) == books
+
+
+def test_pq_fit_rejects_bad_shapes(spark, clustered):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(clustered, dim=DIM, m=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks_fixed(DIM, m=5)

@@ -193,3 +193,60 @@ def test_zorder_narrows_every_clustered_column(spark, tmp_path):
     # z-order (that's the trade) but leaves the other column unclustered
     assert avg(ss["l_orderkey"]) < avg(zs["l_orderkey"])
     assert avg(ss["l_partkey"]) > 0.9 * glob_span["l_partkey"]
+
+
+def test_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    """JSONL export: reading the shards back yields exactly the input rows;
+    the same corpus written from a different input partitioning produces
+    byte-identical shard files (the training-reproducibility contract the
+    parquet writer already carries)."""
+    import glob
+
+    from crossbar_data_process_spark.sources.writers import write_jsonl_shards
+
+    df1 = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    df2 = df1.repartition(13)
+    c1 = write_jsonl_shards(df1, str(tmp_path / "a"), n_shards=4)
+    c2 = write_jsonl_shards(df2, str(tmp_path / "b"), n_shards=4)
+    assert c1 == c2 and sum(c1.values()) == 500
+
+    def shard_bytes(root):
+        out = {}
+        for d in sorted(glob.glob(f"{root}/shard=*")):
+            files = sorted(glob.glob(f"{d}/part-*"))
+            assert len(files) == 1, files  # one file per shard
+            out[d.rsplit("=", 1)[1]] = open(files[0], "rb").read()
+        return out
+
+    assert shard_bytes(tmp_path / "a") == shard_bytes(tmp_path / "b")
+
+    back = spark.read.json(str(tmp_path / "a") + "/shard=*")
+    got = {(r.doc_id, r.text) for r in back.collect()}
+    want = {(r.doc_id, r.text) for r in df1.collect()}
+    assert got == want
+
+
+def test_jsonl_shards_gzip_compression(spark, tmp_path):
+    import glob
+    import gzip
+    import json
+
+    from crossbar_data_process_spark.sources.writers import write_jsonl_shards
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("payload").alias("text")
+    )
+    counts = write_jsonl_shards(
+        df, str(tmp_path / "z"), n_shards=2, compression="gzip"
+    )
+    assert sum(counts.values()) == 100
+    files = glob.glob(f"{tmp_path}/z/shard=*/part-*.gz")
+    assert files, "expected gzip-suffixed shard files"
+    with gzip.open(files[0], "rt") as fh:
+        row = json.loads(fh.readline())
+    assert set(row) == {"doc_id", "text"}
+    manifest = json.loads((tmp_path / "z" / "manifest.json").read_text())
+    assert manifest["compression"] == "gzip" and manifest["format"] == "jsonl"
