@@ -127,6 +127,7 @@ def ivf_ingest_writer(
     vec_col: str = "embedding",
     quantize: bool = False,
     dedup_threshold: float | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -141,6 +142,19 @@ def ivf_ingest_writer(
     ``quantize=True`` stores int8 codes + qscale (4× smaller silver),
     matching ``write_assigned_corpus(..., quantize=True)``; assignment
     still uses the full-precision vector.
+
+    ``pq_codebooks`` stores PQ codes INSTEAD of the vector (the
+    ``pq.write_pq_corpus`` layout — m bytes/row, the 100 TB search
+    silver; probe with ``pq.ivf_pq_topk_assigned``). Assignment and
+    drift metrics still use the full-precision vector. Mutually
+    exclusive with ``quantize`` (pick one storage code) and with
+    ``dedup_threshold`` (the dedup flag scores exact cosine against
+    STORED vectors; PQ codes carry no vector to score against — run the
+    dedup sink on a float/int8 silver, or dedup upstream, when PQ
+    storage is wanted). The codebook identity is stamped next to the
+    data on first write and verified on every later factory call —
+    codes probed under different books are silently wrong, the same
+    failure mode the centroid stamp guards.
 
     ``dedup_threshold`` turns the sink into an INCREMENTAL semantic-dedup
     ingest (the vector twin of ``ingest.dedup_ingest_writer``): before
@@ -174,6 +188,20 @@ def ivf_ingest_writer(
         ivf_assign,
     )
 
+    if pq_codebooks is not None:
+        if quantize:
+            raise ValueError(
+                "pq_codebooks and quantize are mutually exclusive — pick "
+                "one storage code for the silver"
+            )
+        if dedup_threshold is not None:
+            raise ValueError(
+                "dedup_threshold needs exact cosine against STORED "
+                "vectors; a PQ silver stores codes only — run the dedup "
+                "sink on a float/int8 silver (or dedup upstream) when PQ "
+                "storage is wanted"
+            )
+
     # fail FAST on a quantizer-identity mismatch with the existing silver
     # (factory time, not mid-stream) — mirrors ingest._check_index_meta.
     # Stamp ONLY when this writer creates the silver; a pre-fingerprint
@@ -182,7 +210,8 @@ def ivf_ingest_writer(
     # (same rationale as the text index's no-stamp rule, r9 ADVICE).
     verified = check_centroid_meta(spark, silver_dir, centroids)
     fs, silver_jpath = _fs_and_path(spark, silver_dir)
-    if not fs.exists(silver_jpath):
+    silver_existed = fs.exists(silver_jpath)
+    if not silver_existed:
         _write_centroid_meta(spark, silver_dir, centroids)
     elif not verified:
         import warnings
@@ -195,6 +224,55 @@ def ivf_ingest_writer(
             "empty directory) to stamp a verified identity.",
             stacklevel=2,
         )
+    if pq_codebooks is not None:
+        # same fail-fast contract for the CODEBOOK identity: a stamped
+        # silver must have been encoded under these exact books; an
+        # EXISTING unstamped silver stays unstamped (stamping this
+        # writer's books onto codes of unknown provenance would fabricate
+        # a 'verified' identity — the r9 no-stamp rule)
+        import json as _json
+
+        _, cb_jpath = _fs_and_path(spark, f"{silver_dir}/_pq_codebooks.json")
+        if fs.exists(cb_jpath):
+            from crossbar_data_process_spark.operators.pq import (
+                load_pq_codebooks,
+            )
+
+            if load_pq_codebooks(spark, silver_dir) != pq_codebooks:
+                raise ValueError(
+                    f"PQ silver at {silver_dir} was encoded under "
+                    "DIFFERENT codebooks than this writer's — ADC against "
+                    "mixed codes is silently wrong; refit/rebuild or pass "
+                    "the silver's own books (pq.load_pq_codebooks)"
+                )
+        elif not silver_existed:
+            from crossbar_data_process_spark.sources.writers import (
+                _hadoop_write_text,
+            )
+
+            _hadoop_write_text(
+                spark,
+                f"{silver_dir}/_pq_codebooks.json",
+                _json.dumps(
+                    {
+                        "m": len(pq_codebooks),
+                        "k": len(pq_codebooks[0]),
+                        "dsub": len(pq_codebooks[0][0]),
+                        "codebooks": pq_codebooks,
+                    }
+                ),
+            )
+        else:
+            import warnings
+
+            warnings.warn(
+                f"PQ silver at {silver_dir} carries no _pq_codebooks.json "
+                "— its codes' codebook identity cannot be verified against "
+                "this writer's books; leaving it unstamped. Rebuild with "
+                "write_pq_corpus (or re-create via this writer on an empty "
+                "directory) to stamp a verified identity.",
+                stacklevel=2,
+            )
 
     def _has_data() -> bool:
         return _silver_has_data(spark, silver_dir)
@@ -236,6 +314,12 @@ def ivf_ingest_writer(
             )
 
             assigned = quantize_embeddings(assigned, vec_col=vec_col)
+        elif pq_codebooks is not None:
+            from crossbar_data_process_spark.operators.pq import pq_encode
+
+            assigned = pq_encode(
+                assigned, pq_codebooks, vec_col=vec_col, keep_vec=False
+            )
         # cluster first => probe-time partition pruning; batch second =>
         # dynamic overwrite replaces exactly this batch's leaves on replay
         (

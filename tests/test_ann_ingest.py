@@ -690,3 +690,81 @@ def test_reader_decisions_come_from_one_snapshot(
     # exactly-once (consolidated leaves in, superseded sources out)
     got = {r.vec_id for r in read_assigned_silver(spark, silver).collect()}
     assert got == want
+
+
+def test_pq_streamed_silver_equals_batch_pq_silver(
+    spark, clustered, centroids, tmp_path
+):
+    """pq_codebooks: two micro-batches through the sink must give
+    ivf_pq_topk_assigned the exact same answers as the one-shot
+    write_pq_corpus layout (codes are deterministic, so the streamed PQ
+    silver IS the batch PQ silver), rows carry codes only (no vector
+    column), and replay stays exactly-once under dynamic overwrite."""
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        load_pq_codebooks,
+        pq_fit,
+        write_pq_corpus,
+    )
+
+    books = pq_fit(clustered, dim=32, m=4, k=16, iters=4)
+    batch0 = clustered.filter(F.col("vec_id") % 2 == 0)
+    batch1 = clustered.filter(F.col("vec_id") % 2 == 1)
+    streamed = str(tmp_path / "pq_streamed")
+    oneshot = str(tmp_path / "pq_oneshot")
+
+    sink = ivf_ingest_writer(spark, centroids, streamed, pq_codebooks=books)
+    sink(batch0, 0)
+    sink(batch1, 1)
+    sink(batch1, 1)  # at-least-once replay
+    write_pq_corpus(clustered, centroids, books, oneshot)
+
+    silver = read_assigned_silver(spark, streamed)
+    assert silver.count() == clustered.count()  # replay did not duplicate
+    assert "embedding" not in silver.columns and "codes" in silver.columns
+    assert load_pq_codebooks(spark, streamed) == books
+
+    q = clustered.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc)
+        for r in ivf_pq_topk_assigned(
+            spark, streamed, q, centroids, books, k=5, nprobe=3
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rnk, r.neighbor_id, r.adc)
+        for r in ivf_pq_topk_assigned(
+            spark, oneshot, q, centroids, books, k=5, nprobe=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_pq_ingest_option_guards(spark, clustered, centroids, tmp_path):
+    """pq_codebooks is mutually exclusive with quantize and with
+    dedup_threshold (the dedup flag needs stored vectors), and a factory
+    pointed at a silver stamped with DIFFERENT books fails fast."""
+    from crossbar_data_process_spark.operators.pq import (
+        pq_codebooks_fixed,
+        pq_fit,
+    )
+
+    books = pq_fit(clustered, dim=32, m=4, k=16, iters=2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ivf_ingest_writer(
+            spark, centroids, str(tmp_path / "x"),
+            quantize=True, pq_codebooks=books,
+        )
+    with pytest.raises(ValueError, match="dedup_threshold"):
+        ivf_ingest_writer(
+            spark, centroids, str(tmp_path / "x"),
+            dedup_threshold=0.9, pq_codebooks=books,
+        )
+    silver = str(tmp_path / "pq_guard")
+    sink = ivf_ingest_writer(spark, centroids, silver, pq_codebooks=books)
+    sink(clustered.limit(20), 0)
+    # same books => fine
+    ivf_ingest_writer(spark, centroids, silver, pq_codebooks=books)
+    other = pq_codebooks_fixed(32, m=4, k=16)
+    with pytest.raises(ValueError, match="DIFFERENT codebooks"):
+        ivf_ingest_writer(spark, centroids, silver, pq_codebooks=other)
