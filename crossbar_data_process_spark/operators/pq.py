@@ -253,21 +253,33 @@ def pq_fit(
     rows' subvectors (md5 order — deterministic, no RNG state); argmin
     takes the first index on ties; an empty cluster keeps its previous
     centroid. Returns m × k × (dim/m) nested lists."""
+    x = _collect_raw_sample(vectors, id_col, vec_col, max(driver_fit_rows, k))
+    return _books_from_sample(x, dim, m, k, iters)
+
+
+def _collect_raw_sample(
+    vectors: DataFrame, id_col: str, vec_col: str, n: int
+):
     import numpy as np
 
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
-    dsub = dim // m
     rows = (
         vectors.select(
             F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
         )
         .orderBy(F.md5(F.col("__id").cast("string")))
-        .limit(max(driver_fit_rows, k))
+        .limit(n)
         .select("__v")
         .collect()
     )
-    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _books_from_sample(
+    x, dim: int, m: int, k: int, iters: int
+) -> list[list[list[float]]]:
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
     if len(x) < k:
         raise ValueError(
             f"pq_fit needs at least k={k} sample vectors, got {len(x)}"
@@ -288,6 +300,67 @@ def pq_fit(
     return books
 
 
+def pq_fit_residual(
+    vectors: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_fit_rows: int = 2048,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Residual-PQ training (the FAISS IVFPQ form, adapted to a SPHERICAL
+    coarse quantizer): returns ``(centers, books)`` from one bounded
+    sample collect.
+
+    The engine's IVF centroids (``ivf.ivf_fit``) are UNIT vectors — they
+    define assignment by direction (cosine), so ``x − centroid`` barely
+    shrinks anything (measured: recon error ratio 1.09, no recall gain).
+    The residual that works is positional: assign each sample row by the
+    SAME argmax-dot rule the silver uses, take each list's POSITIONAL
+    MEAN as its center, and fit the books on ``x − center[assign(x)]``.
+    ADC then reconstructs the true distance: ``‖q−x‖² = ‖(q −
+    center_c) − r_x‖²`` with the query-side LUT built from ``q −
+    center[probed list]``. An empty list keeps a zero center (residual =
+    raw — harmless). ``centers`` must travel with the books — the silver
+    stamp carries both."""
+    import numpy as np
+
+    x = _collect_raw_sample(vectors, id_col, vec_col, max(driver_fit_rows, k))
+    c_unit = np.array(centroids, dtype=np.float64)
+    assign = (x @ c_unit.T).argmax(axis=1)  # first-max, as ivf_assign
+    centers = np.zeros_like(c_unit)
+    for c in range(len(c_unit)):
+        members = x[assign == c]
+        if len(members):
+            centers[c] = members.mean(axis=0)
+    books = _books_from_sample(x - centers[assign], dim, m, k, iters)
+    return (
+        [[float(v) for v in c] for c in centers],
+        books,
+    )
+
+
+def _residual_expr(
+    vec: Column, cluster: Column, centers: list[list[float]]
+) -> Column:
+    """``x − center[cluster]`` as a pure expression (the FAISS IVFPQ
+    residual: PQ cells then only need to span WITHIN-list spread instead
+    of the whole space — higher accuracy at the same bitrate).
+    ``centers`` are the POSITIONAL list means from :func:`pq_fit_residual`
+    — NOT the unit assignment centroids (subtracting a unit direction
+    from a far-from-origin vector shrinks nothing; see pq_fit_residual).
+    The matrix is a literal; the lookup is one element_at."""
+    from crossbar_data_process_spark.operators.ivf import _centroid_matrix
+
+    c = F.element_at(_centroid_matrix(centers), (cluster + 1).cast("int"))
+    return F.zip_with(
+        vec, c, lambda x, y: x.cast("double") - y.cast("double")
+    )
+
+
 def pq_reconstruct(
     codes_col: Column, codebooks: list[list[list[float]]]
 ) -> Column:
@@ -305,6 +378,28 @@ def pq_reconstruct(
     return F.flatten(F.array(*parts))
 
 
+def pq_meta_json(
+    codebooks: list[list[list[float]]],
+    residual_centers: list[list[float]] | None = None,
+) -> str:
+    """The ``_pq_codebooks.json`` stamp payload — shared by
+    :func:`write_pq_corpus` and the streaming ingest writer so the two
+    paths can never stamp diverging formats. The residual centers travel
+    WITH the books: residual codes are only meaningful against both."""
+    import json
+
+    return json.dumps(
+        {
+            "m": len(codebooks),
+            "k": len(codebooks[0]),
+            "dsub": len(codebooks[0][0]),
+            "residual": residual_centers is not None,
+            "residual_centers": residual_centers,
+            "codebooks": codebooks,
+        }
+    )
+
+
 def write_pq_corpus(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -312,17 +407,25 @@ def write_pq_corpus(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_centers: list[list[float]] | None = None,
 ) -> None:
     """The IVF-PQ silver: assign every vector to its IVF list (pure
     projection — ``ivf.ivf_assign``), PQ-encode it, and write cluster-
     partitioned WITHOUT the raw vector — rows carry (id, codes[m]) only.
     Probe reads then prune partitions (cluster) and columns (codes), so
     the probe I/O is ≈ nprobe/nlist × m bytes/row instead of the float
-    corpus. The quantizer identity (centroids + codebooks) is stamped
-    next to the data: a probe against the wrong codebooks is silently
-    wrong, same failure mode as ``_write_centroid_meta`` guards."""
-    import json
+    corpus. The quantizer identity (centroids + codebooks + residual
+    centers) is stamped next to the data: a probe against the wrong
+    codebooks — or raw codes probed as residual codes — is silently
+    wrong, same failure mode as ``_write_centroid_meta`` guards.
 
+    ``residual_centers`` (from :func:`pq_fit_residual`) switches to
+    residual encoding ``x − center[cluster]`` (the FAISS IVFPQ design):
+    the books only need to span within-list spread, so the same bitrate
+    buys materially lower quantization error on clustered corpora
+    (measured in tests/test_pq.py). Assignment still uses ``centroids``
+    (the spherical quantizer); only the subtraction uses the positional
+    centers."""
     from crossbar_data_process_spark.operators.ivf import ivf_assign
     from crossbar_data_process_spark.sources.writers import _hadoop_write_text
     from crossbar_data_process_spark.streaming.ann_ingest import (
@@ -332,21 +435,30 @@ def write_pq_corpus(
     assigned = vectors.withColumn(
         "cluster", ivf_assign(F.col(vec_col), centroids)
     )
-    encoded = pq_encode(assigned, codebooks, vec_col=vec_col, keep_vec=False)
+    enc_col = vec_col
+    if residual_centers is not None:
+        # bind the residual in its own projection below the encode HOFs
+        assigned = assigned.withColumn(
+            "__rv",
+            _residual_expr(
+                F.col(vec_col), F.col("cluster"), residual_centers
+            ),
+        ).drop(vec_col)
+        enc_col = "__rv"
+    encoded = pq_encode(assigned, codebooks, vec_col=enc_col, keep_vec=False)
     encoded.write.mode("overwrite").partitionBy("cluster").parquet(path)
     # stamps go AFTER the overwrite (which wipes the dir)
     _write_centroid_meta(vectors.sparkSession, path, centroids)
     _hadoop_write_text(
         vectors.sparkSession,
         f"{path}/_pq_codebooks.json",
-        json.dumps({"m": len(codebooks), "k": len(codebooks[0]),
-                    "dsub": len(codebooks[0][0]), "codebooks": codebooks}),
+        pq_meta_json(codebooks, residual_centers=residual_centers),
     )
 
 
-def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
-    """Read back the codebooks a PQ silver was encoded under — the only
-    codebooks its codes are meaningful against."""
+def load_pq_meta(spark, path: str) -> dict:
+    """The full ``_pq_codebooks.json`` stamp (codebooks + residual flag +
+    shape) a PQ silver was encoded under."""
     import json
 
     jvm = spark._jvm
@@ -357,7 +469,16 @@ def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
         data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    return json.loads(data.decode("utf-8"))["codebooks"]
+    meta = json.loads(data.decode("utf-8"))
+    meta.setdefault("residual", False)  # pre-r11 stamps predate the flag
+    meta.setdefault("residual_centers", None)
+    return meta
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Read back the codebooks a PQ silver was encoded under — the only
+    codebooks its codes are meaningful against."""
+    return load_pq_meta(spark, path)["codebooks"]
 
 
 def ivf_pq_topk_assigned(
@@ -370,6 +491,7 @@ def ivf_pq_topk_assigned(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ probe over a :func:`write_pq_corpus` silver: per query, build
     the ADC LUT once and explode the nprobe nearest lists; join on the
@@ -377,30 +499,80 @@ def ivf_pq_topk_assigned(
     score candidates with m lookups each. The scan reads (id, codes,
     cluster) only — ReadSchema never mentions the embedding column
     (pinned in tests/test_pq.py). This is the full 100 TB read path:
-    partition-pruned AND byte-pruned."""
+    partition-pruned AND byte-pruned.
+
+    ``residual`` defaults to the SILVER'S OWN stamp (load_pq_meta) — the
+    stamp also carries the positional centers the codes were taken
+    against, so a probe can never silently score residual codes with
+    raw-space LUTs or foreign centers; passing an explicit value that
+    contradicts the stamp raises. In residual mode the LUT is per
+    (query, probed list) — built from ``q − center[list]`` AFTER the
+    probe explode (nprobe small LUTs per query; the corpus-side cost is
+    unchanged: m lookups per candidate)."""
     from crossbar_data_process_spark.operators.ivf import _probe_list
     from crossbar_data_process_spark.streaming.ann_ingest import (
         read_assigned_silver,
     )
 
+    meta = load_pq_meta(spark, path)
+    stamped = meta.get("residual", False)
+    if residual is None:
+        residual = stamped
+    elif bool(residual) != bool(stamped):
+        raise ValueError(
+            f"PQ silver at {path} is stamped residual={stamped} but the "
+            f"probe asked residual={residual} — ADC in the wrong space is "
+            "silently wrong"
+        )
+    centers = meta.get("residual_centers")
+    if residual and not centers:
+        raise ValueError(
+            f"PQ silver at {path} is stamped residual but carries no "
+            "residual_centers — rebuild with write_pq_corpus(..., "
+            "residual_centers=...)"
+        )
+
     m, k_codes = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
     corpus = read_assigned_silver(spark, path).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("codes").alias("__codes"),
         F.col("cluster").cast("int").alias("cluster"),
     )
-    # LUT and probe list are bound BELOW the explode (Generate hoists
-    # non-generator expressions above itself and never merges projections
-    # across it — the round-7 17x lesson), so each is evaluated once per
-    # query, not once per probed list.
-    luts = pq_query_lut(queries, codebooks, vec_col=vec_col, id_col=id_col)
-    probes = luts.select(
-        "query_id",
-        "lut",
-        F.explode(
-            _probe_list(F.col("__qv"), centroids, nprobe)
-        ).alias("cluster"),
-    )
+    if residual:
+        # per-(query, list) LUT: residual is list-dependent, so the LUT is
+        # built AFTER the explode — but still bound in its own projections
+        # (subvector slices below the per-code HOFs, the no-CSE rule);
+        # query-side frame stays |Q|·nprobe rows, broadcast as before
+        exploded = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                _probe_list(F.col(vec_col), centroids, nprobe)
+            ).alias("cluster"),
+        ).withColumn(
+            "__rv", _residual_expr(F.col("__qv"), F.col("cluster"), centers)
+        )
+        pre = _with_subvecs(exploded, "__rv", m, dsub)
+        lut = F.flatten(
+            F.array(*[_code_dists(j, codebooks[j]) for j in range(m)])
+        )
+        probes = pre.select("query_id", "cluster", lut.alias("lut"))
+    else:
+        # LUT and probe list are bound BELOW the explode (Generate hoists
+        # non-generator expressions above itself and never merges
+        # projections across it — the round-7 17x lesson), so each is
+        # evaluated once per query, not once per probed list.
+        luts = pq_query_lut(
+            queries, codebooks, vec_col=vec_col, id_col=id_col
+        )
+        probes = luts.select(
+            "query_id",
+            "lut",
+            F.explode(
+                _probe_list(F.col("__qv"), centroids, nprobe)
+            ).alias("cluster"),
+        )
     scored = (
         corpus.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -128,6 +128,7 @@ def ivf_ingest_writer(
     quantize: bool = False,
     dedup_threshold: float | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
+    pq_residual_centers: list[list[float]] | None = None,
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -145,7 +146,10 @@ def ivf_ingest_writer(
 
     ``pq_codebooks`` stores PQ codes INSTEAD of the vector (the
     ``pq.write_pq_corpus`` layout — m bytes/row, the 100 TB search
-    silver; probe with ``pq.ivf_pq_topk_assigned``). Assignment and
+    silver; probe with ``pq.ivf_pq_topk_assigned``;
+    ``pq_residual_centers`` — from ``pq.pq_fit_residual`` — encodes
+    ``x − center[cluster]``, the FAISS IVFPQ accuracy form; the centers
+    are part of the stamped identity). Assignment and
     drift metrics still use the full-precision vector. Mutually
     exclusive with ``quantize`` (pick one storage code) and with
     ``dedup_threshold`` (the dedup flag scores exact cosine against
@@ -201,6 +205,12 @@ def ivf_ingest_writer(
                 "sink on a float/int8 silver (or dedup upstream) when PQ "
                 "storage is wanted"
             )
+    elif pq_residual_centers is not None:
+        raise ValueError(
+            "pq_residual_centers without pq_codebooks — residual centers "
+            "only parameterize the PQ encode (pq.pq_fit_residual returns "
+            "the matching (centers, books) pair)"
+        )
 
     # fail FAST on a quantizer-identity mismatch with the existing silver
     # (factory time, not mid-stream) — mirrors ingest._check_index_meta.
@@ -230,20 +240,24 @@ def ivf_ingest_writer(
         # EXISTING unstamped silver stays unstamped (stamping this
         # writer's books onto codes of unknown provenance would fabricate
         # a 'verified' identity — the r9 no-stamp rule)
-        import json as _json
+        from crossbar_data_process_spark.operators.pq import (
+            load_pq_meta,
+            pq_meta_json,
+        )
 
         _, cb_jpath = _fs_and_path(spark, f"{silver_dir}/_pq_codebooks.json")
         if fs.exists(cb_jpath):
-            from crossbar_data_process_spark.operators.pq import (
-                load_pq_codebooks,
-            )
-
-            if load_pq_codebooks(spark, silver_dir) != pq_codebooks:
+            meta = load_pq_meta(spark, silver_dir)
+            if (
+                meta["codebooks"] != pq_codebooks
+                or meta["residual_centers"] != pq_residual_centers
+            ):
                 raise ValueError(
                     f"PQ silver at {silver_dir} was encoded under "
-                    "DIFFERENT codebooks than this writer's — ADC against "
-                    "mixed codes is silently wrong; refit/rebuild or pass "
-                    "the silver's own books (pq.load_pq_codebooks)"
+                    "DIFFERENT codebooks (or the opposite residual mode) "
+                    "than this writer's — ADC against mixed codes is "
+                    "silently wrong; refit/rebuild or pass the silver's "
+                    "own identity (pq.load_pq_meta)"
                 )
         elif not silver_existed:
             from crossbar_data_process_spark.sources.writers import (
@@ -253,13 +267,8 @@ def ivf_ingest_writer(
             _hadoop_write_text(
                 spark,
                 f"{silver_dir}/_pq_codebooks.json",
-                _json.dumps(
-                    {
-                        "m": len(pq_codebooks),
-                        "k": len(pq_codebooks[0]),
-                        "dsub": len(pq_codebooks[0][0]),
-                        "codebooks": pq_codebooks,
-                    }
+                pq_meta_json(
+                    pq_codebooks, residual_centers=pq_residual_centers
                 ),
             )
         else:
@@ -315,10 +324,24 @@ def ivf_ingest_writer(
 
             assigned = quantize_embeddings(assigned, vec_col=vec_col)
         elif pq_codebooks is not None:
-            from crossbar_data_process_spark.operators.pq import pq_encode
+            from crossbar_data_process_spark.operators.pq import (
+                _residual_expr,
+                pq_encode,
+            )
 
+            enc_col = vec_col
+            if pq_residual_centers is not None:
+                assigned = assigned.withColumn(
+                    "__rv",
+                    _residual_expr(
+                        F.col(vec_col),
+                        F.col(_CLUSTER_COL),
+                        pq_residual_centers,
+                    ),
+                ).drop(vec_col)
+                enc_col = "__rv"
             assigned = pq_encode(
-                assigned, pq_codebooks, vec_col=vec_col, keep_vec=False
+                assigned, pq_codebooks, vec_col=enc_col, keep_vec=False
             )
         # cluster first => probe-time partition pruning; batch second =>
         # dynamic overwrite replaces exactly this batch's leaves on replay
