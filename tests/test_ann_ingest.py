@@ -768,3 +768,45 @@ def test_pq_ingest_option_guards(spark, clustered, centroids, tmp_path):
     other = pq_codebooks_fixed(32, m=4, k=16)
     with pytest.raises(ValueError, match="DIFFERENT codebooks"):
         ivf_ingest_writer(spark, centroids, silver, pq_codebooks=other)
+
+
+def test_pq_silver_compaction_preserves_probe(
+    spark, clustered, centroids, tmp_path
+):
+    """compact_ivf_silver over a STREAMED PQ silver (codes-only rows):
+    the compactor is schema-agnostic, so the consolidated layout must
+    give ivf_pq_topk_assigned bit-identical answers, keep the codebook
+    stamp readable, and cut files."""
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        load_pq_codebooks,
+        pq_fit,
+    )
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        compact_ivf_silver,
+    )
+
+    books = pq_fit(clustered, dim=32, m=4, k=16, iters=4)
+    silver = str(tmp_path / "pq_compact")
+    sink = ivf_ingest_writer(spark, centroids, silver, pq_codebooks=books)
+    for i in range(4):
+        sink(clustered.filter(F.col("vec_id") % 4 == i), i)
+
+    q = clustered.filter(F.col("vec_id") % 100 == 0)
+
+    def probe():
+        return {
+            (r.query_id, r.rnk, r.neighbor_id, r.adc)
+            for r in ivf_pq_topk_assigned(
+                spark, silver, q, centroids, books, k=5, nprobe=8
+            ).collect()
+        }
+
+    want = probe()
+    _, before_files = _silver_tree(silver)
+    report = compact_ivf_silver(spark, silver, before_batch=3)
+    assert report["compacted_batches"] == 3
+    _, after_files = _silver_tree(silver)
+    assert after_files < before_files
+    assert probe() == want
+    assert load_pq_codebooks(spark, silver) == books
