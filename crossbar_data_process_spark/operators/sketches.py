@@ -59,3 +59,114 @@ def sketch_estimate(sketch: Column | str) -> Column:
     """Point estimate for a single stored sketch cell."""
     c = F.col(sketch) if isinstance(sketch, str) else sketch
     return F.hll_sketch_estimate(c)
+
+
+# --------------------------------------------------------------------------
+# Mergeable QUANTILE sketch: log-spaced histogram. The distribution twin of
+# the HLL silver above — persist per-cell bin counts once, answer any
+# coarser rollup's quantiles by SUMMING counts (associative/commutative,
+# late partitions union in), never re-scanning or globally sorting the
+# corpus. Deterministic and engine-portable (bins are pure arithmetic —
+# no library binary), unlike approx_percentile whose summary state is
+# opaque and not persistable from PySpark.
+#
+# Error contract: a value in bin b lies in [10^(b/B), 10^((b+1)/B)), so a
+# quantile read back from bin edges is exact to a multiplicative factor
+# 10^(1/B) (B=20 → ≤12.2%, B=50 → ≤4.7% relative). Right for positive,
+# heavy-tailed measures (doc lengths, token counts, perplexities, prices)
+# where relative error is the meaningful metric at 100 TB.
+
+_NONPOS_BIN = -(2**31)  # reserved bin for values ≤ 0 (no log bin exists)
+
+
+def _log_bin(value: Column, bins_per_decade: int) -> Column:
+    v = value.cast("double")
+    return (
+        F.when(
+            v > 0,
+            F.floor(F.log10(v) * F.lit(float(bins_per_decade))).cast("int"),
+        )
+        .otherwise(F.lit(_NONPOS_BIN))
+    )
+
+
+def histogram_sketch_table(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    bins_per_decade: int = 20,
+) -> DataFrame:
+    """The silver: one row per (keys…, bin) with a count — ONE shuffle on
+    (keys, bin), map-side partial counting. A cell's histogram is ≤
+    bins_per_decade × (decades spanned) rows (~a few hundred), so the
+    silver is cell-count-sized, never corpus-sized. NULL values are
+    dropped (no measurement); values ≤ 0 land in a reserved bin that
+    quantile reads report via ``n_nonpositive`` rather than folding into
+    the log domain. Merge finer silvers into coarser ones by groupBy-SUM
+    over the same bin column (:func:`rollup_quantiles` does it per read).
+    """
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, _log_bin(F.col(value_col), bins_per_decade).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def rollup_quantiles(
+    hist: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    bins_per_decade: int = 20,
+) -> DataFrame:
+    """Quantiles for any COARSER key subset straight from the bin-count
+    silver: sum counts per (keys, bin), cumulative-sum over bins, and for
+    each q report the UPPER edge ``10^((bin+1)/B)`` of the first bin
+    whose cumulative count reaches ``ceil(q·n)`` — a deterministic,
+    engine-portable read whose value is within one bin width (factor
+    ``10^(1/B)``) of the exact quantile. Never touches raw data; cost is
+    proportional to silver rows. Returns one row per key combination:
+    (keys…, n, n_nonpositive, q_<q> …). Nonpositive values count toward
+    ``n`` ranks (they sort below every positive bin) but a quantile that
+    lands inside them reports NULL — there is no log edge to name.
+
+    Pass ``keys=[]`` for the global distribution."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("rollup_quantiles needs at least one quantile")
+    if any(q <= 0 or q > 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    b = float(bins_per_decade)
+    merged = hist.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        if keys
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = merged.withColumn(
+        "cum", F.sum("cnt").over(w.orderBy("bin"))
+    ).withColumn("n", F.sum("cnt").over(w))
+    aggs = [
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("bin") == _NONPOS_BIN, F.col("cnt")).otherwise(0)
+        ).alias("n_nonpositive"),
+    ]
+    for q in qs:
+        # the first bin whose cumulative count reaches ceil(q*n): min bin
+        # among qualifying rows (bins are ordered, cum is monotone)
+        rank = F.ceil(F.lit(float(q)) * F.col("n"))
+        qbin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.when(
+                qbin == _NONPOS_BIN, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.pow(F.lit(10.0), (qbin + 1).cast("double") / F.lit(b))
+            )
+            .alias(name)
+        )
+    if keys:
+        return cum.groupBy(*keys).agg(*aggs)
+    return cum.agg(*aggs)

@@ -424,3 +424,56 @@ def test_mmr_anti_similar_candidates_are_boosted_not_clamped(spark):
     # true MMR: 11 scores 0.25 + 0.5 = 0.75 > 12's 0.30 - 0 = 0.30
     assert [r.doc_id for r in out] == [10, 11, 12]
     assert abs(out[1].mmr_score - 0.75) < 1e-9
+
+
+def test_rrf_fuses_pq_dense_leg(spark, tmp_path):
+    """The 100 TB dense leg: ivf_pq_topk_assigned's output (query_id,
+    neighbor_id, adc, rnk) plugs straight into rrf_fuse next to a lexical
+    ranking — ranks are what fuse, so the ADC distance scale never leaks
+    into the fusion (the reason RRF was chosen). Pins the column-rename
+    seam and that the PQ leg's rnk is the 1-based dense rank rrf_fuse
+    expects."""
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        pq_fit,
+        write_pq_corpus,
+    )
+    from crossbar_data_process_spark.operators.retrieval import rrf_fuse
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(4, 16)) * 4.0
+    rows = [
+        (int(c * 50 + i), [float(x) for x in centers[c] + rng.normal(size=16) * 0.5])
+        for c in range(4)
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = ivf_fit(emb, dim=16, nlist=4, iters=2)
+    books = pq_fit(emb, dim=16, m=4, k=8, iters=4)
+    silver = str(tmp_path / "pq")
+    write_pq_corpus(emb, cents, books, silver)
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    dense = ivf_pq_topk_assigned(
+        spark, silver, q, cents, books, k=5, nprobe=4
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rnk")
+    # a toy lexical ranking that agrees on one doc per query
+    lex = dense.filter(F.col("rnk") <= 2).select(
+        "query_id", "doc_id", F.col("rnk").alias("rnk")
+    )
+    fused = rrf_fuse([lex, dense], k=60, top_k=5)
+    out = fused.collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        # docs in both systems outrank dense-only docs
+        both = [r for r in rs if r.n_systems == 2]
+        only = [r for r in rs if r.n_systems == 1]
+        assert both, qid
+        if only:
+            assert max(r.rnk for r in both) < min(r.rnk for r in only), qid

@@ -93,3 +93,92 @@ def test_sketch_rows_not_resent(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     silver = distinct_sketch_table(li, ["l_returnflag", "l_linestatus"], "l_partkey")
     assert silver.count() <= 6  # 3 flags x 2 statuses in TPC-H
+
+
+def test_histogram_quantiles_within_bin_error(spark):
+    """Log-histogram quantile sketch: per-key quantiles read from the bin
+    silver must be within one bin width (factor 10^(1/B)) ABOVE the exact
+    quantile (the sketch reports the bin's upper edge, so it never
+    under-reports by more than float noise)."""
+    import math
+
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    B = 20
+    rows = []
+    for src in ("a", "b"):
+        for i in range(2000):
+            # deterministic heavy-tailed positive values, distinct per src
+            v = math.exp((i % 97) / 12.0) * (1.0 if src == "a" else 3.7)
+            rows.append((src, v))
+    df = spark.createDataFrame(rows, "source string, val double")
+    hist = histogram_sketch_table(df, ["source"], "val", bins_per_decade=B)
+    got = {
+        r.source: (r.q_0_5, r.q_0_95, r.n)
+        for r in rollup_quantiles(
+            hist, ["source"], [0.5, 0.95], bins_per_decade=B
+        ).collect()
+    }
+    import numpy as np
+
+    arr = {s: np.sort([v for t, v in rows if t == s]) for s in ("a", "b")}
+    width = 10 ** (1.0 / B)
+    for s in ("a", "b"):
+        n = len(arr[s])
+        assert got[s][2] == n
+        for q, est in (((0.5), got[s][0]), ((0.95), got[s][1])):
+            exact = arr[s][int(math.ceil(q * n)) - 1]
+            assert exact <= est * 1.0000001, (s, q, exact, est)
+            assert est <= exact * width * 1.0000001, (s, q, exact, est)
+
+
+def test_histogram_sketch_is_mergeable(spark):
+    """The silver contract: sketching two halves and rolling them up
+    together equals sketching the whole — bin counts are exactly
+    additive, so late partitions just union in (same property the HLL
+    silver has, but for distributions)."""
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("k"),
+        (F.pow(F.lit(1.01), F.col("id") % 700)).alias("val"),
+    )
+    whole = histogram_sketch_table(df, ["k"], "val")
+    halves = histogram_sketch_table(
+        df.filter(F.col("id") % 2 == 0), ["k"], "val"
+    ).unionByName(
+        histogram_sketch_table(df.filter(F.col("id") % 2 == 1), ["k"], "val")
+    )
+    a = {
+        (r.k,): (r.n, r.q_0_5, r.q_0_99)
+        for r in rollup_quantiles(whole, ["k"], [0.5, 0.99]).collect()
+    }
+    b = {
+        (r.k,): (r.n, r.q_0_5, r.q_0_99)
+        for r in rollup_quantiles(halves, ["k"], [0.5, 0.99]).collect()
+    }
+    assert a == b and len(a) == 3
+
+
+def test_histogram_nonpositive_and_global_rollup(spark):
+    """Values ≤ 0 land in the reserved bin: counted in n/n_nonpositive,
+    and a quantile landing inside them reports NULL; the keys=[] global
+    rollup works."""
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    rows = [(-1.0,)] * 60 + [(0.0,)] * 40 + [(10.0,)] * 100
+    df = spark.createDataFrame(rows, "val double")
+    hist = histogram_sketch_table(df, [], "val")
+    out = rollup_quantiles(hist, [], [0.25, 0.9]).collect()[0]
+    assert out.n == 200 and out.n_nonpositive == 100
+    assert out.q_0_25 is None  # rank 50 falls inside the nonpositive mass
+    assert out.q_0_9 is not None and abs(out.q_0_9 - 10.0) / 10.0 < 0.13
