@@ -104,11 +104,31 @@ def _with_subvecs(
 ) -> DataFrame:
     """Bind the m subvector slices in their OWN projection: a slice inlined
     inside the per-code HOF lambda would be re-evaluated once per code
-    (k× the O(dsub) copy — the HOF no-CSE trap)."""
+    (k× the O(dsub) copy — the HOF no-CSE trap).
+
+    The slices are taken from a length-checked vector: books whose
+    m·dsub disagrees with the corpus dim would otherwise silently encode
+    only a prefix (m·dsub < dim) or emit NULL codes from out-of-range
+    slices (m·dsub > dim) — recall collapses with no error anywhere
+    (r11 review). The check is one size comparison + branch per row."""
+    expected = m * dsub
+    checked = F.when(
+        F.size(F.col(vec_col)) == expected, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"PQ codebooks expect dim={expected} (m={m} × "
+                    f"dsub={dsub}) but '{vec_col}' has length "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     return df.select(
         "*",
         *[
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias(f"__sv{j}")
+            F.slice(checked, j * dsub + 1, dsub).alias(f"__sv{j}")
             for j in range(m)
         ],
     )
@@ -515,6 +535,15 @@ def ivf_pq_topk_assigned(
     )
 
     meta = load_pq_meta(spark, path)
+    if meta.get("codebooks") != codebooks:
+        # the writer side already refuses mismatched books; the probe has
+        # the stamp in hand for free and must too — LUTs built from
+        # foreign/refit books score garbage with no error (r11 review)
+        raise ValueError(
+            f"PQ silver at {path} was encoded under DIFFERENT codebooks "
+            "than the probe's — ADC against mixed codes is silently "
+            "wrong; pass the silver's own books (pq.load_pq_codebooks)"
+        )
     stamped = meta.get("residual", False)
     if residual is None:
         residual = stamped

@@ -109,6 +109,11 @@ def histogram_sketch_table(
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*keys, _log_bin(F.col(value_col), bins_per_decade).alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the bin ids are meaningless without B — stamp it INTO the silver
+        # (every other persisted artifact carries its identity: centroids,
+        # codebooks, LSH params; r11 review) so a rollup can derive and
+        # verify it instead of trusting the caller to remember
+        .withColumn("bpd", F.lit(int(bins_per_decade)))
     )
 
 
@@ -116,7 +121,7 @@ def rollup_quantiles(
     hist: DataFrame,
     keys: list[str],
     qs: list[float],
-    bins_per_decade: int = 20,
+    bins_per_decade: int | None = None,
 ) -> DataFrame:
     """Quantiles for any COARSER key subset straight from the bin-count
     silver: sum counts per (keys, bin), cumulative-sum over bins, and for
@@ -129,15 +134,32 @@ def rollup_quantiles(
     ``n`` ranks (they sort below every positive bin) but a quantile that
     lands inside them reports NULL — there is no log edge to name.
 
-    Pass ``keys=[]`` for the global distribution."""
+    ``bins_per_decade`` is normally None: B is read from the silver's own
+    ``bpd`` stamp column and verified homogeneous per group (mixing two
+    silvers binned at different B would silently reinterpret every bin —
+    the read fails instead, r11 review). Pass it explicitly only for a
+    legacy frame without the stamp (it then also cross-checks a present
+    stamp). Pass ``keys=[]`` for the global distribution."""
     from pyspark.sql import Window
 
     if not qs:
         raise ValueError("rollup_quantiles needs at least one quantile")
     if any(q <= 0 or q > 1 for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
-    b = float(bins_per_decade)
-    merged = hist.groupBy(*keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    has_bpd = "bpd" in hist.columns
+    if not has_bpd:
+        if bins_per_decade is None:
+            raise ValueError(
+                "histogram frame carries no 'bpd' stamp column and no "
+                "bins_per_decade was passed — bin ids are meaningless "
+                "without B"
+            )
+        hist = hist.withColumn("bpd", F.lit(int(bins_per_decade)))
+    merged = hist.groupBy(*keys, "bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("bpd").alias("__bmin"),
+        F.max("bpd").alias("__bmax"),
+    )
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
         if keys
@@ -151,22 +173,55 @@ def rollup_quantiles(
         F.max(
             F.when(F.col("bin") == _NONPOS_BIN, F.col("cnt")).otherwise(0)
         ).alias("n_nonpositive"),
+        F.min("__bmin").alias("__bmin"),
+        F.max("__bmax").alias("__bmax"),
     ]
+    names = []
     for q in qs:
         # the first bin whose cumulative count reaches ceil(q*n): min bin
-        # among qualifying rows (bins are ordered, cum is monotone)
-        rank = F.ceil(F.lit(float(q)) * F.col("n"))
-        qbin = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        # among qualifying rows (bins are ordered, cum is monotone).
+        # The 1e-9 back-off keeps a mathematically-integer q·n from
+        # rounding UP in binary (0.017·3000 = 51.00000000000001 → rank 52
+        # instead of 51 — measured; 1159 such (q, n) pairs under 5000),
+        # which could push the answer one whole bin high and break the
+        # one-bin-width error contract (r11 review)
+        rank = F.ceil(F.lit(float(q)) * F.col("n") - F.lit(1e-9))
         name = f"q_{str(q).replace('.', '_')}"
+        names.append(name)
         aggs.append(
-            F.when(
-                qbin == _NONPOS_BIN, F.lit(None).cast("double")
+            F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(
+                f"__qbin_{name}"
             )
-            .otherwise(
-                F.pow(F.lit(10.0), (qbin + 1).cast("double") / F.lit(b))
-            )
-            .alias(name)
         )
-    if keys:
-        return cum.groupBy(*keys).agg(*aggs)
-    return cum.agg(*aggs)
+    grouped = cum.groupBy(*keys).agg(*aggs) if keys else cum.agg(*aggs)
+    # homogeneity gate + edge math in one post-agg projection: a mixed-B
+    # group (or a stamp contradicting an explicit bins_per_decade) raises
+    # instead of reinterpreting bins
+    b_ok = F.col("__bmin") == F.col("__bmax")
+    if bins_per_decade is not None:
+        b_ok = b_ok & (F.col("__bmax") == F.lit(int(bins_per_decade)))
+    err = F.raise_error(
+        F.concat(
+            F.lit(
+                "histogram rollup mixes bins_per_decade stamps (or "
+                "contradicts the explicit bins_per_decade): bpd in ["
+            ),
+            F.col("__bmin").cast("string"),
+            F.lit(", "),
+            F.col("__bmax").cast("string"),
+            F.lit("] — bin ids from different B are incommensurable"),
+        )
+    )
+    cols = [*keys, "n", "n_nonpositive"]
+    out = grouped
+    for name in names:
+        qbin = F.col(f"__qbin_{name}")
+        val = F.when(qbin == _NONPOS_BIN, F.lit(None).cast("double")).otherwise(
+            F.pow(
+                F.lit(10.0),
+                (qbin + 1).cast("double") / F.col("__bmax").cast("double"),
+            )
+        )
+        out = out.withColumn(name, F.when(b_ok, val).otherwise(err))
+        cols.append(name)
+    return out.select(*cols)

@@ -178,25 +178,38 @@ def write_jsonl_shards(
     (shard, md5-key) order and one file per shard directory."""
     import json
 
+    from pyspark.sql import Observation
+
     data_cols = df.columns
-    out = _sharded(df, id_col, n_shards, salt).select(
-        "shard",
-        F.to_json(F.struct(*data_cols)).alias("value"),
+    # per-shard counts ride the WRITE pass itself via an Observation
+    # (n_shards conditional counts — a hyperparameter, not data-sized):
+    # re-reading the export for the manifest would re-scan (and for gzip
+    # re-decompress) the full output, doubling export I/O, where the
+    # parquet sibling deliberately pays a metadata-only footer read
+    # (r11 review; the Observation idiom is the r10 count+write pattern)
+    obs = Observation()
+    out = (
+        _sharded(df, id_col, n_shards, salt)
+        .select("shard", F.to_json(F.struct(*data_cols)).alias("value"))
+        .observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("shard") == s, F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"s{s}")
+                for s in range(n_shards)
+            ],
+        )
     )
     w = out.write.mode("overwrite").partitionBy("shard")
     if compression is not None:
         w = w.option("compression", compression)
     w.text(path)
+    got = obs.get
     counts = {
-        int(r.shard): int(r.n)
-        for r in df.sparkSession.read.text(path)
-        .withColumn(
-            "shard",
-            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"),
-        )
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        s: int(got[f"s{s}"])
+        for s in range(n_shards)
+        if got.get(f"s{s}")  # empty shards have no dir — keep them absent
     }
     payload = json.dumps(
         {

@@ -221,19 +221,35 @@ def ivf_ingest_writer(
     verified = check_centroid_meta(spark, silver_dir, centroids)
     fs, silver_jpath = _fs_and_path(spark, silver_dir)
     silver_existed = fs.exists(silver_jpath)
-    if not silver_existed:
-        _write_centroid_meta(spark, silver_dir, centroids)
-    elif not verified:
-        import warnings
+    if silver_existed:
+        # refuse to append streamed __batch_id= leaves under a one-shot
+        # (flat) layout: the mixed tree makes the batch-leaf read set drop
+        # the flat rows (the reader now fails loudly on it, but the right
+        # place to stop the mixing is before the first write — r11 review)
+        _batched, _flat = _list_silver_leaves(spark, silver_dir)
+        if _flat:
+            raise ValueError(
+                f"silver at {silver_dir} holds a one-shot "
+                "write_assigned_corpus layout (data files directly under "
+                f"cluster= dirs: clusters {sorted(_flat)[:5]}…); streaming "
+                "batches would nest a __batch_id= level under the same "
+                "dirs and orphan the flat rows — rebuild through this "
+                "writer on an empty directory (or keep probing the "
+                "one-shot silver read-only)"
+            )
+        if not verified:
+            import warnings
 
-        warnings.warn(
-            f"IVF silver at {silver_dir} predates {_CENTROID_META} — its "
-            "quantizer identity cannot be verified against this writer's "
-            "centroids; leaving it unstamped. Rebuild with "
-            "write_assigned_corpus (or re-create via this writer on an "
-            "empty directory) to stamp a verified identity.",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"IVF silver at {silver_dir} predates {_CENTROID_META} — "
+                "its quantizer identity cannot be verified against this "
+                "writer's centroids; leaving it unstamped. Rebuild with "
+                "write_assigned_corpus (or re-create via this writer on "
+                "an empty directory) to stamp a verified identity.",
+                stacklevel=2,
+            )
+    else:
+        _write_centroid_meta(spark, silver_dir, centroids)
     if pq_codebooks is not None:
         # same fail-fast contract for the CODEBOOK identity: a stamped
         # silver must have been encoded under these exact books; an
@@ -281,6 +297,20 @@ def ivf_ingest_writer(
                 "write_pq_corpus (or re-create via this writer on an empty "
                 "directory) to stamp a verified identity.",
                 stacklevel=2,
+            )
+    else:
+        # the INVERSE direction (r11 review): a restarted stream that
+        # forgot the PQ args would append raw-vector rows into a
+        # codes-only silver — the probe would then score NULL adc rows
+        # into the top-k (asc sorts NULLs first) with no error anywhere
+        _, cb_jpath = _fs_and_path(spark, f"{silver_dir}/_pq_codebooks.json")
+        if fs.exists(cb_jpath):
+            raise ValueError(
+                f"silver at {silver_dir} is a PQ-encoded layout "
+                "(_pq_codebooks.json present) but this writer carries no "
+                "pq_codebooks — appending raw-vector rows would corrupt "
+                "the codes-only silver; pass the silver's own books "
+                "(pq.load_pq_meta) or rebuild"
             )
 
     def _has_data() -> bool:
@@ -405,13 +435,30 @@ def _list_silver_leaves(
         if not (st.isDirectory() and name.startswith(f"{_CLUSTER_COL}=")):
             continue
         c = int(name.split("=", 1)[1])
-        has_batch = False
+        has_batch = has_loose_data = False
         for leaf in fs.listStatus(st.getPath()):
             lname = leaf.getPath().getName()
             if leaf.isDirectory() and lname.startswith(f"{BATCH_COL}="):
                 b = int(lname.split("=", 1)[1])
                 batched.setdefault(c, {})[b] = leaf.getPath().toString()
                 has_batch = True
+            elif leaf.isFile() and not lname.startswith(("_", ".")):
+                has_loose_data = True
+        if has_batch and has_loose_data:
+            # a one-shot (flat) silver that later received streamed
+            # batches: the loose files are REAL rows that the batch-leaf
+            # read set would silently drop — refuse loudly instead of
+            # returning a partial corpus (r11 review; the pre-snapshot
+            # reader failed on Spark's conflicting-directory-structures
+            # error here, and silence would be strictly worse)
+            raise ValueError(
+                f"cluster directory {st.getPath()} mixes loose data files "
+                f"(one-shot write_assigned_corpus layout) with {BATCH_COL}= "
+                "subdirectories (streamed layout) — a batch-leaf read would "
+                "silently drop the one-shot rows; rebuild the silver in one "
+                "layout (re-write via write_assigned_corpus, or start the "
+                "stream on an empty directory)"
+            )
         if not has_batch:
             flat[c] = st.getPath().toString()
     return batched, flat

@@ -810,3 +810,29 @@ def test_pq_silver_compaction_preserves_probe(
     assert after_files < before_files
     assert probe() == want
     assert load_pq_codebooks(spark, silver) == books
+
+
+def test_ingest_refuses_flat_oneshot_silver_and_vector_rows_into_pq(
+    spark, clustered, centroids, tmp_path
+):
+    """Two r11-review layout guards: (1) a streaming writer pointed at a
+    one-shot write_assigned_corpus silver fails at factory time (batch
+    leaves nested under flat cluster dirs would orphan the flat rows);
+    (2) a writer WITHOUT pq_codebooks pointed at a PQ-stamped silver
+    fails too (raw-vector rows would corrupt the codes-only layout and
+    NULL adc sorts into the top-k)."""
+    from crossbar_data_process_spark.operators.pq import pq_fit
+
+    oneshot = str(tmp_path / "oneshot_guard")
+    write_assigned_corpus(clustered, centroids, oneshot)
+    with pytest.raises(ValueError, match="one-shot"):
+        ivf_ingest_writer(spark, centroids, oneshot)
+
+    books = pq_fit(clustered, dim=32, m=4, k=16, iters=2)
+    pq_silver = str(tmp_path / "pq_guard2")
+    sink = ivf_ingest_writer(spark, centroids, pq_silver, pq_codebooks=books)
+    sink(clustered.limit(10), 0)
+    with pytest.raises(ValueError, match="PQ-encoded layout"):
+        ivf_ingest_writer(spark, centroids, pq_silver)
+    with pytest.raises(ValueError, match="PQ-encoded layout"):
+        ivf_ingest_writer(spark, centroids, pq_silver, quantize=True)

@@ -411,3 +411,32 @@ def test_residual_streamed_silver_equals_batch(spark, clustered, tmp_path):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="DIFFERENT codebooks"):
         ivf_ingest_writer(spark, cents, streamed, pq_codebooks=books)
+
+
+def test_pq_encode_rejects_dim_mismatch(spark):
+    """Books whose m·dsub disagrees with the corpus dim must fail loudly —
+    a silent prefix encode (or NULL codes from out-of-range slices)
+    collapses recall with no error (r11 review)."""
+    books16 = pq_codebooks_fixed(16, m=4, k=8)
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(DIM)])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="expect dim=16"):
+        pq_encode(df, books16).collect()
+
+
+def test_pq_probe_rejects_foreign_books(spark, clustered, tmp_path):
+    """A probe with refit/foreign books against a stamped silver must
+    raise — LUTs from the wrong books score garbage silently (r11
+    review: the writer refused this, the probe did not)."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+
+    cents = ivf_fit(clustered, dim=DIM, nlist=4, iters=1)
+    books = pq_fit(clustered, dim=DIM, m=M, k=K, iters=2)
+    path = str(tmp_path / "foreign_guard")
+    write_pq_corpus(clustered, cents, books, path)
+    q = clustered.filter(F.col("vec_id") < 3)
+    foreign = pq_codebooks_fixed(DIM, M, K)
+    with pytest.raises(ValueError, match="DIFFERENT codebooks"):
+        ivf_pq_topk_assigned(spark, path, q, cents, foreign, k=3, nprobe=4)

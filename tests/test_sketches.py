@@ -182,3 +182,49 @@ def test_histogram_nonpositive_and_global_rollup(spark):
     assert out.n == 200 and out.n_nonpositive == 100
     assert out.q_0_25 is None  # rank 50 falls inside the nonpositive mass
     assert out.q_0_9 is not None and abs(out.q_0_9 - 10.0) / 10.0 < 0.13
+
+
+def test_histogram_mixed_bpd_raises_and_legacy_param_path(spark):
+    """Bin ids are meaningless without B: rolling up two silvers stamped
+    at different bins_per_decade must raise, not reinterpret bins; a
+    legacy frame without the stamp needs an explicit bins_per_decade
+    (r11 review)."""
+    import pytest as _pytest
+
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    df = spark.range(1, 500).select((F.col("id") * 1.0).alias("val"))
+    h20 = histogram_sketch_table(df, [], "val", bins_per_decade=20)
+    h50 = histogram_sketch_table(df, [], "val", bins_per_decade=50)
+    with _pytest.raises(Exception, match="incommensurable"):
+        rollup_quantiles(h20.unionByName(h50), [], [0.5]).collect()
+    # explicit param contradicting the stamp also raises
+    with _pytest.raises(Exception, match="incommensurable"):
+        rollup_quantiles(h20, [], [0.5], bins_per_decade=50).collect()
+    # legacy: no stamp column -> explicit B required and honored
+    legacy = h20.drop("bpd")
+    with _pytest.raises(ValueError, match="bpd"):
+        rollup_quantiles(legacy, [], [0.5])
+    a = rollup_quantiles(legacy, [], [0.5], bins_per_decade=20).collect()[0]
+    b = rollup_quantiles(h20, [], [0.5]).collect()[0]
+    assert a.q_0_5 == b.q_0_5 and a.n == b.n
+
+
+def test_histogram_integer_rank_boundary(spark):
+    """q·n that is mathematically integer must use rank ceil(q·n), not
+    one higher from binary rounding (0.017·3000 → 51.000…01; r11
+    review): 51 values in the first bin, q=0.017 over n=3000 must stay
+    inside bin 1, not jump to bin 2."""
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    rows = [(2.0,)] * 51 + [(200.0,)] * 2949  # bin(2.0) << bin(200.0)
+    df = spark.createDataFrame(rows, "val double")
+    hist = histogram_sketch_table(df, [], "val", bins_per_decade=20)
+    out = rollup_quantiles(hist, [], [0.017]).collect()[0]
+    assert out.q_0_017 is not None and out.q_0_017 < 10.0, out.q_0_017
