@@ -312,6 +312,32 @@ def ivf_ingest_writer(
                 "the codes-only silver; pass the silver's own books "
                 "(pq.load_pq_meta) or rebuild"
             )
+    # generic storage-format guard (covers the stamp-less int8 case the
+    # PQ json cannot): the writer's intended storage column must already
+    # exist in the landed silver when one exists -- ONE footer read of
+    # one leaf file, at factory time. A raw writer appending into an
+    # int8 silver (or vice versa) otherwise merges schemas and probes
+    # read NULLs silently (same family as the r11 PQ guards).
+    if _silver_has_data(spark, silver_dir):
+        batched0, flat0 = _list_silver_leaves(spark, silver_dir)
+        some = next(iter(flat0.values()), None) or next(
+            (u for bs in batched0.values() for u in bs.values()), None
+        )
+        if some is not None:
+            existing = set(spark.read.parquet(some).columns)
+            want_col = (
+                "codes"
+                if pq_codebooks is not None
+                else ("qvec" if quantize else vec_col)
+            )
+            if want_col not in existing:
+                raise ValueError(
+                    f"silver at {silver_dir} stores columns "
+                    f"{sorted(existing)} but this writer would append "
+                    f"'{want_col}' rows -- mixed storage formats make "
+                    "probes read NULLs silently; match the silver's "
+                    "storage options (quantize/pq_codebooks) or rebuild"
+                )
 
     def _has_data() -> bool:
         return _silver_has_data(spark, silver_dir)

@@ -836,3 +836,21 @@ def test_ingest_refuses_flat_oneshot_silver_and_vector_rows_into_pq(
         ivf_ingest_writer(spark, centroids, pq_silver)
     with pytest.raises(ValueError, match="PQ-encoded layout"):
         ivf_ingest_writer(spark, centroids, pq_silver, quantize=True)
+
+
+def test_ingest_refuses_mixed_storage_formats(
+    spark, clustered, centroids, tmp_path
+):
+    """The stamp-less int8 case: a raw-vector writer pointed at a
+    quantized silver (or the reverse) fails at factory time — mixed
+    storage schemas would merge and probes would read NULLs silently."""
+    silver = str(tmp_path / "i8_guard")
+    sink = ivf_ingest_writer(spark, centroids, silver, quantize=True)
+    sink(clustered.limit(10), 0)
+    with pytest.raises(ValueError, match="mixed storage"):
+        ivf_ingest_writer(spark, centroids, silver)
+    raw = str(tmp_path / "raw_guard")
+    sink2 = ivf_ingest_writer(spark, centroids, raw)
+    sink2(clustered.limit(10), 0)
+    with pytest.raises(ValueError, match="mixed storage"):
+        ivf_ingest_writer(spark, centroids, raw, quantize=True)
