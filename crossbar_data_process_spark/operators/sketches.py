@@ -117,6 +117,52 @@ def histogram_sketch_table(
     )
 
 
+def check_quantile_expectations(
+    hist: DataFrame,
+    rules: dict[str, tuple[float, "callable"]],
+) -> DataFrame:
+    """Distribution-level data-quality gate over the HISTOGRAM SILVER —
+    the quantile twin of ``profiling.check_expectations``: assert shape
+    properties ("p95 doc length ≤ 50k", "median perplexity ≥ 2") from
+    kilobytes of bin counts instead of rescanning the corpus. ``rules``
+    maps a rule name to ``(q, check)`` where ``check`` is a
+    Column→Column boolean on the quantile's value (upper-edge estimate,
+    within one bin width — see :func:`rollup_quantiles`; a NULL estimate,
+    i.e. the quantile falls in nonpositive mass, fails the rule: an
+    unknown is not a pass). One rollup pass, driver-side assembly bounded
+    by the rule count. Returns (rule, q, value, pass)."""
+    if not rules:
+        raise ValueError("check_quantile_expectations needs at least one rule")
+    qs = sorted({q for q, _ in rules.values()})
+    row = rollup_quantiles(hist, [], qs).collect()[0]
+    spark = hist.sparkSession
+    vals = {
+        name: row[f"q_{str(q).replace('.', '_')}"]
+        for name, (q, _) in rules.items()
+    }
+    # ALL rule predicates in one 1-row select (one job, not one per rule);
+    # NULL quantile or NULL predicate result → fail
+    names = list(rules)
+    checks = spark.range(1).select(
+        *[
+            F.coalesce(
+                F.lit(False)
+                if vals[n] is None
+                else rules[n][1](F.lit(float(vals[n]))),
+                F.lit(False),
+            ).alias(f"__r{i}")
+            for i, n in enumerate(names)
+        ]
+    ).first()
+    out = [
+        (n, float(rules[n][0]), vals[n], bool(checks[f"__r{i}"]))
+        for i, n in enumerate(names)
+    ]
+    return spark.createDataFrame(
+        out, "rule string, q double, value double, pass boolean"
+    )
+
+
 def rollup_quantiles(
     hist: DataFrame,
     keys: list[str],

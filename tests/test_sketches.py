@@ -228,3 +228,37 @@ def test_histogram_integer_rank_boundary(spark):
     hist = histogram_sketch_table(df, [], "val", bins_per_decade=20)
     out = rollup_quantiles(hist, [], [0.017]).collect()[0]
     assert out.q_0_017 is not None and out.q_0_017 < 10.0, out.q_0_017
+
+
+def test_quantile_expectation_gate(spark):
+    """Distribution gate over the histogram silver: p95/median rules
+    evaluated from bin counts; a quantile falling into nonpositive mass
+    fails its rule (unknown is not a pass)."""
+    from crossbar_data_process_spark.operators.sketches import (
+        check_quantile_expectations,
+        histogram_sketch_table,
+    )
+
+    rows = [(float(10 + (i % 90)),) for i in range(1000)]
+    df = spark.createDataFrame(rows, "val double")
+    hist = histogram_sketch_table(df, [], "val", bins_per_decade=50)
+    report = {
+        r.rule: (r.value, r.pass_ if hasattr(r, "pass_") else r["pass"])
+        for r in check_quantile_expectations(
+            hist,
+            {
+                "p95_le_150": (0.95, lambda c: c <= 150.0),
+                "median_ge_1000": (0.5, lambda c: c >= 1000.0),
+            },
+        ).collect()
+    }
+    assert report["p95_le_150"][1] is True
+    assert report["median_ge_1000"][1] is False
+
+    # nonpositive-dominated distribution: quantile is NULL -> rule fails
+    neg = spark.createDataFrame([(-1.0,)] * 100 + [(5.0,)] * 10, "val double")
+    nhist = histogram_sketch_table(neg, [], "val")
+    rep = check_quantile_expectations(
+        nhist, {"median_any": (0.5, lambda c: c > 0.0)}
+    ).collect()[0]
+    assert rep["pass"] is False and rep.value is None
