@@ -70,6 +70,13 @@ def main() -> None:
         "semantic dedup): per-batch wall must stay flat because the "
         "flag is a cluster-pruned batch-broadcast join",
     )
+    ap.add_argument(
+        "--pq",
+        action="store_true",
+        help="run the sink with pq_codebooks (r11): batches land as "
+        "m-byte PQ codes; per-batch wall must stay flat — encode is a "
+        "batch-sized projection and nothing reads the accumulated silver",
+    )
     args = ap.parse_args()
 
     shutil.rmtree(ROOT, ignore_errors=True)
@@ -78,12 +85,18 @@ def main() -> None:
 
     fit_corpus = gen_batch(spark, 0, args.batch_rows)
     cents = ivf_fit(fit_corpus, dim=DIM, nlist=16, iters=2, driver_fit_rows=2048)
+    books = None
+    if args.pq:
+        from crossbar_data_process_spark.operators.pq import pq_fit
+
+        books = pq_fit(fit_corpus, dim=DIM, m=4, k=16, iters=4)
     sink = ivf_ingest_writer(
         spark,
         cents,
         f"{ROOT}/silver",
         metrics_dir=f"{ROOT}/metrics",
         dedup_threshold=args.dedup,
+        pq_codebooks=books,
     )
 
     walls = []
