@@ -112,6 +112,10 @@ def _with_subvecs(
     slices (m·dsub > dim) — recall collapses with no error anywhere
     (r11 review). The check is one size comparison + branch per row."""
     expected = m * dsub
+    # coalesce in the message: a NULL vector otherwise raises with a NULL
+    # message (concat null-propagates) — loud but undiagnosable (r11
+    # review round 2). A NULL vector IS an error here: NULL codes would
+    # flow into the silver and NULL adc sorts into every top-k.
     checked = F.when(
         F.size(F.col(vec_col)) == expected, F.col(vec_col)
     ).otherwise(
@@ -121,7 +125,10 @@ def _with_subvecs(
                     f"PQ codebooks expect dim={expected} (m={m} × "
                     f"dsub={dsub}) but '{vec_col}' has length "
                 ),
-                F.size(F.col(vec_col)).cast("string"),
+                F.coalesce(
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit("NULL (the vector itself is NULL)"),
+                ),
             )
         )
     )
@@ -544,6 +551,15 @@ def ivf_pq_topk_assigned(
             "than the probe's — ADC against mixed codes is silently "
             "wrong; pass the silver's own books (pq.load_pq_codebooks)"
         )
+    # same for the CENTROIDS: foreign/refit centroids route probes to
+    # partitions whose ids mean something else — pruned-probe recall
+    # silently collapses. check_centroid_meta raises on a fingerprint
+    # mismatch and tolerates a stamp-less silver (r11 review round 2).
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        check_centroid_meta,
+    )
+
+    check_centroid_meta(spark, path, centroids)
     stamped = meta.get("residual", False)
     if residual is None:
         residual = stamped

@@ -76,13 +76,22 @@ def sketch_estimate(sketch: Column | str) -> Column:
 # heavy-tailed measures (doc lengths, token counts, perplexities, prices)
 # where relative error is the meaningful metric at 100 TB.
 
-_NONPOS_BIN = -(2**31)  # reserved bin for values ≤ 0 (no log bin exists)
+_NONPOS_BIN = -(2**31)  # values ≤ 0 (incl. -inf): ordered at the bottom
+_NAN_BIN = -(2**31) + 1  # NaN: unordered — excluded from rank positions
+_POSINF_BIN = 2**31 - 1  # +inf: ordered at the top, no finite edge
 
 
 def _log_bin(value: Column, bins_per_decade: int) -> Column:
+    # non-finite quarantine FIRST (r11 review, verified on Spark 4.1.2):
+    # +inf → floor(log10(inf)) = Long.MAX → ANSI CAST_OVERFLOW kills the
+    # job on one bad row; NaN compares > 0 under Spark's NaN ordering and
+    # silently lands in bin 0 as a value near 1.0. Both get reserved bins;
+    # -inf is ≤ 0 and falls into the nonpositive bin on its own.
     v = value.cast("double")
     return (
-        F.when(
+        F.when(F.isnan(v), F.lit(_NAN_BIN))
+        .when(v == F.lit(float("inf")), F.lit(_POSINF_BIN))
+        .when(
             v > 0,
             F.floor(F.log10(v) * F.lit(float(bins_per_decade))).cast("int"),
         )
@@ -100,9 +109,13 @@ def histogram_sketch_table(
     (keys, bin), map-side partial counting. A cell's histogram is ≤
     bins_per_decade × (decades spanned) rows (~a few hundred), so the
     silver is cell-count-sized, never corpus-sized. NULL values are
-    dropped (no measurement); values ≤ 0 land in a reserved bin that
-    quantile reads report via ``n_nonpositive`` rather than folding into
-    the log domain. Merge finer silvers into coarser ones by groupBy-SUM
+    dropped (no measurement); values ≤ 0 (incl. −inf) land in a reserved
+    bin that quantile reads report via ``n_nonpositive`` rather than
+    folding into the log domain; NaN and +inf get their own reserved
+    bins (``n_nan`` / NULL-edge semantics — see :func:`rollup_quantiles`;
+    without the quarantine +inf ANSI-overflows the int cast and NaN
+    silently lands near 1.0). Merge finer silvers into coarser ones by
+    groupBy-SUM
     over the same bin column (:func:`rollup_quantiles` does it per read).
     """
     return (
@@ -176,9 +189,14 @@ def rollup_quantiles(
     engine-portable read whose value is within one bin width (factor
     ``10^(1/B)``) of the exact quantile. Never touches raw data; cost is
     proportional to silver rows. Returns one row per key combination:
-    (keys…, n, n_nonpositive, q_<q> …). Nonpositive values count toward
-    ``n`` ranks (they sort below every positive bin) but a quantile that
-    lands inside them reports NULL — there is no log edge to name.
+    (keys…, n, n_nonpositive, n_nan, q_<q> …). Nonpositive values
+    (incl. −inf) count toward ``n`` ranks (they sort below every
+    positive bin) and +inf counts at the top, but a quantile landing in
+    either reports NULL — there is no finite log edge to name. NaN rows
+    are EXCLUDED from rank positions entirely (NaN is unordered —
+    placing it anywhere would distort every quantile) and reported as
+    ``n_nan``. An empty (or all-NULL-value) histogram yields n=0 with
+    NULL quantiles, not an error.
 
     ``bins_per_decade`` is normally None: B is read from the silver's own
     ``bpd`` stamp column and verified homogeneous per group (mixing two
@@ -211,14 +229,28 @@ def rollup_quantiles(
         if keys
         else Window.partitionBy(F.lit(1))
     )
+    # NaN rows carry no rank position: the cumulative/total sums skip
+    # them (counted separately as n_nan)
+    ranked_cnt = F.when(F.col("bin") == _NAN_BIN, F.lit(0)).otherwise(
+        F.col("cnt")
+    )
     cum = merged.withColumn(
-        "cum", F.sum("cnt").over(w.orderBy("bin"))
-    ).withColumn("n", F.sum("cnt").over(w))
+        "cum", F.sum(ranked_cnt).over(w.orderBy("bin"))
+    ).withColumn("n", F.sum(ranked_cnt).over(w))
     aggs = [
-        F.max("n").alias("n"),
-        F.max(
-            F.when(F.col("bin") == _NONPOS_BIN, F.col("cnt")).otherwise(0)
+        F.coalesce(F.max("n"), F.lit(0)).alias("n"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("bin") == _NONPOS_BIN, F.col("cnt")).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_nonpositive"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("bin") == _NAN_BIN, F.col("cnt")).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_nan"),
         F.min("__bmin").alias("__bmin"),
         F.max("__bmax").alias("__bmax"),
     ]
@@ -226,43 +258,56 @@ def rollup_quantiles(
     for q in qs:
         # the first bin whose cumulative count reaches ceil(q*n): min bin
         # among qualifying rows (bins are ordered, cum is monotone).
-        # The 1e-9 back-off keeps a mathematically-integer q·n from
+        # The RELATIVE back-off keeps a mathematically-integer q·n from
         # rounding UP in binary (0.017·3000 = 51.00000000000001 → rank 52
-        # instead of 51 — measured; 1159 such (q, n) pairs under 5000),
-        # which could push the answer one whole bin high and break the
-        # one-bin-width error contract (r11 review)
-        rank = F.ceil(F.lit(float(q)) * F.col("n") - F.lit(1e-9))
+        # instead of 51 — measured); an absolute 1e-9 back-off stops
+        # working once ulp(q·n) exceeds it (q·n > ~4.5e6 — the scale this
+        # module targets; r11 review round 2), so scale the back-off with
+        # the product itself.
+        qn = F.lit(float(q)) * F.col("n")
+        rank = F.ceil(qn * F.lit(1.0 - 1e-12))
         name = f"q_{str(q).replace('.', '_')}"
         names.append(name)
         aggs.append(
-            F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(
-                f"__qbin_{name}"
-            )
+            F.min(
+                F.when(
+                    (F.col("bin") != _NAN_BIN) & (F.col("cum") >= rank),
+                    F.col("bin"),
+                )
+            ).alias(f"__qbin_{name}")
         )
     grouped = cum.groupBy(*keys).agg(*aggs) if keys else cum.agg(*aggs)
     # homogeneity gate + edge math in one post-agg projection: a mixed-B
     # group (or a stamp contradicting an explicit bins_per_decade) raises
-    # instead of reinterpreting bins
-    b_ok = F.col("__bmin") == F.col("__bmax")
+    # instead of reinterpreting bins. coalesce(…, True): an EMPTY global
+    # rollup emits one all-NULL row — that is n=0, not a mixing error
+    # (r11 review round 2: NULL==NULL is NULL and fell into the error
+    # branch, whose concat'd message was itself NULL).
+    b_ok = F.coalesce(F.col("__bmin") == F.col("__bmax"), F.lit(True))
     if bins_per_decade is not None:
-        b_ok = b_ok & (F.col("__bmax") == F.lit(int(bins_per_decade)))
+        b_ok = b_ok & F.coalesce(
+            F.col("__bmax") == F.lit(int(bins_per_decade)), F.lit(True)
+        )
     err = F.raise_error(
         F.concat(
             F.lit(
                 "histogram rollup mixes bins_per_decade stamps (or "
                 "contradicts the explicit bins_per_decade): bpd in ["
             ),
-            F.col("__bmin").cast("string"),
+            F.coalesce(F.col("__bmin").cast("string"), F.lit("NULL")),
             F.lit(", "),
-            F.col("__bmax").cast("string"),
+            F.coalesce(F.col("__bmax").cast("string"), F.lit("NULL")),
             F.lit("] — bin ids from different B are incommensurable"),
         )
     )
-    cols = [*keys, "n", "n_nonpositive"]
+    cols = [*keys, "n", "n_nonpositive", "n_nan"]
     out = grouped
+    no_edge = (_NONPOS_BIN, _POSINF_BIN)
     for name in names:
         qbin = F.col(f"__qbin_{name}")
-        val = F.when(qbin == _NONPOS_BIN, F.lit(None).cast("double")).otherwise(
+        val = F.when(
+            qbin.isin(*no_edge), F.lit(None).cast("double")
+        ).otherwise(
             F.pow(
                 F.lit(10.0),
                 (qbin + 1).cast("double") / F.col("__bmax").cast("double"),

@@ -83,19 +83,25 @@ def _sharded(
     global shuffle pays; each shard is written by exactly one task. The
     ``__key`` column is kept for callers that need the in-shard order to
     survive a row-to-text projection."""
-    key = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
     return (
-        df.withColumn("__key", key)
-        .withColumn(
-            "shard",
-            F.pmod(
-                F.conv(F.substring("__key", 1, 15), 16, 10).cast("long"),
-                F.lit(n_shards),
-            ).cast("int"),
-        )
+        df.withColumn("__key", _shard_key(id_col, salt))
+        .withColumn("shard", _shard_of(F.col("__key"), n_shards))
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "__key", id_col)
     )
+
+
+def _shard_key(id_col: str, salt: str):
+    return F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+    )
+
+
+def _shard_of(key, n_shards: int):
+    return F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
 
 
 def write_training_shards(
@@ -178,38 +184,29 @@ def write_jsonl_shards(
     (shard, md5-key) order and one file per shard directory."""
     import json
 
-    from pyspark.sql import Observation
-
     data_cols = df.columns
-    # per-shard counts ride the WRITE pass itself via an Observation
-    # (n_shards conditional counts — a hyperparameter, not data-sized):
-    # re-reading the export for the manifest would re-scan (and for gzip
-    # re-decompress) the full output, doubling export I/O, where the
-    # parquet sibling deliberately pays a metadata-only footer read
-    # (r11 review; the Observation idiom is the r10 count+write pattern)
-    obs = Observation()
-    out = (
-        _sharded(df, id_col, n_shards, salt)
-        .select("shard", F.to_json(F.struct(*data_cols)).alias("value"))
-        .observe(
-            obs,
-            *[
-                F.sum(
-                    F.when(F.col("shard") == s, F.lit(1)).otherwise(F.lit(0))
-                ).alias(f"s{s}")
-                for s in range(n_shards)
-            ],
-        )
+    out = _sharded(df, id_col, n_shards, salt).select(
+        "shard", F.to_json(F.struct(*data_cols)).alias("value")
     )
     w = out.write.mode("overwrite").partitionBy("shard")
     if compression is not None:
         w = w.option("compression", compression)
     w.text(path)
-    got = obs.get
+    # manifest counts from ONE extra column-pruned scan of the INPUT
+    # (id_col only — the shard id is pure id arithmetic), aggregated
+    # map-side into n_shards rows. Re-reading the EXPORT would re-scan
+    # and re-gunzip the full output (r11 review), and an Observation with
+    # n_shards conditional sums puts O(n_shards) branch evaluations on
+    # every row of the write hot path (r11 review round 2) — the pruned
+    # input scan is O(rows) on one column and touches neither.
     counts = {
-        s: int(got[f"s{s}"])
-        for s in range(n_shards)
-        if got.get(f"s{s}")  # empty shards have no dir — keep them absent
+        int(r.shard): int(r.n)
+        for r in df.select(
+            _shard_of(_shard_key(id_col, salt), n_shards).alias("shard")
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
     payload = json.dumps(
         {

@@ -317,11 +317,13 @@ def ivf_ingest_writer(
     # exist in the landed silver when one exists -- ONE footer read of
     # one leaf file, at factory time. A raw writer appending into an
     # int8 silver (or vice versa) otherwise merges schemas and probes
-    # read NULLs silently (same family as the r11 PQ guards).
-    if _silver_has_data(spark, silver_dir):
-        batched0, flat0 = _list_silver_leaves(spark, silver_dir)
-        some = next(iter(flat0.values()), None) or next(
-            (u for bs in batched0.values() for u in bs.values()), None
+    # read NULLs silently (same family as the r11 PQ guards). Reuses the
+    # flat-layout check's listing snapshot -- the factory walks the tree
+    # once, not three times (r11 review round 2; flat leaves are
+    # impossible here, the layout guard above already raised on them).
+    if silver_existed:
+        some = next(
+            (u for bs in _batched.values() for u in bs.values()), None
         )
         if some is not None:
             existing = set(spark.read.parquet(some).columns)

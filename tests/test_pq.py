@@ -440,3 +440,31 @@ def test_pq_probe_rejects_foreign_books(spark, clustered, tmp_path):
     foreign = pq_codebooks_fixed(DIM, M, K)
     with pytest.raises(ValueError, match="DIFFERENT codebooks"):
         ivf_pq_topk_assigned(spark, path, q, cents, foreign, k=3, nprobe=4)
+
+
+def test_pq_probe_rejects_foreign_centroids(spark, clustered, tmp_path):
+    """r11 review round 2: the probe verifies the CENTROID stamp too —
+    foreign/refit centroids route queries to partitions whose ids mean
+    something else (silent pruned-probe recall collapse)."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+
+    cents = ivf_fit(clustered, dim=DIM, nlist=4, iters=1)
+    books = pq_fit(clustered, dim=DIM, m=M, k=K, iters=2)
+    path = str(tmp_path / "cent_guard")
+    write_pq_corpus(clustered, cents, books, path)
+    refit = [[float(x) + 0.25 for x in row] for row in cents]
+    q = clustered.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        ivf_pq_topk_assigned(spark, path, q, refit, books, k=3, nprobe=4)
+
+
+def test_pq_encode_null_vector_raises_diagnosable(spark):
+    """A NULL vector aborts the encode with a readable message (NULL codes
+    would otherwise flow into the silver and NULL adc tops every ranking);
+    r11 round-2 fix: the message itself must not null-propagate away."""
+    books = pq_codebooks_fixed(DIM, M, K)
+    df = spark.createDataFrame(
+        [(0, [1.0] * DIM), (1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        pq_encode(df, books).collect()

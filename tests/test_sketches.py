@@ -262,3 +262,35 @@ def test_quantile_expectation_gate(spark):
         nhist, {"median_any": (0.5, lambda c: c > 0.0)}
     ).collect()[0]
     assert rep["pass"] is False and rep.value is None
+
+
+def test_histogram_nonfinite_and_empty_inputs(spark):
+    """r11 review round 2 (verified failures): +inf must not ANSI-crash
+    the build (reserved top bin, NULL-edge quantiles), NaN must not land
+    near 1.0 (excluded from rank positions, reported as n_nan), and an
+    empty histogram must roll up to n=0 with NULL quantiles, not raise a
+    NULL-message error."""
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    rows = (
+        [(float("inf"),)] * 5
+        + [(float("nan"),)] * 7
+        + [(float("-inf"),)] * 3
+        + [(100.0,)] * 85
+    )
+    df = spark.createDataFrame(rows, "val double")
+    hist = histogram_sketch_table(df, [], "val")
+    out = rollup_quantiles(hist, [], [0.5, 0.99]).collect()[0]
+    # ranks: 3 neg-inf (nonpositive) + 85 finite + 5 posinf = 93; NaN out
+    assert out.n == 93 and out.n_nan == 7 and out.n_nonpositive == 3
+    assert out.q_0_5 is not None and abs(out.q_0_5 - 100.0) / 100.0 < 0.13
+    assert out.q_0_99 is None  # lands in the +inf mass — no finite edge
+
+    empty = histogram_sketch_table(
+        spark.createDataFrame([], "val double"), [], "val"
+    )
+    e = rollup_quantiles(empty, [], [0.5]).collect()[0]
+    assert e.n == 0 and e.n_nan == 0 and e.q_0_5 is None
