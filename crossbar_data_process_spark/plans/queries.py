@@ -114,9 +114,10 @@ BENCH_QUERIES = [
     # deterministic mix sampling (q35's folded slot), benchmarked from day one
     "q65_contamination",
     "q66_mixture_sample",
-    # r11 addition: PQ-ADC top-k (q39_ann_lsh's folded slot), benchmarked
-    # from day one
+    # r11 additions: PQ-ADC top-k (q39_ann_lsh's folded slot) and the
+    # quantile-sketch rollup (q31's folded slot), benchmarked from day one
     "q67_pq_adc_topk",
+    "q68_quantile_rollup",
 ]
 
 
@@ -1680,14 +1681,12 @@ def q30_supplier_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------- connected components via iterative min-label propagation
-@query(
-    "q31_connected_components",
-    """
-SELECT CAST(n_nationkey AS BIGINT) AS node,
-       CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
-FROM nation
-""",
-)
+# r11 fold: the q31 registry row moved to tests/test_operator_properties.py::
+# test_connected_components_matches_oracle (the former DuckDB oracle lives on
+# there verbatim); its slot went to q68_quantile_rollup (REGISTRY.md). The
+# iterative min-label component family stays registry-oracled via
+# q53_neardup_resolve, whose DuckDB oracle walks the same components
+# recursively over the LSH pair graph — the richer, production surface.
 def q31_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     a = n.alias("a")
@@ -2065,6 +2064,85 @@ def q67_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pq_adc_topk(codes, luts, m=4, k_codes=16, k=5)
     return out.select(
         "query_id", "neighbor_id", "adc", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# -------- mergeable quantile-sketch rollup (operators/sketches.py, r11):
+# log-spaced bin counts per (source) cell, quantiles read from summed bins
+# — the distribution silver a 100 TB profiler rolls up instead of sorting
+# the corpus. The whole chain is pure arithmetic (floor(log10·B) binning,
+# window cumsum, relative-epsilon rank, 10^((bin+1)/B) edge), so the
+# DuckDB oracle replicates it term by term; the edge goes through the
+# floor-based _fround on BOTH sides (pow differs by ≤1 ulp between libms —
+# the r7 rounding rule), and the binned value is length(text)+0.5 so no
+# input sits on an exact power-of-ten bin boundary.
+def _quantile_rollup_oracle(b: int = 20, qs=(0.5, 0.9, 0.99)) -> str:
+    eps = repr(1.0 - 1e-12)
+    qb_cols = []
+    for q in qs:
+        name = f"q_{str(q).replace('.', '_')}"
+        rank = (
+            f"ceil((CAST('{q!r}' AS DOUBLE) * CAST(n AS DOUBLE)) "
+            f"* CAST('{eps}' AS DOUBLE))"
+        )
+        qb_cols.append(
+            f"MIN(CASE WHEN cum >= {rank} THEN bin END) AS qb_{name}"
+        )
+    edge_cols = ", ".join(
+        f"floor(pow(10.0, CAST(qb_q_{s} + 1 AS DOUBLE) / CAST({b} AS DOUBLE))"
+        f" * 1000000 + 0.5) / 1000000 AS q_{s}"
+        for s in (str(q).replace(".", "_") for q in qs)
+    )
+    return f"""
+WITH vals AS (
+  SELECT source, CAST(length(text) AS DOUBLE) + 0.5 AS v FROM documents),
+bins AS (
+  SELECT source, CAST(floor(log10(v) * CAST({b} AS DOUBLE)) AS INT) AS bin,
+         COUNT(*) AS cnt
+  FROM vals GROUP BY source, bin),
+c AS (
+  SELECT source, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM bins),
+g AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n, {', '.join(qb_cols)}
+  FROM c GROUP BY source)
+SELECT source, n, CAST(0 AS BIGINT) AS n_nonpositive,
+       CAST(0 AS BIGINT) AS n_nan, {edge_cols}
+FROM g
+"""
+
+
+@query("q68_quantile_rollup", _quantile_rollup_oracle())
+def q68_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length p50/p90/p99 via the mergeable log-histogram
+    silver (histogram_sketch_table → rollup_quantiles): one (source, bin)
+    groupBy over the corpus, then quantiles from the cell-count-sized bin
+    table. Binned value = length(text) + 0.5 (never on a 10^(k/B)
+    boundary); edges rounded with the engine-portable _fround."""
+    from crossbar_data_process_spark.operators.lm import _fround
+    from crossbar_data_process_spark.operators.sketches import (
+        histogram_sketch_table,
+        rollup_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vals = d.select(
+        "source",
+        (F.length("text").cast("double") + F.lit(0.5)).alias("doclen"),
+    )
+    hist = histogram_sketch_table(vals, ["source"], "doclen", bins_per_decade=20)
+    out = rollup_quantiles(hist, ["source"], [0.5, 0.9, 0.99])
+    return out.select(
+        "source",
+        "n",
+        F.col("n_nonpositive").cast("long").alias("n_nonpositive"),
+        F.col("n_nan").cast("long").alias("n_nan"),
+        *[
+            _fround(F.col(c), 6).alias(c)
+            for c in ("q_0_5", "q_0_9", "q_0_99")
+        ],
     )
 
 
@@ -2930,7 +3008,8 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r11 new surface first
+    # r11 new surfaces first
+    "q68_quantile_rollup",
     "q67_pq_adc_topk",
     # r10 new surfaces
     "q65_contamination",

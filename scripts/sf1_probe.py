@@ -82,6 +82,9 @@ TEXT_QUERIES = {
     # stays on the replica path: it reads only (doc_id, source) and the
     # Zipf corpus has a single source value, which would zero out its mix.
     "q65_contamination",
+    # r11: per-source length quantiles read only documents; Zipf's lengths
+    # are the realistic fat-tailed distribution
+    "q68_quantile_rollup",
 }
 
 # key -> offset unit must exceed the key's max at sf0.1

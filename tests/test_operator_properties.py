@@ -432,3 +432,33 @@ def test_ann_lsh_matches_oracle(spark):
     )
     want = set(map(tuple, con.sql(_ann_lsh_oracle()).fetchall()))
     assert got == want
+
+
+def test_connected_components_matches_oracle(spark):
+    """Connected components over region-cliques (the former q31 registry
+    row, folded out in r11 for q68_quantile_rollup — REGISTRY.md): the
+    former DuckDB oracle lives on here verbatim. The iterative min-label
+    component family stays registry-oracled via q53_neardup_resolve's
+    recursive component walk over the LSH pair graph."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        q31_connected_components,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.node, r.component) for r in q31_connected_components(s, sf).collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"""
+            SELECT CAST(n_nationkey AS BIGINT) AS node,
+                   CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey)
+                        AS BIGINT) AS component
+            FROM read_parquet('{sf}/nation.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want
