@@ -164,6 +164,7 @@ def write_jsonl_shards(
     n_shards: int = 8,
     salt: str = "",
     compression: str | None = None,
+    manifest_counts: str = "output",
 ) -> dict[int, int]:
     """Training-data export as sharded JSONL — the interchange format
     tokenizer/training pipelines actually consume (one JSON object per
@@ -192,22 +193,46 @@ def write_jsonl_shards(
     if compression is not None:
         w = w.option("compression", compression)
     w.text(path)
-    # manifest counts from ONE extra column-pruned scan of the INPUT
-    # (id_col only — the shard id is pure id arithmetic), aggregated
-    # map-side into n_shards rows. Re-reading the EXPORT would re-scan
-    # and re-gunzip the full output (r11 review), and an Observation with
-    # n_shards conditional sums puts O(n_shards) branch evaluations on
-    # every row of the write hot path (r11 review round 2) — the pruned
-    # input scan is O(rows) on one column and touches neither.
-    counts = {
-        int(r.shard): int(r.n)
-        for r in df.select(
-            _shard_of(_shard_key(id_col, salt), n_shards).alias("shard")
+    # Manifest counts: the manifest is the training job's sanity check of
+    # what LANDED, so the default counts the WRITTEN output (always
+    # consistent with the files, at the cost of one re-read — gunzip
+    # included for compressed shards; the parquet sibling's footer-only
+    # count has no text equivalent). ``manifest_counts="input"`` is the
+    # cheap path for DETERMINISTIC lineage: one column-pruned scan of the
+    # input (id arithmetic only, no Observation on the write hot path —
+    # r11 review rounds 2/3), but a nondeterministic source (unseeded
+    # sample(), rand() ids, data changing between jobs) would make it
+    # disagree with the files — that divergence is exactly what the
+    # default catches.
+    if manifest_counts == "output":
+        counts = {
+            int(r.shard): int(r.n)
+            for r in df.sparkSession.read.text(path)
+            .withColumn(
+                "shard",
+                F.regexp_extract(
+                    F.input_file_name(), r"shard=(\d+)", 1
+                ).cast("int"),
+            )
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    elif manifest_counts == "input":
+        counts = {
+            int(r.shard): int(r.n)
+            for r in df.select(
+                _shard_of(_shard_key(id_col, salt), n_shards).alias("shard")
+            )
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    else:
+        raise ValueError(
+            f"manifest_counts must be 'output' or 'input', got "
+            f"{manifest_counts!r}"
         )
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     payload = json.dumps(
         {
             "format": "jsonl",

@@ -275,7 +275,13 @@ def ivf_ingest_writer(
                     "silently wrong; refit/rebuild or pass the silver's "
                     "own identity (pq.load_pq_meta)"
                 )
-        elif not silver_existed:
+        elif not silver_existed or not (_batched or _flat):
+            # fresh dir, or an existing-but-EMPTY one (the layout snapshot
+            # above proved zero data rows — e.g. a raw factory stamped
+            # centroid meta but no batch ever ran): stamping is safe, and
+            # NOT stamping would leave every landed PQ batch permanently
+            # unprobeable (load_pq_meta dies on the missing stamp) with
+            # no way to add one later (r11 review round 3)
             from crossbar_data_process_spark.sources.writers import (
                 _hadoop_write_text,
             )

@@ -113,7 +113,7 @@ def main() -> None:
         f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
     )
     if args.compact:
-        _compaction_phase(spark, cents, args.batches)
+        _compaction_phase(spark, cents, args.batches, books)
     spark.stop()
 
 
@@ -128,8 +128,9 @@ def _silver_files(silver: str) -> tuple[int, int]:
     return files, leaves
 
 
-def _compaction_phase(spark, cents, batches: int) -> None:
+def _compaction_phase(spark, cents, batches: int, books=None) -> None:
     from crossbar_data_process_spark.operators.ivf import ivf_topk_assigned
+    from crossbar_data_process_spark.operators.pq import ivf_pq_topk_assigned
     from crossbar_data_process_spark.streaming.ann_ingest import (
         compact_ivf_silver,
     )
@@ -137,14 +138,25 @@ def _compaction_phase(spark, cents, batches: int) -> None:
     silver = f"{ROOT}/silver"
     queries = gen_batch(spark, 0, 64)
 
+    # a PQ silver stores codes only: probe it with the ADC reader (a raw
+    # ivf_topk_assigned would select the nonexistent embedding column —
+    # r11 review round 3)
     def probe() -> tuple[float, list]:
         t0 = time.perf_counter()
-        rows = sorted(
-            (r.query_id, r.rnk, r.neighbor_id, round(r.cosine, 6))
-            for r in ivf_topk_assigned(
-                spark, silver, queries, cents, k=10, nprobe=4
-            ).collect()
-        )
+        if books is not None:
+            rows = sorted(
+                (r.query_id, r.rnk, r.neighbor_id, r.adc)
+                for r in ivf_pq_topk_assigned(
+                    spark, silver, queries, cents, books, k=10, nprobe=4
+                ).collect()
+            )
+        else:
+            rows = sorted(
+                (r.query_id, r.rnk, r.neighbor_id, round(r.cosine, 6))
+                for r in ivf_topk_assigned(
+                    spark, silver, queries, cents, k=10, nprobe=4
+                ).collect()
+            )
         return time.perf_counter() - t0, rows
 
     f0, l0 = _silver_files(silver)

@@ -854,3 +854,28 @@ def test_ingest_refuses_mixed_storage_formats(
     sink2(clustered.limit(10), 0)
     with pytest.raises(ValueError, match="mixed storage"):
         ivf_ingest_writer(spark, centroids, raw, quantize=True)
+
+
+def test_pq_factory_stamps_existing_but_empty_silver(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 review round 3: a raw factory that stamped centroid meta but
+    never ran a batch must not block a later PQ factory from stamping —
+    the listing snapshot proves zero data rows, so stamping is safe, and
+    without it every landed PQ batch would be permanently unprobeable."""
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        load_pq_codebooks,
+        pq_fit,
+    )
+
+    silver = str(tmp_path / "empty_then_pq")
+    ivf_ingest_writer(spark, centroids, silver)  # stamps meta, no batch
+    books = pq_fit(clustered, dim=32, m=4, k=16, iters=2)
+    sink = ivf_ingest_writer(spark, centroids, silver, pq_codebooks=books)
+    sink(clustered.limit(50), 0)
+    assert load_pq_codebooks(spark, silver) == books
+    q = clustered.filter(F.col("vec_id") < 2)
+    assert ivf_pq_topk_assigned(
+        spark, silver, q, centroids, books, k=3, nprobe=8
+    ).count() > 0

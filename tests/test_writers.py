@@ -250,3 +250,29 @@ def test_jsonl_shards_gzip_compression(spark, tmp_path):
     assert set(row) == {"doc_id", "text"}
     manifest = json.loads((tmp_path / "z" / "manifest.json").read_text())
     assert manifest["compression"] == "gzip" and manifest["format"] == "jsonl"
+
+
+def test_jsonl_manifest_counts_modes(spark, tmp_path):
+    """Default manifest counts come from the WRITTEN output (always
+    consistent with the files); manifest_counts='input' is the cheap
+    deterministic-lineage path and must agree here; bad mode raises."""
+    import json
+
+    from crossbar_data_process_spark.sources.writers import write_jsonl_shards
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    c_out = write_jsonl_shards(df, str(tmp_path / "o"), n_shards=4)
+    c_in = write_jsonl_shards(
+        df, str(tmp_path / "i"), n_shards=4, manifest_counts="input"
+    )
+    assert c_out == c_in and sum(c_out.values()) == 300
+    m = json.loads((tmp_path / "o" / "manifest.json").read_text())
+    assert sum(m["shards"].values()) == 300
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="manifest_counts"):
+        write_jsonl_shards(
+            df, str(tmp_path / "x"), n_shards=4, manifest_counts="bogus"
+        )
