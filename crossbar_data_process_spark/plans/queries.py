@@ -2095,7 +2095,11 @@ def _quantile_rollup_oracle(b: int = 20, qs=(0.5, 0.9, 0.99)) -> str:
     )
     return f"""
 WITH vals AS (
-  SELECT source, CAST(length(text) AS DOUBLE) + 0.5 AS v FROM documents),
+  -- NULL text is dropped on the Spark side too (histogram_sketch_table
+  -- filters isNotNull): without this, a NULL-length row would join the
+  -- oracle's window SUM as a NULL bin and shift every rank
+  SELECT source, CAST(length(text) AS DOUBLE) + 0.5 AS v
+  FROM documents WHERE text IS NOT NULL),
 bins AS (
   SELECT source, CAST(floor(log10(v) * CAST({b} AS DOUBLE)) AS INT) AS bin,
          COUNT(*) AS cnt

@@ -185,6 +185,14 @@ def write_jsonl_shards(
     (shard, md5-key) order and one file per shard directory."""
     import json
 
+    if manifest_counts not in ("output", "input"):
+        # validate BEFORE the (destructive, mode=overwrite) export runs —
+        # a typo'd mode must not rewrite the destination and then die
+        # manifest-less (r11 review round 4)
+        raise ValueError(
+            f"manifest_counts must be 'output' or 'input', got "
+            f"{manifest_counts!r}"
+        )
     data_cols = df.columns
     out = _sharded(df, id_col, n_shards, salt).select(
         "shard", F.to_json(F.struct(*data_cols)).alias("value")
@@ -205,20 +213,23 @@ def write_jsonl_shards(
     # disagree with the files — that divergence is exactly what the
     # default catches.
     if manifest_counts == "output":
+        # read ONLY the shard=*/ partition dirs (basePath keeps partition
+        # discovery, the glob keeps stray root files — a stale manifest
+        # under session-level dynamic partitionOverwriteMode — out of the
+        # scan, where a filename-regexp shard would ANSI-crash on them;
+        # r11 review round 4). NB: under session-level DYNAMIC overwrite a
+        # shard dir that received no rows THIS run may survive from a
+        # prior run and be counted — the writer itself always uses static
+        # overwrite semantics on the full path.
         counts = {
             int(r.shard): int(r.n)
-            for r in df.sparkSession.read.text(path)
-            .withColumn(
-                "shard",
-                F.regexp_extract(
-                    F.input_file_name(), r"shard=(\d+)", 1
-                ).cast("int"),
-            )
+            for r in df.sparkSession.read.option("basePath", path)
+            .text(f"{path}/shard=*")
             .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-    elif manifest_counts == "input":
+    else:
         counts = {
             int(r.shard): int(r.n)
             for r in df.select(
@@ -228,11 +239,6 @@ def write_jsonl_shards(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-    else:
-        raise ValueError(
-            f"manifest_counts must be 'output' or 'input', got "
-            f"{manifest_counts!r}"
-        )
     payload = json.dumps(
         {
             "format": "jsonl",

@@ -238,16 +238,29 @@ def ivf_ingest_writer(
                 "one-shot silver read-only)"
             )
         if not verified:
-            import warnings
+            if not _batched:
+                # the dir exists (e.g. pre-created by orchestration, or a
+                # prior factory stamped nothing) but the snapshot proved
+                # ZERO data rows — stamping is safe, and the no-stamp
+                # provenance rule is about data of unknown origin, not
+                # empty directories (r11 review round 4: without this the
+                # silver stays permanently centroid-unstamped while a PQ
+                # stamp CAN land, letting a later refit-centroid factory
+                # slip past check_centroid_meta)
+                _write_centroid_meta(spark, silver_dir, centroids)
+            else:
+                import warnings
 
-            warnings.warn(
-                f"IVF silver at {silver_dir} predates {_CENTROID_META} — "
-                "its quantizer identity cannot be verified against this "
-                "writer's centroids; leaving it unstamped. Rebuild with "
-                "write_assigned_corpus (or re-create via this writer on "
-                "an empty directory) to stamp a verified identity.",
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"IVF silver at {silver_dir} predates "
+                    f"{_CENTROID_META} — its quantizer identity cannot "
+                    "be verified against this writer's centroids; "
+                    "leaving it unstamped. Rebuild with "
+                    "write_assigned_corpus (or re-create via this "
+                    "writer on an empty directory) to stamp a verified "
+                    "identity.",
+                    stacklevel=2,
+                )
     else:
         _write_centroid_meta(spark, silver_dir, centroids)
     if pq_codebooks is not None:

@@ -879,3 +879,25 @@ def test_pq_factory_stamps_existing_but_empty_silver(
     assert ivf_pq_topk_assigned(
         spark, silver, q, centroids, books, k=3, nprobe=8
     ).count() > 0
+
+
+def test_centroid_stamp_lands_on_existing_empty_dir(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 review round 4: a pre-created (or stamped-nothing) EMPTY dir
+    must still receive the centroid stamp — otherwise a later factory
+    with refit centroids slips past check_centroid_meta with only a
+    warning."""
+    import os
+
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        check_centroid_meta,
+    )
+
+    silver = str(tmp_path / "precreated")
+    os.makedirs(silver)
+    ivf_ingest_writer(spark, centroids, silver)
+    assert check_centroid_meta(spark, silver, centroids) is True
+    refit = [[float(x) + 0.25 for x in row] for row in centroids]
+    with pytest.raises(ValueError, match="different\\s+quantizer"):
+        ivf_ingest_writer(spark, refit, silver)

@@ -294,3 +294,32 @@ def test_histogram_nonfinite_and_empty_inputs(spark):
     )
     e = rollup_quantiles(empty, [], [0.5]).collect()[0]
     assert e.n == 0 and e.n_nan == 0 and e.q_0_5 is None
+
+
+def test_q68_oracle_drops_null_text_like_spark(spark, tmp_path):
+    """r11 review round 4 (latent): a NULL-text document must be dropped
+    by BOTH sides of q68 — the Spark sketch filters isNotNull; the oracle
+    must not let a NULL bin row inflate the window totals and shift every
+    rank."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _quantile_rollup_oracle,
+        q68_quantile_rollup,
+    )
+
+    sf = str(tmp_path)
+    rows = [(i, "src0", "x" * (10 + i)) for i in range(40)] + [
+        (99, "src0", None)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = sorted(tuple(r) for r in q68_quantile_rollup(spark, sf).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(t) for t in con.sql(_quantile_rollup_oracle()).fetchall())
+    assert got == want and got[0][1] == 40  # n excludes the NULL row
