@@ -468,3 +468,81 @@ def test_pq_encode_null_vector_raises_diagnosable(spark):
     )
     with pytest.raises(Exception, match="NULL"):
         pq_encode(df, books).collect()
+
+
+def test_pq_matches_python_reference_on_random_vectors(spark):
+    """Property pin beyond the SQL oracle: Spark's encode+ADC equals a
+    pure-Python replication of the documented arithmetic (left-to-right
+    fold sqdist, floor-based 1e-6 rounding, first-index argmin, ADC sum
+    re-rounded) on deterministic pseudo-random vectors — any drift in the
+    expression tree (fold order, rounding form, tie rule) trips here even
+    if both engines of the oracle drift together."""
+    import math
+
+    dim, m, k = 8, 2, 4
+    books = pq_codebooks_fixed(dim, m=m, k=k, seed=424242)
+    dsub = dim // m
+
+    def fr6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def sqd(u, v):
+        acc = 0.0
+        for a, b in zip(u, v):
+            acc = acc + (float(a) - float(b)) * (float(a) - float(b))
+        return acc
+
+    def ref_codes(vec):
+        out = []
+        for j in range(m):
+            sv = vec[j * dsub : (j + 1) * dsub]
+            d = [fr6(sqd(sv, c)) for c in books[j]]
+            out.append(d.index(min(d)))
+        return out
+
+    def ref_adc(qvec, codes):
+        lut = [
+            fr6(sqd(qvec[j * dsub : (j + 1) * dsub], books[j][c]))
+            for j in range(m)
+            for c in range(k)
+        ]
+        total = 0.0
+        for j in range(m):
+            total = total + lut[j * k + codes[j] + 1 - 1]
+        return fr6(total)
+
+    # deterministic pseudo-random float32 vectors (seeded LCG — no RNG
+    # state; float32 round-trip matches the array<float> column type)
+    import numpy as np
+
+    state = 77
+    rows = []
+    for i in range(60):
+        vec = []
+        for _ in range(dim):
+            state = (state * 48271) % 2147483647
+            vec.append(np.float32(state / 2147483647.0 * 4.0 - 2.0))
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, books, keep_vec=False).collect()
+    }
+    by_id = {i: v for i, v in rows}
+    for i, v in rows:
+        assert got_codes[i] == ref_codes(v), i
+
+    q = df.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in pq_adc_topk(
+            pq_encode(df, books, keep_vec=False),
+            pq_query_lut(q, books),
+            m,
+            k,
+            k=60,
+        ).collect()
+    }
+    for (qi, ni), adc in got.items():
+        want = ref_adc(by_id[qi], ref_codes(by_id[ni]))
+        assert adc == want, (qi, ni, adc, want)
