@@ -135,7 +135,16 @@ def write_training_shards(
     import json
 
     out = _sharded(df, id_col, n_shards, salt).drop("__key")
-    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    # static overwrite PINNED per-write: under session-level dynamic
+    # partitionOverwriteMode a smaller re-export would leave stale prior
+    # shards alive (and certified by the manifest) — the full-path wipe
+    # is the contract here (r11 review round 5)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+        .parquet(path)
+    )
     # count what actually landed, from the written files' footers — a
     # metadata-only read, instead of re-running the repartition+sort job
     counts = {
@@ -197,7 +206,15 @@ def write_jsonl_shards(
     out = _sharded(df, id_col, n_shards, salt).select(
         "shard", F.to_json(F.struct(*data_cols)).alias("value")
     )
-    w = out.write.mode("overwrite").partitionBy("shard")
+    # static overwrite PINNED per-write (same rationale as
+    # write_training_shards: stale prior-run shards must not survive a
+    # re-export under session-level dynamic mode and get certified by
+    # the fresh manifest — r11 review round 5)
+    w = (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("shard")
+    )
     if compression is not None:
         w = w.option("compression", compression)
     w.text(path)
@@ -214,21 +231,32 @@ def write_jsonl_shards(
     # default catches.
     if manifest_counts == "output":
         # read ONLY the shard=*/ partition dirs (basePath keeps partition
-        # discovery, the glob keeps stray root files — a stale manifest
-        # under session-level dynamic partitionOverwriteMode — out of the
-        # scan, where a filename-regexp shard would ANSI-crash on them;
-        # r11 review round 4). NB: under session-level DYNAMIC overwrite a
-        # shard dir that received no rows THIS run may survive from a
-        # prior run and be counted — the writer itself always uses static
-        # overwrite semantics on the full path.
-        counts = {
-            int(r.shard): int(r.n)
-            for r in df.sparkSession.read.option("basePath", path)
-            .text(f"{path}/shard=*")
-            .groupBy("shard")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # discovery, the glob keeps stray root files out of the scan,
+        # where a filename-regexp shard would ANSI-crash on them; r11
+        # review round 4). The write above pins static overwrite, so no
+        # stale prior-run shard can survive into this count. An EMPTY
+        # export writes no shard dirs at all — the glob would raise
+        # PATH_NOT_FOUND, so probe first and emit an empty manifest
+        # (r11 review round 5).
+        jvm = df.sparkSession._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+        has_shards = any(
+            st.getPath().getName().startswith("shard=")
+            for st in fs.listStatus(root)
+        )
+        counts = (
+            {
+                int(r.shard): int(r.n)
+                for r in df.sparkSession.read.option("basePath", path)
+                .text(f"{path}/shard=*")
+                .groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if has_shards
+            else {}
+        )
     else:
         counts = {
             int(r.shard): int(r.n)

@@ -882,7 +882,7 @@ def test_pq_factory_stamps_existing_but_empty_silver(
 
 
 def test_centroid_stamp_lands_on_existing_empty_dir(
-    spark, clustered, centroids, tmp_path
+    spark, centroids, tmp_path
 ):
     """r11 review round 4: a pre-created (or stamped-nothing) EMPTY dir
     must still receive the centroid stamp — otherwise a later factory

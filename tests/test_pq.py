@@ -508,7 +508,7 @@ def test_pq_matches_python_reference_on_random_vectors(spark):
         ]
         total = 0.0
         for j in range(m):
-            total = total + lut[j * k + codes[j] + 1 - 1]
+            total = total + lut[j * k + codes[j]]  # 0-based ref of the 1-based element_at
         return fr6(total)
 
     # deterministic pseudo-random float32 vectors (seeded LCG — no RNG
@@ -533,16 +533,14 @@ def test_pq_matches_python_reference_on_random_vectors(spark):
         assert got_codes[i] == ref_codes(v), i
 
     q = df.filter(F.col("vec_id") < 5)
+    codes_df = pq_encode(df, books, keep_vec=False)
     got = {
         (r.query_id, r.neighbor_id): r.adc
         for r in pq_adc_topk(
-            pq_encode(df, books, keep_vec=False),
-            pq_query_lut(q, books),
-            m,
-            k,
-            k=60,
+            codes_df, pq_query_lut(q, books), m, k, k=60
         ).collect()
     }
+    assert len(got) == 5 * 59  # 5 queries x 59 non-self neighbors
     for (qi, ni), adc in got.items():
         want = ref_adc(by_id[qi], ref_codes(by_id[ni]))
         assert adc == want, (qi, ni, adc, want)

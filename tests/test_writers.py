@@ -276,3 +276,20 @@ def test_jsonl_manifest_counts_modes(spark, tmp_path):
         write_jsonl_shards(
             df, str(tmp_path / "x"), n_shards=4, manifest_counts="bogus"
         )
+
+
+def test_jsonl_empty_export_writes_empty_manifest(spark, tmp_path):
+    """r11 review round 5: an export whose input matched nothing must
+    still land a (empty) manifest instead of raising PATH_NOT_FOUND on
+    the shard glob after the destructive overwrite."""
+    import json
+
+    from crossbar_data_process_spark.sources.writers import write_jsonl_shards
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    ).filter(F.col("doc_id") < 0)
+    counts = write_jsonl_shards(df, str(tmp_path / "e"), n_shards=4)
+    assert counts == {}
+    m = json.loads((tmp_path / "e" / "manifest.json").read_text())
+    assert m["shards"] == {}
