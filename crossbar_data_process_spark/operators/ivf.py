@@ -60,6 +60,31 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def checked_vec(vec: Column, dim: int, vec_name: str) -> Column:
+    """``vec`` validated to be non-NULL with exactly ``dim`` components —
+    the sink-side guard (pq._with_subvecs' twin for the raw/int8 storage
+    paths, r11 ADVICE): a NULL vector otherwise assigns a NULL cluster,
+    the row lands under ``cluster=__HIVE_DEFAULT_PARTITION__``, and every
+    later silver read dies on an undiagnosable int-parse error (or worse,
+    skips rows). One size comparison + branch per row; the message
+    coalesces the NULL case so it stays diagnosable (concat
+    null-propagates)."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"IVF quantizer expects dim={dim} but '{vec_name}' "
+                    "has length "
+                ),
+                F.coalesce(
+                    F.size(vec).cast("string"),
+                    F.lit("NULL (the vector itself is NULL)"),
+                ),
+            )
+        )
+    )
+
+
 def _unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     # norm materialized into a column FIRST: a transform lambda referencing
     # the norm fold inline would re-run the O(dim) fold once per element
@@ -340,7 +365,17 @@ def write_assigned_corpus(
                 "decision rule); refusing to ship the index"
             )
         metadata = dict(diagnostics, nlist=nlist, dim=dim, regime=regime)
-    assigned = vectors.withColumn("cluster", ivf_assign(F.col(vec_col), centroids))
+    # length/NULL-check at the PARTITION-KEY source: a NULL assignment
+    # would land rows under cluster=__HIVE_DEFAULT_PARTITION__ and poison
+    # every later silver read (r11 ADVICE; the PQ path gets the same
+    # check from pq._with_subvecs)
+    assigned = vectors.withColumn(
+        "cluster",
+        ivf_assign(
+            checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+            centroids,
+        ),
+    )
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
             quantize_embeddings,

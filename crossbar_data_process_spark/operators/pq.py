@@ -78,6 +78,25 @@ def pq_codebooks_fixed(
     return books
 
 
+def canon_books(codebooks) -> list[list[list[float]]]:
+    """Codebooks normalized to nested lists of Python floats — the form
+    the JSON stamp round-trips to. Identity comparisons against a stamp
+    must go through this: books passed as tuples or numpy scalars are
+    numerically identical but compare != under Python's structural
+    equality, raising a spurious 'DIFFERENT codebooks' (r11 ADVICE).
+    float(np.float64) and a JSON round-trip are both exact, so canon(x)
+    == stamp iff the values match bit-for-bit."""
+    return [[[float(x) for x in code] for code in book] for book in codebooks]
+
+
+def canon_centers(centers) -> list[list[float]] | None:
+    """The residual-center half of :func:`canon_books` (None passes
+    through — a raw-PQ stamp carries null centers)."""
+    if centers is None:
+        return None
+    return [[float(x) for x in c] for c in centers]
+
+
 def _book_matrix(book: list[list[float]]) -> Column:
     """k × dsub literal matrix column (one subspace's codebook)."""
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
@@ -110,7 +129,11 @@ def _with_subvecs(
     m·dsub disagrees with the corpus dim would otherwise silently encode
     only a prefix (m·dsub < dim) or emit NULL codes from out-of-range
     slices (m·dsub > dim) — recall collapses with no error anywhere
-    (r11 review). The check is one size comparison + branch per row."""
+    (r11 review). The checked vector is BOUND in its own projection below
+    the slices (the `__n` idiom in ivf._unit) so the size comparison runs
+    once per row, not once per slice — CollapseProject keeps the binding
+    because the non-cheap when/raise_error expression is referenced m
+    times (r11 VERDICT nit)."""
     expected = m * dsub
     # coalesce in the message: a NULL vector otherwise raises with a NULL
     # message (concat null-propagates) — loud but undiagnosable (r11
@@ -132,10 +155,13 @@ def _with_subvecs(
             )
         )
     )
-    return df.select(
-        "*",
+    bound = df.select("*", checked.alias("__checked_vec"))
+    return bound.select(
+        *df.columns,
         *[
-            F.slice(checked, j * dsub + 1, dsub).alias(f"__sv{j}")
+            F.slice(F.col("__checked_vec"), j * dsub + 1, dsub).alias(
+                f"__sv{j}"
+            )
             for j in range(m)
         ],
     )
@@ -412,17 +438,21 @@ def pq_meta_json(
     """The ``_pq_codebooks.json`` stamp payload — shared by
     :func:`write_pq_corpus` and the streaming ingest writer so the two
     paths can never stamp diverging formats. The residual centers travel
-    WITH the books: residual codes are only meaningful against both."""
+    WITH the books: residual codes are only meaningful against both.
+    Values are canonicalized (nested Python-float lists) so numpy/tuple
+    inputs serialize and stamp-vs-caller comparisons are structural."""
     import json
 
+    books = canon_books(codebooks)
+    centers = canon_centers(residual_centers)
     return json.dumps(
         {
-            "m": len(codebooks),
-            "k": len(codebooks[0]),
-            "dsub": len(codebooks[0][0]),
-            "residual": residual_centers is not None,
-            "residual_centers": residual_centers,
-            "codebooks": codebooks,
+            "m": len(books),
+            "k": len(books[0]),
+            "dsub": len(books[0][0]),
+            "residual": centers is not None,
+            "residual_centers": centers,
+            "codebooks": books,
         }
     )
 
@@ -542,7 +572,7 @@ def ivf_pq_topk_assigned(
     )
 
     meta = load_pq_meta(spark, path)
-    if meta.get("codebooks") != codebooks:
+    if meta.get("codebooks") != canon_books(codebooks):
         # the writer side already refuses mismatched books; the probe has
         # the stamp in hand for free and must too — LUTs built from
         # foreign/refit books score garbage with no error (r11 review)

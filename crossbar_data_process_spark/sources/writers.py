@@ -188,6 +188,18 @@ def write_jsonl_shards(
     compressed JSONL is the realistic shape. Returns {shard: line_count}
     and writes ``manifest.json`` next to the shards.
 
+    ``manifest_counts``: ``"output"`` (default) re-reads the written
+    shards to count — always consistent with the files, but it roughly
+    DOUBLES export I/O (a full re-scan, re-gunzip included when
+    compressed). For a deterministic source — parquet/files lineage, no
+    unseeded ``sample()``/``rand()`` — pass ``"input"``: one column-pruned
+    scan of the input (id arithmetic only), which the pinned static
+    overwrite makes exactly equal to what landed. At scale, ``"input"``
+    is the recommended path for deterministic lineage; ``"output"`` is
+    the audit mode (r11 ADVICE). The manifest records which mode produced
+    its counts (``counts_mode``) so the training job knows whether the
+    numbers were verified against the files or recomputed from lineage.
+
     Determinism caveat that makes this NOT just ``.write.json()``: the
     DataFrameWriter's json sink writes one file per task with
     nondeterministic row order under AQE coalescing; this writer pins
@@ -274,6 +286,7 @@ def write_jsonl_shards(
             "n_shards": n_shards,
             "salt": salt,
             "id_col": id_col,
+            "counts_mode": manifest_counts,
             "shards": counts,
         },
         sort_keys=True,

@@ -42,6 +42,7 @@ from crossbar_data_process_spark.streaming.ingest import (
     _STAGING_PREFIX,
     _fs_and_path,
     _hadoop_read_text,
+    _partition_value_int,
     _write_batch_partition,
 )
 
@@ -189,6 +190,7 @@ def ivf_ingest_writer(
     from crossbar_data_process_spark.operators.ivf import (
         _centroid_scores,
         _unit,
+        checked_vec,
         ivf_assign,
     )
 
@@ -270,6 +272,8 @@ def ivf_ingest_writer(
         # writer's books onto codes of unknown provenance would fabricate
         # a 'verified' identity — the r9 no-stamp rule)
         from crossbar_data_process_spark.operators.pq import (
+            canon_books,
+            canon_centers,
             load_pq_meta,
             pq_meta_json,
         )
@@ -277,9 +281,13 @@ def ivf_ingest_writer(
         _, cb_jpath = _fs_and_path(spark, f"{silver_dir}/_pq_codebooks.json")
         if fs.exists(cb_jpath):
             meta = load_pq_meta(spark, silver_dir)
+            # canon both sides: numpy/tuple books that round-trip to the
+            # same JSON are the SAME identity (r11 ADVICE — a structural
+            # != here raised spuriously on numerically identical books)
             if (
-                meta["codebooks"] != pq_codebooks
-                or meta["residual_centers"] != pq_residual_centers
+                meta["codebooks"] != canon_books(pq_codebooks)
+                or meta["residual_centers"]
+                != canon_centers(pq_residual_centers)
             ):
                 raise ValueError(
                     f"PQ silver at {silver_dir} was encoded under "
@@ -391,8 +399,15 @@ def ivf_ingest_writer(
                     quantized=quantize,
                 ).select(id_col)
                 batch_df = batch_df.join(flags, id_col, "left_anti")
+        # length/NULL-check at the partition-key source (r11 ADVICE): a
+        # NULL assignment lands rows under __HIVE_DEFAULT_PARTITION__ and
+        # poisons every later read of the silver
         assigned = batch_df.withColumn(
-            _CLUSTER_COL, ivf_assign(F.col(vec_col), centroids)
+            _CLUSTER_COL,
+            ivf_assign(
+                checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+                centroids,
+            ),
         )
         if quantize:
             from crossbar_data_process_spark.operators.similarity import (
@@ -481,12 +496,12 @@ def _list_silver_leaves(
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(f"{_CLUSTER_COL}=")):
             continue
-        c = int(name.split("=", 1)[1])
+        c = _partition_value_int(name, st.getPath())
         has_batch = has_loose_data = False
         for leaf in fs.listStatus(st.getPath()):
             lname = leaf.getPath().getName()
             if leaf.isDirectory() and lname.startswith(f"{BATCH_COL}="):
-                b = int(lname.split("=", 1)[1])
+                b = _partition_value_int(lname, leaf.getPath())
                 batched.setdefault(c, {})[b] = leaf.getPath().toString()
                 has_batch = True
             elif leaf.isFile() and not lname.startswith(("_", ".")):
@@ -551,6 +566,18 @@ def read_assigned_silver(
         )
     if flat:  # one-shot write_assigned_corpus layout: no batch level,
         # no compaction bookkeeping — every cluster dir is authoritative
+        if exclude_batch_id is not None:
+            # there is no batch column to exclude on; silently returning
+            # everything would make a replay-safety caller count its own
+            # previous attempt (r11 ADVICE — the sink factory refuses flat
+            # silvers so this is unreachable through it, but this reader
+            # is a shared entry point)
+            raise ValueError(
+                f"IVF silver at {silver_dir} is the one-shot (flat) "
+                "layout — it has no __batch_id level, so "
+                f"exclude_batch_id={exclude_batch_id} cannot be honored; "
+                "read without exclusion, or rebuild as a streamed silver"
+            )
         return spark.read.option("basePath", silver_dir).parquet(
             *[flat[c] for c in sorted(flat)]
         )
@@ -697,11 +724,11 @@ def compact_ivf_silver(
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(f"{_CLUSTER_COL}=")):
             continue
-        c = int(name.split("=", 1)[1])
+        c = _partition_value_int(name, st.getPath())
         for leaf in fs.listStatus(st.getPath()):
             lname = leaf.getPath().getName()
             if leaf.isDirectory() and lname.startswith(f"{BATCH_COL}="):
-                b = int(lname.split("=", 1)[1])
+                b = _partition_value_int(lname, leaf.getPath())
                 ids.add(b)
                 cluster_ids.setdefault(c, set()).add(b)
     to_compact = sorted(i for i in ids if i < before_batch)

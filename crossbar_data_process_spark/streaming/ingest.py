@@ -58,6 +58,29 @@ def _fs_and_path(spark: SparkSession, uri: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _partition_value_int(dirname: str, path) -> int:
+    """Parse the integer value of a ``key=value`` partition directory name,
+    failing with a DIAGNOSABLE error on non-integer values. The poisonous
+    case is ``cluster=__HIVE_DEFAULT_PARTITION__``: a NULL partition key
+    (e.g. a NULL embedding whose ``ivf_assign`` is NULL in a sink path
+    that predates vector validation) lands there, after which a bare
+    ``int()`` dies with 'invalid literal' and no path anywhere (r11
+    ADVICE). Rejecting — not skipping — is deliberate: such a leaf holds
+    REAL rows of broken provenance; silently dropping them would turn a
+    data bug into a partial corpus."""
+    key, val = dirname.split("=", 1)
+    try:
+        return int(val)
+    except ValueError:
+        raise ValueError(
+            f"partition directory {path} has a non-integer {key}= value "
+            f"{val!r} — a __HIVE_DEFAULT_PARTITION__ leaf means rows with "
+            f"a NULL {key} landed (e.g. a NULL vector assigned a NULL "
+            "cluster by a writer without input validation); inspect the "
+            "leaf and rebuild or remove it"
+        ) from None
+
+
 def _hadoop_read_text(spark: SparkSession, uri: str) -> str:
     fs, jpath = _fs_and_path(spark, uri)
     stream = fs.open(jpath)
@@ -339,7 +362,9 @@ def read_batch_table(spark: SparkSession, path: str) -> DataFrame:
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
-                batches[int(name.split("=", 1)[1])] = st.getPath().toString()
+                batches[_partition_value_int(name, st.getPath())] = (
+                    st.getPath().toString()
+                )
     if not batches:
         # missing table / no landed partitions: same error surface as a
         # plain read of the directory
@@ -424,7 +449,7 @@ def compact_batch_partitions(
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(f"{BATCH_COL}="):
-            ids.append(int(name.split("=", 1)[1]))
+            ids.append(_partition_value_int(name, st.getPath()))
     to_compact = sorted(i for i in ids if i < before_batch)
     if len(to_compact) < 2:
         return _noop

@@ -901,3 +901,89 @@ def test_centroid_stamp_lands_on_existing_empty_dir(
     refit = [[float(x) + 0.25 for x in row] for row in centroids]
     with pytest.raises(ValueError, match="different\\s+quantizer"):
         ivf_ingest_writer(spark, refit, silver)
+
+
+def test_sink_rejects_null_and_wrong_dim_vectors(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 ADVICE: a NULL (or wrong-length) embedding must fail LOUDLY at
+    the sink — unguarded, ivf_assign of a NULL vector is a NULL cluster,
+    the row lands under cluster=__HIVE_DEFAULT_PARTITION__, and every
+    later silver read dies on an undiagnosable int-parse error."""
+    silver = str(tmp_path / "nullvec")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    bad_null = spark.createDataFrame(
+        [(0, [0.5] * 32), (1, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        sink(bad_null, 0)
+    bad_dim = spark.createDataFrame(
+        [(0, [0.5] * 31)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim=32"):
+        sink(bad_dim, 1)
+    # the one-shot writer carries the same guard
+    with pytest.raises(Exception, match="NULL"):
+        write_assigned_corpus(
+            bad_null, centroids, str(tmp_path / "nullvec_oneshot")
+        )
+
+
+def test_reader_names_the_poisoned_partition_dir(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 ADVICE: a cluster=__HIVE_DEFAULT_PARTITION__ leaf (NULL keys
+    landed by some writer without input validation) must produce an error
+    NAMING the offending path, not a bare 'invalid literal for int()'."""
+    import os
+
+    silver = str(tmp_path / "poisoned")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    sink(clustered.limit(50), 0)
+    os.makedirs(os.path.join(silver, "cluster=__HIVE_DEFAULT_PARTITION__"))
+    with pytest.raises(ValueError, match="__HIVE_DEFAULT_PARTITION__"):
+        read_assigned_silver(spark, silver)
+
+
+def test_flat_silver_refuses_exclude_batch_id(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 ADVICE: the flat (one-shot) layout has no batch column — a
+    caller passing exclude_batch_id must get an error, not a silently
+    unfiltered read (replay-safety callers would count their own
+    previous attempt)."""
+    silver = str(tmp_path / "flat_excl")
+    write_assigned_corpus(clustered, centroids, silver)
+    assert read_assigned_silver(spark, silver).count() == clustered.count()
+    with pytest.raises(ValueError, match="exclude_batch_id"):
+        read_assigned_silver(spark, silver, exclude_batch_id=0)
+
+
+def test_pq_identity_check_tolerates_tuple_and_numpy_books(
+    spark, clustered, centroids, tmp_path
+):
+    """r11 ADVICE: codebooks passed as tuples / numpy scalars that are
+    numerically identical to the stamp must NOT raise a spurious
+    'DIFFERENT codebooks' — identity comparison goes through canon."""
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        pq_fit,
+    )
+
+    books = pq_fit(clustered, dim=32, m=4, k=8, driver_fit_rows=256)
+    silver = str(tmp_path / "pq_canon")
+    sink = ivf_ingest_writer(spark, centroids, silver, pq_codebooks=books)
+    sink(clustered.limit(200), 0)
+    # tuple-ified and numpy-ified renderings of the SAME values
+    as_tuples = tuple(
+        tuple(tuple(np.float64(x) for x in code) for code in book)
+        for book in books
+    )
+    # factory-side: a second writer with equivalent books must not raise
+    ivf_ingest_writer(spark, centroids, silver, pq_codebooks=list(as_tuples))
+    # probe-side: equivalent books must probe, not die
+    q = clustered.filter(F.col("vec_id") < 3)
+    out = ivf_pq_topk_assigned(
+        spark, silver, q, centroids, list(as_tuples), k=3, nprobe=8
+    )
+    assert out.count() == 9

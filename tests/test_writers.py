@@ -270,6 +270,11 @@ def test_jsonl_manifest_counts_modes(spark, tmp_path):
     assert c_out == c_in and sum(c_out.values()) == 300
     m = json.loads((tmp_path / "o" / "manifest.json").read_text())
     assert sum(m["shards"].values()) == 300
+    # the manifest records its counts' provenance (r11 ADVICE): the
+    # training job can tell verified-output from recomputed-input numbers
+    assert m["counts_mode"] == "output"
+    m_in = json.loads((tmp_path / "i" / "manifest.json").read_text())
+    assert m_in["counts_mode"] == "input"
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="manifest_counts"):
