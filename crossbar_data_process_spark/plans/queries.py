@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     # quantile-sketch rollup (q31's folded slot), benchmarked from day one
     "q67_pq_adc_topk",
     "q68_quantile_rollup",
+    # r12 additions: the IVF-PQ production silver path (q32's folded slot)
+    # and integer-exact RRF fusion (q47's folded slot), benchmarked from
+    # day one
+    "q69_ivfpq_silver",
+    "q70_rrf_fusion",
 ]
 
 
@@ -1004,10 +1009,10 @@ def q60_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # claimed) — the hash pins the exact scoring math; semantic ranking
 # behavior is pinned on planted corpora in tests/test_retrieval.py.
 # r07: q42_min_cost_supplier's folded slot (REGISTRY.md).
-@query(
-    "q61_bm25",
-    r"""
-WITH dtok AS (
+# r12: the oracle's CTE chain is shared VERBATIM with q70_rrf_fusion (the
+# lexical arm of the fusion is this exact ranking) — one definition, two
+# oracles, so the two rows can never drift apart.
+_BM25_CTES = r"""dtok AS (
   SELECT doc_id AS doc,
          unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                             x -> x <> '')) AS term
@@ -1048,7 +1053,13 @@ contrib AS (
 scored AS (
   SELECT qid, doc,
          CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
-  FROM contrib GROUP BY qid, doc)
+  FROM contrib GROUP BY qid, doc)"""
+
+
+@query(
+    "q61_bm25",
+    f"""
+WITH {_BM25_CTES}
 SELECT qid AS query_id, doc AS doc_id, score, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY qid
                                ORDER BY score DESC, doc) AS rnk
@@ -1706,15 +1717,19 @@ def q31_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------ J6 derived-key self-join (pathway.py:667-704, hash form)
-@query(
-    "q32_suffix_groups",
-    """
+# r12: folded out of the registry → slot to q69_ivfpq_silver (REGISTRY.md).
+# The derived-key extraction (element_at(split)) stays registry-oracled via
+# q09's split family and q15's suffix surgery; the groupBy-count family via
+# q01/q29; the former DuckDB oracle lives on VERBATIM in
+# tests/test_operator_properties.py::test_suffix_groups_matches_oracle.
+_SUFFIX_GROUPS_ORACLE = """
 SELECT suffix, COUNT(*) AS n_parts,
        COUNT(*) * (COUNT(*) - 1) // 2 AS n_pairs
 FROM (SELECT (string_split(p_type, ' '))[-1] AS suffix FROM part)
 GROUP BY suffix
-""",
-)
+"""
+
+
 def q32_suffix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return (
@@ -2150,6 +2165,154 @@ def q68_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------- IVF-PQ production silver path (operators/pq.py:
+# write_pq_corpus → ivf_pq_topk_assigned) under the hash gate — r12, the
+# q54 precedent applied to PQ (VERDICT r11 #1). q67 oracles the FLAT
+# encode/ADC machinery; this row runs the actual 100 TB read path: the
+# corpus is IVF-assigned and PQ-encoded into a cluster-PARTITIONED silver
+# storing (id, codes[m]) only — no raw vector — with the quantizer AND
+# codebook identity stamped next to the data, then probed at
+# nprobe == nlist. Probing every list makes the candidate set exactly the
+# full corpus, so ADC scores equal the flat path's and the q67 oracle
+# applies VERBATIM — while the silver write, the identity-stamp
+# verification, the partition-pruning join on the cluster column, and the
+# codes-only scan (ReadSchema never mentions an embedding) all execute
+# under the driver's rows+schema+hash check. Pruned-probe (nprobe <
+# nlist) recall and the partition/column-pruning plan shape stay pinned
+# in tests/test_pq.py. The centroids come from the data-adaptive ivf_fit
+# — where they land cannot affect results here (every list is probed),
+# exactly q54's argument.
+@query("q69_ivfpq_silver", _pq_adc_oracle())
+def q69_ivfpq_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fit → write_pq_corpus (cluster-partitioned, codes-only, identity
+    stamped) → ivf_pq_topk_assigned at nprobe == nlist (⇒ exact, so the
+    q67 PQ-ADC oracle applies verbatim). The workload is constant-bounded
+    (vec_id < 10 — _WORKLOAD_BOUNDS)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        pq_codebooks_fixed,
+        write_pq_corpus,
+    )
+    from crossbar_data_process_spark.operators.textdedup import _spread
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    # dim pinned to 64 like q67: the oracle embeds dim-64 codebooks
+    books = pq_codebooks_fixed(64, m=4, k=16)
+    cents = ivf_fit(e, dim=64, nlist=8, iters=2, driver_fit_rows=2048)
+    # ONE pid-scoped silver dir reused (overwrite) across invocations and
+    # removed at interpreter exit — the q54 convention
+    silver = os.path.join(
+        tempfile.gettempdir(), f"ivfpq_silver_q69_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, silver, ignore_errors=True)
+    # single-file parquet scans arrive as ONE partition; the encode is the
+    # CPU-heavy scan-side stage, so spread it across the cores first
+    write_pq_corpus(_spread(e), cents, books, silver)
+    out = ivf_pq_topk_assigned(
+        spark, silver, q, cents, books, k=5, nprobe=8
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# -------- reciprocal-rank fusion (operators/retrieval.rrf_fuse) under the
+# hash gate — r12 (VERDICT r11 #3): the operator was built integer-exact
+# (per-system contributions as floor-rounded MICROS summed as longs)
+# specifically so fused rankings are engine-identical; this row gives it
+# the composed oracle it was designed for. The lexical arm is q61's BM25
+# ranking — the SAME _BM25_CTES text, so the two oracles can never drift —
+# and the dense arm is the q27-form cosine top-k over embeddings, both
+# restricted to the SHARED constant-bounded query carve (id % 97 = 0 AND
+# id < 5000, _WORKLOAD_BOUNDS). Fusion: micros = floor(1e6/(60+rank)+0.5)
+# per (system, query, doc), summed exactly as BIGINT, divided back to
+# rrf_score; n_systems counts contributing arms (1 or 2 — asymmetric
+# coverage is the realistic fusion shape); ties break on doc_id.
+_RRF_ORACLE = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT qid AS query_id, doc AS doc_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc) AS rnk
+    FROM scored)
+  WHERE rnk <= 10),
+dq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 97 = 0 AND vec_id < 5000),
+dscored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_cosine_sql('qv', 'e.embedding')} AS cosine
+  FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id),
+den AS (
+  SELECT query_id, neighbor_id AS doc_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM dscored)
+  WHERE rnk <= 10),
+u AS (
+  SELECT query_id, doc_id,
+         CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS micros
+  FROM lex
+  UNION ALL
+  SELECT query_id, doc_id,
+         CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS micros
+  FROM den),
+fscored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(micros) AS DOUBLE) / 1000000.0 AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_systems
+  FROM u GROUP BY query_id, doc_id)
+SELECT query_id, doc_id, rrf_score, n_systems, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM fscored)
+WHERE rnk <= 10
+"""
+
+
+@query("q70_rrf_fusion", _RRF_ORACLE)
+def q70_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (q61's exact ranking) ⊕ dense cosine top-10, fused with
+    integer-micros RRF (k=60): union of two Q×10 rank tables, one small
+    groupBy, per-query top-10 window — the expensive work happened inside
+    the per-system retrievers. Queries carve: id % 97 = 0 AND id < 5000
+    on BOTH arms (_WORKLOAD_BOUNDS)."""
+    from crossbar_data_process_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 5000)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.lower(F.col("text"))), 1, 4), " ").alias(
+            "query_text"
+        ),
+    )
+    lex = bm25_topk(d, q, top_k=10).select("query_id", "doc_id", "rnk")
+    e = _t(spark, sf_dir, "embeddings")
+    qe = e.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 5000))
+    den = cosine_topk(e, qe, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
+    )
+    fused = rrf_fuse([lex, den], k=60, top_k=10)
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        "n_systems",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 # -------- the DECLARED embedding near-dup surface: LSH-bucketed threshold
 # pairs (operators.similarity.neighbor_pairs_lsh). q27b keeps the brute-force
 # all-pairs form as a bounded oracle fixture; this is the plan that survives
@@ -2511,16 +2674,22 @@ def q45_set_ops_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------ P8 self-pair drop + A3 plain dedup + F2 first-xref pick combined
-@query(
-    "q47_pair_normalize",
-    """
+# r12: folded out of the registry → slot to q70_rrf_fusion (REGISTRY.md).
+# P8 self-pair exclusion stays registry-oracled via the `neighbor_id <>
+# query_id` join predicates of q27/q54/q67/q69 and the strict `a < b`
+# pair conditions of q25/q26/q49; A3 plain dedup via q21's exact-dedup
+# groupBy and q45's DISTINCT scans; the F2 first-xref split rides q09's
+# split family. The former DuckDB oracle lives on VERBATIM in
+# tests/test_operator_properties.py::test_pair_normalize_matches_oracle.
+_PAIR_NORMALIZE_ORACLE = """
 SELECT DISTINCT
        l_suppkey % 20 AS a, l_partkey % 20 AS b,
        (string_split(l_returnflag || ';' || l_linestatus || ';', ';'))[1] AS first_flag
 FROM lineitem
 WHERE l_suppkey % 20 <> l_partkey % 20
-""",
-)
+"""
+
+
 def q47_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.functions.ids import first_xref
     from crossbar_data_process_spark.operators.filters import drop_self_pairs
@@ -3012,7 +3181,10 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r11 new surfaces first
+    # r12 new surfaces first
+    "q69_ivfpq_silver",
+    "q70_rrf_fusion",
+    # r11 new surfaces
     "q68_quantile_rollup",
     "q67_pq_adc_topk",
     # r10 new surfaces
@@ -3043,7 +3215,6 @@ _FRONT = [
     "q53_neardup_resolve",
     "q22_doc_profile",
     "q45_set_ops_attach",
-    "q47_pair_normalize",
 ]
 
 

@@ -462,3 +462,59 @@ def test_connected_components_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_suffix_groups_matches_oracle(spark):
+    """Derived-key grouping (the former q32 registry row, folded out in
+    r12 for q69_ivfpq_silver — REGISTRY.md): the former DuckDB oracle
+    lives on here verbatim (_SUFFIX_GROUPS_ORACLE). The split/element_at
+    family stays registry-oracled via q09/q15; the groupBy-count family
+    via q01/q29."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _SUFFIX_GROUPS_ORACLE,
+        q32_suffix_groups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.suffix, r.n_parts, r.n_pairs)
+        for r in q32_suffix_groups(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW part AS SELECT * FROM read_parquet('{sf}/part.parquet')"
+    )
+    want = set(map(tuple, con.sql(_SUFFIX_GROUPS_ORACLE).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_pair_normalize_matches_oracle(spark):
+    """Self-pair drop + plain dedup + first-xref (the former q47 registry
+    row, folded out in r12 for q70_rrf_fusion — REGISTRY.md): the former
+    DuckDB oracle lives on here verbatim (_PAIR_NORMALIZE_ORACLE). P8
+    stays registry-oracled via the <>-join predicates of q27/q54/q67/q69
+    and the strict a<b pair conditions of q25/q26/q49; A3 via q21/q45;
+    F2's split rides q09's split family."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _PAIR_NORMALIZE_ORACLE,
+        q47_pair_normalize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.a, r.b, r.first_flag)
+        for r in q47_pair_normalize(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    want = set(map(tuple, con.sql(_PAIR_NORMALIZE_ORACLE).fetchall()))
+    assert got == want and len(got) > 0

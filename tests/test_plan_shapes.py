@@ -108,6 +108,11 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     #   lookups, not O(dim) (the candidate-PRUNED variant is
     #   ivf_pq_topk_assigned, an equi-join on the cluster partition key —
     #   pinned in tests/test_pq.py).
+    # - q70_rrf_fusion: composes q61's BM25 (the 1-row corpus-scalars
+    #   broadcast) and q27's dense cosine arm (corpus × broadcast bounded
+    #   query set on the non-equi self-exclusion) — both already
+    #   sanctioned above; the fusion itself adds only an equi groupBy
+    #   over the Q×k rank tables.
     # Anything else is a plan regression.
     if name not in (
         "q38_pagerank",
@@ -117,6 +122,7 @@ def test_no_cartesian_in_any_declared_query(spark, name):
         "q22_doc_profile",
         "q61_bm25",
         "q67_pq_adc_topk",
+        "q70_rrf_fusion",
     ):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -179,6 +185,10 @@ _WORKLOAD_BOUNDS = {
     # r11: q39_ann_lsh folded out of the registry (REGISTRY.md) — its bound
     # lives on in the property test; q67 carries the same 10-query carve
     "q67_pq_adc_topk": r'F\.col\("vec_id"\)\s*<\s*10',
+    # r12: the IVF-PQ silver path carries q67's 10-query carve; RRF fusion
+    # carries q61's query carve on BOTH arms (doc_id and vec_id % 97 < 5000)
+    "q69_ivfpq_silver": r'F\.col\("vec_id"\)\s*<\s*10',
+    "q70_rrf_fusion": r'F\.col\("doc_id"\)\s*<\s*5000',
 }
 
 
