@@ -48,6 +48,7 @@ def curate_documents(
     max_dup_ngram_ratio: float | None = None,
     max_log_ppl: float | None = None,
     redact_pii_output: bool = False,
+    quantile_expectations: dict[str, tuple[float, "callable"]] | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
@@ -67,6 +68,18 @@ def curate_documents(
     scan expression, so it runs after the scan-side gates on the already-
     thinned stream. With ``redact_pii_output``, surviving text is
     PII-scrubbed in the final projection (``functions.pii.redact_pii``).
+
+    ``quantile_expectations`` (r12, VERDICT r11 #4) turns the mergeable
+    quantile-sketch machinery into a PRODUCTION curation gate: rules are
+    ``{name: (q, check)}`` over the INPUT token-length distribution
+    (``operators.sketches.check_quantile_expectations`` — e.g.
+    ``{"p95_len_cap": (0.95, lambda v: v <= 50_000)}``). The histogram
+    is one (bin) groupBy over the profiled frame (kilobytes of driver
+    state, the q68 silver shape); ANY failing rule raises BEFORE the
+    expensive dedup stages run — a corpus whose shape is out of contract
+    (length blow-up from an upstream extractor bug, collapsed
+    distribution) must not silently flow into training shards.
+
     All default off so the q55 oracle pipeline is unchanged."""
     from crossbar_data_process_spark.functions.text import (
         duplicate_ngram_ratio,
@@ -80,6 +93,31 @@ def curate_documents(
         language_id(text_col).alias("lang_detected"),
         doc_fingerprint(text_col).alias("fp"),
     )
+    if quantile_expectations:
+        from crossbar_data_process_spark.operators.sketches import (
+            check_quantile_expectations,
+            histogram_sketch_table,
+        )
+
+        # the q68 binning convention: +0.5 keeps every integer count off
+        # the exact 10^(k/B) bin boundaries
+        hist = histogram_sketch_table(
+            profiled.select(
+                (F.col("n_tokens").cast("double") + F.lit(0.5)).alias("__len")
+            ),
+            [],
+            "__len",
+        )
+        report = check_quantile_expectations(hist, quantile_expectations)
+        failed = [
+            (r.rule, r.q, r.value) for r in report.collect() if not r["pass"]
+        ]
+        if failed:
+            raise ValueError(
+                "input corpus fails distribution expectations "
+                f"(rule, q, estimate): {failed} — refusing to curate a "
+                "corpus whose token-length shape is out of contract"
+            )
     gate = (
         (F.col("quality") >= min_quality)
         & F.col("lang_detected").isin(*languages)

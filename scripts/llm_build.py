@@ -1,0 +1,351 @@
+#!/usr/bin/env python3
+"""Composed LLM training-data build (VERDICT r11 #2): the charter's
+pipeline surfaces chained end-to-end in ONE session — the training-data
+twin of ``scripts/kg_build.py``'s adapter sweep:
+
+    distribution gate → curate (quality/lang + decontaminate + exact +
+    near-dup text dedup) → SEMANTIC dedup (feature-hash embeddings,
+    IVF-bucketed SemDeDup) → token-budget mix + train/val/test split →
+    sequence packing → sharded JSONL export with manifest
+
+Every stage is an operator with its own oracle row or pinned test (q55
+funnel, q65 decontamination, SemDeDup suite, q66 mix/split, q58 packing,
+the JSONL exporter); this script proves the COMPOSITION and measures its
+scale slope. Corpus: the Zipf-realistic generator shared with
+``scripts/sf1_probe.py`` (20k vocab, exponent 1.07 — the small corpus is
+the big one's literal 5k-doc prefix, so 1×/10× walls measure pure corpus
+scaling on identical text statistics), plus one plant this script adds:
+every 40th doc is a TOKEN-PERMUTED paraphrase of its predecessor — the
+same bag of words in sorted order. That plant is the separating case for
+the semantic stage: n-gram shingles are destroyed (text near-dup passes
+it) while the bag-of-words embedding is IDENTICAL (cosine 1.0 — only
+embedding dedup catches it).
+
+Per-stage walls come from forcing each stage with its own parquet write
+(the realistic shape — a production pipeline materializes silver between
+stages); later stages read the previous stage's silver, so each wall is
+attributable.
+
+Usage: python scripts/llm_build.py [--scale {1,10}] [--out DIR]
+Prints one JSON line: {"metric": "llm_build_runtime", "value": sec,
+"stages": {name: {"sec": s, "rows": n}}, "scale": S, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crossbar_data_process_spark.functions.text import tokens
+
+EMBED_DIMS = 64
+EMBED_SALT = 7
+# token-budget mix over the six synthetic sources (see _with_sources):
+# src0 kept whole, tapering keeps down to src5; budgets compile into
+# per-source fractions via the measured token totals (q66 family,
+# operators/sampling.source_mix_by_tokens)
+MIX_BUDGETS = {
+    "src0": 1_000_000_000,
+    "src1": 120_000,
+    "src2": 90_000,
+    "src3": 60_000,
+    "src4": 30_000,
+    "src5": 12_000,
+}
+SPLIT_WEIGHTS = {"train": 0.98, "val": 0.01, "test": 0.01}
+PACK_BUDGET = 2048
+N_SHARDS = 16
+
+
+def _with_sources(docs: DataFrame) -> DataFrame:
+    """The Zipf corpus carries a single source value; a training mix needs
+    several — derive a deterministic 6-way source label from the doc id
+    (pure scan-side, the kg_build generator idiom)."""
+    return docs.withColumn(
+        "source",
+        F.concat(
+            F.lit("src"),
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(77)), F.lit(6)).cast(
+                "string"
+            ),
+        ),
+    )
+
+
+def _plant_paraphrases(docs: DataFrame, every: int = 40) -> DataFrame:
+    """Every ``every``-th doc becomes the REVERSED token sequence of its
+    predecessor: the same bag of words, order destroyed. Text near-dup
+    (word 3-gram shingles) passes it — a reversed sequence shares no
+    shingles with its source, and two reversed docs resemble each other
+    no more than their sources do (a SORTED bag would not work: all
+    sorted Zipf docs share long head-word runs and near-dup EACH OTHER,
+    measured r12) — while the bag-of-words embedding is IDENTICAL
+    (cosine 1.0): only the semantic stage catches it. One join of a
+    1/``every`` slice against its predecessor ids."""
+    pred = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.array_join(F.reverse(tokens(F.col("text"))), " ").alias(
+            "__reversed"
+        ),
+    ).filter(F.pmod(F.col("doc_id"), F.lit(every)) == every - 1)
+    return (
+        docs.join(pred, "doc_id", "left")
+        .withColumn("text", F.coalesce("__reversed", "text"))
+        .drop("__reversed")
+    )
+
+
+def feature_embed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = EMBED_DIMS,
+) -> DataFrame:
+    """Bag-of-words feature-hashing embedding (the hashing trick) as pure
+    Column expressions — no Python in the path: content tokens (the
+    synthetic vocabulary's ``w…`` words; head/stopwords excluded so the
+    shared Zipf head doesn't push every pair's cosine toward 1) are
+    hashed into ``dims`` buckets and counted. Token order is invisible to
+    the representation — exactly what a semantic-dedup embedding should
+    be. The token array is BOUND in its own projection below the
+    per-dimension filters (the HOF no-CSE rule)."""
+    bound = docs.select(
+        id_col,
+        F.filter(
+            tokens(F.col(text_col)), lambda t: t.startswith("w")
+        ).alias("__ct"),
+    )
+    emb = F.array(
+        *[
+            F.size(
+                F.filter(
+                    F.col("__ct"),
+                    lambda t: F.pmod(
+                        F.xxhash64(t, F.lit(EMBED_SALT)), F.lit(dims)
+                    )
+                    == d,
+                )
+            ).cast("double")
+            for d in range(dims)
+        ]
+    )
+    return bound.select(id_col, emb.alias("embedding"))
+
+
+def build(
+    spark: SparkSession,
+    docs: DataFrame,
+    out: str,
+    semantic_threshold: float = 0.995,
+    nlist: int | None = None,
+    benchmark_mod: int = 101,
+    benchmark_cap: int = 2000,
+) -> dict:
+    """Run the full pipeline over ``docs`` (doc_id, text, source), writing
+    each stage's silver under ``out`` and returning per-stage walls and
+    row counts. Deterministic end-to-end: same corpus → byte-identical
+    shards (no RNG anywhere — md5/xxhash decisions only)."""
+    from crossbar_data_process_spark.operators.ivf import ivf_fit
+    from crossbar_data_process_spark.operators.packing import pack_documents
+    from crossbar_data_process_spark.operators.sampling import (
+        assign_split,
+        source_mix_by_tokens,
+    )
+    from crossbar_data_process_spark.operators.similarity import semantic_dedup
+    from crossbar_data_process_spark.plans.llm_curation import curate_documents
+    from crossbar_data_process_spark.sources.writers import write_jsonl_shards
+
+    os.makedirs(out, exist_ok=True)
+    stages: dict[str, dict] = {}
+    t_all = time.monotonic()
+
+    def _stage(name: str, fn):
+        t = time.monotonic()
+        rows = fn()
+        stages[name] = {"sec": round(time.monotonic() - t, 3), "rows": rows}
+        return rows
+
+    # -- stage 1: curate — distribution gate, quality/lang, decontaminate
+    # against a constant-bounded eval carve (the q65 convention: a fixed
+    # benchmark prefix, identical at every scale), exact + near-dup text
+    # dedup. The quantile gate (VERDICT r11 #4) fronts the stage.
+    benchmark = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(benchmark_mod)) == 0)
+        & (F.col("doc_id") < benchmark_cap)
+    ).select("text")
+
+    def _curate():
+        curated = curate_documents(
+            docs,
+            benchmark=benchmark,
+            quantile_expectations={
+                "p95_len_cap": (0.95, lambda v: v <= 50_000),
+                "median_len_floor": (0.5, lambda v: v >= 2),
+            },
+        )
+        # keep the source label with the survivors (curate's projection is
+        # its documented 6-column contract)
+        curated.join(docs.select("doc_id", "source"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/curated")
+        return spark.read.parquet(f"{out}/curated").count()
+
+    _stage("curate", _curate)
+    curated = spark.read.parquet(f"{out}/curated")
+
+    # -- stage 2: semantic dedup — feature-hash embeddings, IVF-bucketed
+    # SemDeDup (never all-pairs; candidates are within-cluster only).
+    # nlist scales with the corpus (the SemDeDup posture: constant
+    # expected cluster size).
+    def _semantic():
+        from crossbar_data_process_spark.operators.materialize import (
+            materialize,
+        )
+
+        n = curated.count()
+        nl = nlist if nlist is not None else max(8, n // 1000)
+        # materialize the embedding ONCE: the 64-bucket feature-hash
+        # expression is a large codegen unit, and fit/assign/pair stages
+        # would each re-evaluate (and re-JIT) it otherwise — measured 69 s
+        # → ~15 s on the 5k corpus
+        embedded = materialize(feature_embed(curated))
+        cents = ivf_fit(
+            embedded,
+            dim=EMBED_DIMS,
+            nlist=nl,
+            iters=2,
+            id_col="doc_id",
+            driver_fit_rows=2048,
+        )
+        survivors = semantic_dedup(
+            embedded,
+            cents,
+            threshold=semantic_threshold,
+            id_col="doc_id",
+        )
+        curated.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/semantic")
+        return spark.read.parquet(f"{out}/semantic").count()
+
+    _stage("semantic_dedup", _semantic)
+    deduped = spark.read.parquet(f"{out}/semantic")
+
+    # -- stage 3: token-budget mix + deterministic split (q66 family).
+    # Budgets compile into per-source fractions from measured totals; the
+    # compiled mix is returned for the run log.
+    def _mix():
+        mixed, fractions = source_mix_by_tokens(
+            deduped, MIX_BUDGETS, token_col="n_tokens"
+        )
+        stages.setdefault("_mix_fractions", {}).update(
+            {k: round(v, 6) for k, v in fractions.items()}
+        )
+        mixed.withColumn(
+            "split", assign_split("doc_id", SPLIT_WEIGHTS)
+        ).write.mode("overwrite").parquet(f"{out}/mixed")
+        return spark.read.parquet(f"{out}/mixed").count()
+
+    _stage("mix_split", _mix)
+    mixed = spark.read.parquet(f"{out}/mixed")
+
+    # -- stage 4: sequence packing over the train split (reuses the
+    # curation profile's n_tokens — no re-tokenization).
+    def _pack():
+        train = mixed.filter(F.col("split") == "train")
+        packs = pack_documents(
+            train, budget=PACK_BUDGET, n_tokens_col="n_tokens"
+        )
+        train.join(packs.select("doc_id", "pack_id", "pack_pos"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/packed")
+        return spark.read.parquet(f"{out}/packed").count()
+
+    _stage("pack", _pack)
+    packed = spark.read.parquet(f"{out}/packed")
+
+    # -- stage 5: sharded JSONL export. manifest_counts='input' is the
+    # documented scale path for deterministic lineage (one column-pruned
+    # scan instead of a full re-read of the export — sources/writers.py).
+    def _export():
+        counts = write_jsonl_shards(
+            packed.select(
+                "doc_id", "source", "split", "pack_id", "pack_pos", "text"
+            ),
+            f"{out}/shards",
+            n_shards=N_SHARDS,
+            manifest_counts="input",
+        )
+        return int(sum(counts.values()))
+
+    _stage("export_jsonl", _export)
+
+    return {
+        "stages": {k: v for k, v in stages.items() if not k.startswith("_")},
+        "mix_fractions": stages.get("_mix_fractions", {}),
+        "total_sec": round(time.monotonic() - t_all, 3),
+    }
+
+
+def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
+    """The shared Zipf corpus (built on demand via sf1_probe's generator),
+    with the 6-way source labels and the token-permuted paraphrase plant."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_probe",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1_probe.py"),
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    path = probe.ZIPF_SMALL if scale == 1 else probe.ZIPF_BIG
+    if not os.path.exists(f"{path}/documents.parquet"):
+        probe._gen_zipf()
+    docs = spark.read.parquet(f"{path}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return _plant_paraphrases(_with_sources(docs))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, choices=(1, 10), default=1)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or f"/tmp/llm_build_gold_s{args.scale}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    from crossbar_data_process_spark import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _load_zipf(spark, args.scale)
+    report = build(spark, docs, out)
+    print(
+        json.dumps(
+            {
+                "metric": "llm_build_runtime",
+                "value": report["total_sec"],
+                "unit": "sec",
+                "stages": report["stages"],
+                "mix_fractions": report["mix_fractions"],
+                "scale": args.scale,
+                "out": out,
+            },
+            sort_keys=True,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Composed LLM training-data build (scripts/llm_build.py — VERDICT r11
+#2): per-stage SEMANTICS are pinned by the operator suites (q55/q65
+curation, SemDeDup, q66 mix/split, q58 packing, the JSONL exporter);
+this pins the COMPOSITION — stages chain, the funnel is monotone, the
+token-permuted paraphrase plant separates the semantic stage from the
+text stages, the export manifest reconciles, and the whole build is
+deterministic (same corpus → identical counts and byte-identical
+shards)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+_SPEC = importlib.util.spec_from_file_location(
+    "llm_build",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "llm_build.py",
+    ),
+)
+llm_build = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(llm_build)
+
+N_DOCS = 160
+PLANT_EVERY = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Deterministic English-ish corpus: alternating stopword/content
+    tokens (passes the language and quality gates), distinct content
+    words per doc (so random pairs are neither text- nor
+    embedding-dups), an exact re-ingest double every 50th doc, and the
+    reversed-paraphrase plant every 20th."""
+    stop = ["the", "and", "of", "to", "in", "is", "it", "for", "on", "with"]
+    rows = []
+    for i in range(N_DOCS):
+        toks = []
+        for j in range(30):
+            toks.append(stop[(i + j) % len(stop)])
+            toks.append(f"w{(i * 37 + j * 11) % 997}")
+        rows.append((i, " ".join(toks)))
+    for i in range(7, N_DOCS, 50):  # exact dup plant (text dedup's case)
+        rows[i] = (i, rows[i - 1][1])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return llm_build._plant_paraphrases(
+        llm_build._with_sources(df), every=PLANT_EVERY
+    )
+
+
+def _ids(spark, path: str) -> set[int]:
+    return {
+        r.doc_id for r in spark.read.parquet(path).select("doc_id").collect()
+    }
+
+
+def _shard_bytes(root: str) -> dict[str, bytes]:
+    out = {}
+    for d in sorted(Path(root).glob("shard=*")):
+        parts = sorted(p for p in d.iterdir() if not p.name.startswith(("_", ".")))
+        out[d.name] = b"".join(p.read_bytes() for p in parts)
+    return out
+
+
+def test_build_composes_and_separates_semantic_stage(spark, corpus, tmp_path):
+    out = str(tmp_path / "gold")
+    report = llm_build.build(
+        spark, corpus, out, nlist=4, benchmark_mod=101, benchmark_cap=30
+    )
+    st = report["stages"]
+    # funnel monotone: every stage's survivor count is <= its input's
+    assert st["curate"]["rows"] <= N_DOCS
+    assert st["semantic_dedup"]["rows"] <= st["curate"]["rows"]
+    assert st["mix_split"]["rows"] <= st["semantic_dedup"]["rows"]
+    assert st["pack"]["rows"] <= st["mix_split"]["rows"]
+    assert st["export_jsonl"]["rows"] == st["pack"]["rows"]
+
+    curated = _ids(spark, f"{out}/curated")
+    semantic = _ids(spark, f"{out}/semantic")
+    plants = {i for i in range(N_DOCS) if i % PLANT_EVERY == PLANT_EVERY - 1}
+    # the separating property: reversed-bag paraphrases PASS the text
+    # stages (no shared word-3-gram shingles with their source) ...
+    assert len(plants & curated) >= len(plants) - 2, (
+        "paraphrase plants should survive text curation"
+    )
+    # ... and are ALL removed by the semantic stage (bag-of-words
+    # embedding cosine 1.0), while their sources survive it
+    assert not (plants & semantic), "semantic stage must drop the plants"
+    sources = {p - 1 for p in plants}
+    assert sources & curated <= semantic | (sources - curated)
+    assert (sources & curated) & semantic == sources & curated
+
+    # exact-dup plant is gone by the text stage already
+    exact_dups = {i for i in range(7, N_DOCS, 50)}
+    assert not (exact_dups & curated)
+
+    # export manifest reconciles with what was packed, and records its
+    # counts' provenance
+    manifest = json.loads((tmp_path / "gold" / "shards" / "manifest.json").read_text())
+    assert sum(manifest["shards"].values()) == st["pack"]["rows"]
+    assert manifest["counts_mode"] == "input"
+    # compiled mix fractions are part of the run log
+    assert set(report["mix_fractions"]) <= set(llm_build.MIX_BUDGETS)
+
+
+def test_build_is_deterministic(spark, corpus, tmp_path):
+    out1, out2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    r1 = llm_build.build(spark, corpus, out1, nlist=4)
+    r2 = llm_build.build(spark, corpus, out2, nlist=4)
+    rows1 = {k: v["rows"] for k, v in r1["stages"].items()}
+    rows2 = {k: v["rows"] for k, v in r2["stages"].items()}
+    assert rows1 == rows2
+    assert r1["mix_fractions"] == r2["mix_fractions"]
+    # byte-identical shards: the md5 pseudo-shuffle pins (shard, order)
+    b1 = _shard_bytes(f"{out1}/shards")
+    b2 = _shard_bytes(f"{out2}/shards")
+    assert b1 == b2 and len(b1) > 0
+    assert sum(len(v) for v in b1.values()) > 0

@@ -139,3 +139,25 @@ def test_perplexity_gate_keeps_token_less_docs(spark):
         docs, min_quality=-1.0, languages=("en", "und"), max_log_ppl=1e9
     )
     assert {r.doc_id for r in gated.collect()} == base_ids
+
+
+def test_quantile_expectation_gate(spark, corpus):
+    """r12 (VERDICT r11 #4): the distribution gate wired into the
+    curation plan. Rules that the input's token-length shape satisfies
+    leave the pipeline's output UNCHANGED; a violated rule raises before
+    the dedup stages, naming the rule and the estimate."""
+    baseline = {r.doc_id for r in curate_documents(corpus).collect()}
+    ok = curate_documents(
+        corpus,
+        quantile_expectations={
+            # corpus docs are all well under 10k tokens
+            "p95_len_cap": (0.95, lambda v: v <= 10_000),
+            "median_len_floor": (0.5, lambda v: v >= 2),
+        },
+    )
+    assert {r.doc_id for r in ok.collect()} == baseline
+    with pytest.raises(ValueError, match="p95_len_cap"):
+        curate_documents(
+            corpus,
+            quantile_expectations={"p95_len_cap": (0.95, lambda v: v <= 1)},
+        ).collect()
