@@ -18,6 +18,7 @@ so IVF assignment is non-degenerate. Numbers land in BASELINE.md.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -59,6 +60,181 @@ def _du(path: str) -> int:
     return total
 
 
+def residual_recall(spark) -> None:
+    """--residual (r12, VERDICT r11 #5): recall-vs-bitrate at 1M rows.
+
+    For raw and residual PQ at two code rates (m=4/k=16 — the oracle
+    rate — and m=8/k=32 — the rate the r11 tier study showed resolves
+    within-cell ties), measure against the SAME pruned candidate set
+    (nprobe/nlist in-probe exact L2 top-10 — isolates PQ ranking loss
+    from coarse-quantizer loss):
+      - recall@10 of the silver's ADC ranking vs the in-probe exact;
+      - mean ADC relative distance error |adc − d²|/d² over the ANN
+        pairs (the tie-free estimator-quality metric — the r11 round
+        memory's lesson that planted-dup recall alone misleads at low
+        bitrate).
+    Fits use the same bounded-sample contract as production
+    (pq_fit / pq_fit_residual, driver_fit_rows=2048).
+
+    Ground truth needs PLANTED true neighbors: the synthetic bulk is
+    ~125k near-EQUIDISTANT candidates per query (within a planted
+    direction all pairs differ by two iid noise draws), so the exact
+    top-10 of the bulk is decided at noise margins no quantizer — and
+    no realistic ANN user — cares about (first measurement of this
+    probe read recall ≈ 0 for every config for exactly that reason).
+    Each query gets 10 planted neighbors at small deterministic
+    perturbation (true d² ≈ 0.5 vs bulk ≈ 10), so recall measures
+    whether ADC separates GENUINELY near vectors from the bulk — the
+    actual ANN task — at each bitrate."""
+    from crossbar_data_process_spark.operators.ivf import (
+        _probe_list,
+        ivf_assign,
+        ivf_fit_with_diagnostics,
+    )
+    from crossbar_data_process_spark.operators.materialize import materialize
+    from crossbar_data_process_spark.operators.pq import (
+        ivf_pq_topk_assigned,
+        pq_fit,
+        pq_fit_residual,
+        write_pq_corpus,
+    )
+    from crossbar_data_process_spark.operators.topk import top_k_per_group
+
+    n = BIG
+    base = _corpus(spark, n)
+    # 10 planted neighbors per query vector: query embedding + 0.3-amp
+    # hash noise (same cluster by construction — the perturbation is far
+    # inside the planted-direction separation). materialize() breaks the
+    # generated-expression lineage BEFORE the self-joins below (the r10
+    # transform-capture attribute-dedup trap).
+    qbase = _corpus(spark, 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+    )
+    plants = (
+        spark.range(0, 100)
+        .select(
+            (F.lit(n) + F.col("id")).alias("vec_id"),
+            (F.col("id") / 10).cast("long").alias("qid"),
+        )
+        .join(qbase, "qid")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("__qv"),
+                lambda x, i: x
+                + (
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), i), F.lit(1000)
+                    ).cast("double")
+                    / 1000.0
+                    - 0.5
+                )
+                * 0.3,
+            ).alias("embedding"),
+        )
+    )
+    corpus = materialize(base.unionByName(plants))
+    cents, diag = ivf_fit_with_diagnostics(
+        corpus, dim=DIM, nlist=NLIST, iters=2, driver_fit_rows=2048
+    )
+    q = corpus.filter(F.col("vec_id") < 10)
+
+    # in-probe exact ground truth: the same candidate set the silver
+    # probe scans (assign × probed lists), ranked by TRUE squared L2
+    assigned = corpus.withColumn(
+        "cluster", ivf_assign(F.col("embedding"), cents)
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        "cluster",
+    )
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.explode(_probe_list(F.col("embedding"), cents, NPROBE)).alias(
+            "cluster"
+        ),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.col("__cv"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = materialize(
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("d2"))
+    )
+    exact = top_k_per_group(
+        cand, ["query_id"], [F.asc("d2"), F.asc("neighbor_id")], 10
+    ).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    table = []
+    for mode, m, k in (
+        ("raw", 4, 16),
+        ("residual", 4, 16),
+        ("raw", 8, 32),
+        ("residual", 8, 32),
+    ):
+        if mode == "raw":
+            books = pq_fit(corpus, DIM, m=m, k=k, driver_fit_rows=2048)
+            centers = None
+        else:
+            centers, books = pq_fit_residual(
+                corpus, DIM, cents, m=m, k=k, driver_fit_rows=2048
+            )
+        path = f"{ROOT}/residual/{mode}_m{m}k{k}"
+        t0 = time.perf_counter()
+        write_pq_corpus(
+            corpus, cents, books, path, residual_centers=centers
+        )
+        write_s = round(time.perf_counter() - t0, 3)
+        ann = ivf_pq_topk_assigned(
+            spark, path, q, cents, books, k=10, nprobe=NPROBE
+        )
+        # true d² for the ANN pairs: equi-join back to the candidate table
+        scored = ann.join(cand, ["query_id", "neighbor_id"]).select(
+            "query_id", "neighbor_id", "adc", "d2"
+        )
+        rows = scored.collect()
+        hits = sum(
+            1 for r in rows if r.neighbor_id in truth.get(r.query_id, set())
+        )
+        recall = hits / sum(len(v) for v in truth.values())
+        rel = [abs(r.adc - r.d2) / r.d2 for r in rows if r.d2 > 0]
+        table.append(
+            {
+                "mode": mode,
+                "m": m,
+                "k": k,
+                "code_bytes_per_vec": m,  # k ≤ 256 ⇒ one byte per subspace
+                "recall_at_10_in_probe": round(recall, 4),
+                "adc_mean_rel_err": round(sum(rel) / len(rel), 4),
+                "silver_write_s": write_s,
+            }
+        )
+        print(json.dumps(table[-1]), flush=True)
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "nlist": NLIST,
+                "nprobe": NPROBE,
+                "quantizer_mean_top1": round(diag["mean_top1"], 3),
+                "recall_table": table,
+            }
+        )
+    )
+
+
 def main() -> None:
     from crossbar_data_process_spark import get_spark
     from crossbar_data_process_spark.operators.ivf import (
@@ -73,8 +249,21 @@ def main() -> None:
         write_pq_corpus,
     )
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--residual",
+        action="store_true",
+        help="run the residual-PQ recall-vs-bitrate study at 1M rows "
+        "instead of the standard scale probe",
+    )
+    args = ap.parse_args()
+
     spark = get_spark(app_name="pq-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.residual:
+        residual_recall(spark)
+        spark.stop()
+        return
     books = pq_codebooks_fixed(DIM, M, K)
     out: dict[str, dict] = {}
 
