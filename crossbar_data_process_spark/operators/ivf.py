@@ -66,9 +66,14 @@ def checked_vec(vec: Column, dim: int, vec_name: str) -> Column:
     paths, r11 ADVICE): a NULL vector otherwise assigns a NULL cluster,
     the row lands under ``cluster=__HIVE_DEFAULT_PARTITION__``, and every
     later silver read dies on an undiagnosable int-parse error (or worse,
-    skips rows). One size comparison + branch per row; the message
-    coalesces the NULL case so it stays diagnosable (concat
-    null-propagates)."""
+    skips rows). The message coalesces the NULL case so it stays
+    diagnosable (concat null-propagates).
+
+    Callers must BIND the result in its own projection before handing it
+    to ``ivf_assign`` (the ``__n`` idiom): inside the assign's per-
+    centroid transform lambda the guard would re-evaluate once per
+    centroid (nlist× per row — the HOF no-CSE trap this repo keeps
+    re-measuring; r12 review)."""
     return F.when(F.size(vec) == dim, vec).otherwise(
         F.raise_error(
             F.concat(
@@ -368,14 +373,15 @@ def write_assigned_corpus(
     # length/NULL-check at the PARTITION-KEY source: a NULL assignment
     # would land rows under cluster=__HIVE_DEFAULT_PARTITION__ and poison
     # every later silver read (r11 ADVICE; the PQ path gets the same
-    # check from pq._with_subvecs)
-    assigned = vectors.withColumn(
-        "cluster",
-        ivf_assign(
-            checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
-            centroids,
-        ),
+    # check from pq._with_subvecs). Bound in its OWN projection so the
+    # guard runs once per row, not once per centroid inside the assign
+    # transform (r12 review).
+    bound = vectors.withColumn(
+        "__checked_vec", checked_vec(F.col(vec_col), len(centroids[0]), vec_col)
     )
+    assigned = bound.withColumn(
+        "cluster", ivf_assign(F.col("__checked_vec"), centroids)
+    ).drop("__checked_vec")
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
             quantize_embeddings,

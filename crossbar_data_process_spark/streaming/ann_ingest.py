@@ -401,13 +401,18 @@ def ivf_ingest_writer(
                 batch_df = batch_df.join(flags, id_col, "left_anti")
         # length/NULL-check at the partition-key source (r11 ADVICE): a
         # NULL assignment lands rows under __HIVE_DEFAULT_PARTITION__ and
-        # poisons every later read of the silver
-        assigned = batch_df.withColumn(
-            _CLUSTER_COL,
-            ivf_assign(
+        # poisons every later read of the silver. Bound in its own
+        # projection so the guard runs once per row, not once per
+        # centroid inside the assign transform (r12 review).
+        assigned = (
+            batch_df.withColumn(
+                "__checked_vec",
                 checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
-                centroids,
-            ),
+            )
+            .withColumn(
+                _CLUSTER_COL, ivf_assign(F.col("__checked_vec"), centroids)
+            )
+            .drop("__checked_vec")
         )
         if quantize:
             from crossbar_data_process_spark.operators.similarity import (

@@ -215,8 +215,8 @@ def build(
         nl = nlist if nlist is not None else max(8, n // 1000)
         # materialize the embedding ONCE: the 64-bucket feature-hash
         # expression is a large codegen unit, and fit/assign/pair stages
-        # would each re-evaluate (and re-JIT) it otherwise — measured 69 s
-        # → ~15 s on the 5k corpus
+        # would each re-evaluate (and re-JIT) it otherwise — measured
+        # 69.5 s → 26.6 s on the 5k corpus (BASELINE.md)
         embedded = materialize(feature_embed(curated))
         cents = ivf_fit(
             embedded,
@@ -258,16 +258,29 @@ def build(
     _stage("mix_split", _mix)
     mixed = spark.read.parquet(f"{out}/mixed")
 
-    # -- stage 4: sequence packing over the train split (reuses the
-    # curation profile's n_tokens — no re-tokenization).
+    # -- stage 4: sequence packing PER SPLIT (reuses the curation
+    # profile's n_tokens — no re-tokenization). Packing runs once per
+    # split so no pack mixes train and eval documents; pack ids are
+    # unique only within a split, so (split, pack_id) is the sequence
+    # key downstream (r12 review: the first form packed and exported
+    # only the train split — the val/test deliverable was computed then
+    # silently discarded).
     def _pack():
-        train = mixed.filter(F.col("split") == "train")
-        packs = pack_documents(
-            train, budget=PACK_BUDGET, n_tokens_col="n_tokens"
-        )
-        train.join(packs.select("doc_id", "pack_id", "pack_pos"), "doc_id").write.mode(
-            "overwrite"
-        ).parquet(f"{out}/packed")
+        packed_parts = None
+        for split in sorted(SPLIT_WEIGHTS):
+            part = mixed.filter(F.col("split") == split)
+            packs = pack_documents(
+                part, budget=PACK_BUDGET, n_tokens_col="n_tokens"
+            )
+            joined = part.join(
+                packs.select("doc_id", "pack_id", "pack_pos"), "doc_id"
+            )
+            packed_parts = (
+                joined
+                if packed_parts is None
+                else packed_parts.unionByName(joined)
+            )
+        packed_parts.write.mode("overwrite").parquet(f"{out}/packed")
         return spark.read.parquet(f"{out}/packed").count()
 
     _stage("pack", _pack)

@@ -79,8 +79,24 @@ def test_build_composes_and_separates_semantic_stage(spark, corpus, tmp_path):
     assert st["curate"]["rows"] <= N_DOCS
     assert st["semantic_dedup"]["rows"] <= st["curate"]["rows"]
     assert st["mix_split"]["rows"] <= st["semantic_dedup"]["rows"]
-    assert st["pack"]["rows"] <= st["mix_split"]["rows"]
+    # packing is per split and drops NOTHING: every mixed doc (train AND
+    # val/test) reaches the packs and the export (r12 review — the first
+    # form silently discarded the non-train splits)
+    assert st["pack"]["rows"] == st["mix_split"]["rows"]
     assert st["export_jsonl"]["rows"] == st["pack"]["rows"]
+    packed_df = spark.read.parquet(f"{out}/packed")
+    exported_splits = {r.split for r in packed_df.select("split").distinct().collect()}
+    mixed_splits = {
+        r.split
+        for r in spark.read.parquet(f"{out}/mixed").select("split").distinct().collect()
+    }
+    assert exported_splits == mixed_splits
+    # packs never mix splits: (split, pack_id) is the sequence key, and
+    # every pack_id maps to exactly one split within it
+    assert (
+        packed_df.groupBy("split", "pack_id").count().count()
+        == packed_df.select("split", "pack_id").distinct().count()
+    )
 
     curated = _ids(spark, f"{out}/curated")
     semantic = _ids(spark, f"{out}/semantic")

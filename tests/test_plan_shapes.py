@@ -186,9 +186,14 @@ _WORKLOAD_BOUNDS = {
     # lives on in the property test; q67 carries the same 10-query carve
     "q67_pq_adc_topk": r'F\.col\("vec_id"\)\s*<\s*10',
     # r12: the IVF-PQ silver path carries q67's 10-query carve; RRF fusion
-    # carries q61's query carve on BOTH arms (doc_id and vec_id % 97 < 5000)
+    # carries q61's query carve on BOTH arms — the lookaheads pin doc_id
+    # AND vec_id bounds (one unguarded arm would let the dense query set
+    # scale with the corpus, the q61 Q×N trap; r12 review)
     "q69_ivfpq_silver": r'F\.col\("vec_id"\)\s*<\s*10',
-    "q70_rrf_fusion": r'F\.col\("doc_id"\)\s*<\s*5000',
+    "q70_rrf_fusion": (
+        r'(?s)(?=.*F\.col\("doc_id"\)\s*<\s*5000)'
+        r'(?=.*F\.col\("vec_id"\)\s*<\s*5000)'
+    ),
 }
 
 
