@@ -258,29 +258,39 @@ def build(
     _stage("mix_split", _mix)
     mixed = spark.read.parquet(f"{out}/mixed")
 
-    # -- stage 4: sequence packing PER SPLIT (reuses the curation
-    # profile's n_tokens — no re-tokenization). Packing runs once per
-    # split so no pack mixes train and eval documents; pack ids are
-    # unique only within a split, so (split, pack_id) is the sequence
-    # key downstream (r12 review: the first form packed and exported
-    # only the train split — the val/test deliverable was computed then
-    # silently discarded).
+    # -- stage 4: sequence packing over ALL splits (reuses the curation
+    # profile's n_tokens — no re-tokenization). The bucket id ENCODES the
+    # split (split_index·64 + crc bucket — pack_documents' bucket_col
+    # hook), so one pack_documents call / one window shuffle packs
+    # everything, no pack can mix train and eval documents, and pack_id
+    # stays globally unique (bucket·2^40 + local). (r12 review, two
+    # passes: the first form packed and exported only the train split —
+    # the val/test deliverable was computed then silently discarded; the
+    # second form's per-split loop tripled the shuffle and left pack_id
+    # unique only within a split.)
     def _pack():
-        packed_parts = None
-        for split in sorted(SPLIT_WEIGHTS):
-            part = mixed.filter(F.col("split") == split)
-            packs = pack_documents(
-                part, budget=PACK_BUDGET, n_tokens_col="n_tokens"
+        names = sorted(SPLIT_WEIGHTS)
+        split_idx = F.lit(None).cast("int")
+        for i, s in enumerate(names):
+            split_idx = F.when(F.col("split") == s, F.lit(i)).otherwise(
+                split_idx
             )
-            joined = part.join(
-                packs.select("doc_id", "pack_id", "pack_pos"), "doc_id"
-            )
-            packed_parts = (
-                joined
-                if packed_parts is None
-                else packed_parts.unionByName(joined)
-            )
-        packed_parts.write.mode("overwrite").parquet(f"{out}/packed")
+        bucketed = mixed.withColumn(
+            "__bucket",
+            split_idx * 64
+            + F.pmod(
+                F.crc32(F.md5(F.col("doc_id").cast("string"))), F.lit(64)
+            ).cast("int"),
+        )
+        packs = pack_documents(
+            bucketed,
+            budget=PACK_BUDGET,
+            n_tokens_col="n_tokens",
+            bucket_col="__bucket",
+        )
+        bucketed.drop("__bucket").join(
+            packs.select("doc_id", "pack_id", "pack_pos"), "doc_id"
+        ).write.mode("overwrite").parquet(f"{out}/packed")
         return spark.read.parquet(f"{out}/packed").count()
 
     _stage("pack", _pack)

@@ -155,16 +155,11 @@ def residual_recall(spark) -> None:
             "cluster"
         ),
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            F.col("__cv"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # the production distance expression itself (fold order pinned to the
+    # SQL oracle's) — not a re-derivation that could drift (r12 review)
+    from crossbar_data_process_spark.operators.pq import _sqdist
+
+    d2 = _sqdist(F.col("__qv"), F.col("__cv"))
     cand = materialize(
         assigned.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))

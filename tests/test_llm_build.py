@@ -85,18 +85,32 @@ def test_build_composes_and_separates_semantic_stage(spark, corpus, tmp_path):
     assert st["pack"]["rows"] == st["mix_split"]["rows"]
     assert st["export_jsonl"]["rows"] == st["pack"]["rows"]
     packed_df = spark.read.parquet(f"{out}/packed")
-    exported_splits = {r.split for r in packed_df.select("split").distinct().collect()}
     mixed_splits = {
         r.split
         for r in spark.read.parquet(f"{out}/mixed").select("split").distinct().collect()
     }
-    assert exported_splits == mixed_splits
-    # packs never mix splits: (split, pack_id) is the sequence key, and
-    # every pack_id maps to exactly one split within it
-    assert (
-        packed_df.groupBy("split", "pack_id").count().count()
-        == packed_df.select("split", "pack_id").distinct().count()
+    # packs never mix splits: pack_id is GLOBALLY unique (the bucket id
+    # encodes the split), so every pack_id must map to exactly one split
+    # — this fails if _pack reverts to split-blind global packing
+    # (r12 review pass 2: the first assertion here compared a groupBy
+    # count to a distinct count of the SAME key — a tautology)
+    mixed_pack = (
+        packed_df.groupBy("pack_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
     )
+    assert mixed_pack == 0
+    # verify the EXPORT leg from the written shard bytes, not from the
+    # pack parquet the manifest also counted (r12 review pass 2): parse
+    # the JSONL lines themselves
+    lines = []
+    for blob in _shard_bytes(f"{out}/shards").values():
+        lines.extend(
+            json.loads(l) for l in blob.decode().splitlines() if l
+        )
+    assert len(lines) == st["pack"]["rows"]
+    assert {l["split"] for l in lines} == mixed_splits
 
     curated = _ids(spark, f"{out}/curated")
     semantic = _ids(spark, f"{out}/semantic")
