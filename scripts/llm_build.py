@@ -149,6 +149,8 @@ def build(
     nlist: int | None = None,
     benchmark_mod: int = 101,
     benchmark_cap: int = 2000,
+    tokenize: bool = False,
+    num_merges: int = 200,
 ) -> dict:
     """Run the full pipeline over ``docs`` (doc_id, text, source), writing
     each stage's silver under ``out`` and returning per-stage walls and
@@ -312,6 +314,86 @@ def build(
 
     _stage("export_jsonl", _export)
 
+    # -- stage 6 (optional, --tokenize): the TOKENIZED export — train BPE
+    # merges on the deduped corpus (bounded vocab collect), encode, then
+    # REPACK by the real token counts (n_bpe, not whitespace tokens) and
+    # materialize physical training sequences (pack_text + boundary
+    # offsets — the attention-reset points) as the shard payload. Same
+    # split-encoded bucket as stage 4, so no sequence mixes splits and
+    # pack_id stays globally unique.
+    if tokenize:
+        from crossbar_data_process_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+        from crossbar_data_process_spark.operators.packing import (
+            materialize_packs,
+        )
+
+        def _tokenize():
+            merges = bpe_train(deduped, num_merges=num_merges)
+            enc = bpe_encode(mixed, merges)
+            names = sorted(SPLIT_WEIGHTS)
+            split_idx = F.lit(None).cast("int")
+            for i, s in enumerate(names):
+                split_idx = F.when(
+                    F.col("split") == s, F.lit(i)
+                ).otherwise(split_idx)
+            bpe_docs = mixed.join(enc, "doc_id").withColumn(
+                "__bucket",
+                split_idx * 64
+                + F.pmod(
+                    F.crc32(F.md5(F.col("doc_id").cast("string"))),
+                    F.lit(64),
+                ).cast("int"),
+            )
+            packs = pack_documents(
+                bpe_docs,
+                budget=PACK_BUDGET,
+                n_tokens_col="n_bpe",
+                bucket_col="__bucket",
+            )
+            seqs = materialize_packs(
+                bpe_docs.select(
+                    "doc_id",
+                    F.array_join("bpe_tokens", " ").alias("bpe_text"),
+                ),
+                packs,
+                text_col="bpe_text",
+            )
+            # recover the split from the bucket encoded in pack_id
+            # (pack_id = bucket·2^40 + local; bucket = split_idx·64 + crc)
+            split_names = F.array(*[F.lit(s) for s in names])
+            seqs = seqs.withColumn(
+                "split",
+                F.element_at(
+                    split_names,
+                    (
+                        F.floor(F.col("pack_id") / F.lit(1 << 40)) / 64
+                    ).cast("int")
+                    + 1,
+                ),
+            )
+            counts = write_jsonl_shards(
+                seqs.select(
+                    "pack_id",
+                    "split",
+                    "n_docs",
+                    "n_tokens",
+                    "doc_ids",
+                    "boundaries",
+                    "pack_text",
+                ),
+                f"{out}/token_shards",
+                id_col="pack_id",
+                n_shards=N_SHARDS,
+                manifest_counts="input",
+            )
+            stages.setdefault("_bpe", {})["n_merges"] = len(merges)
+            return int(sum(counts.values()))
+
+        _stage("tokenize_pack_sequences", _tokenize)
+
     return {
         "stages": {k: v for k, v in stages.items() if not k.startswith("_")},
         "mix_fractions": stages.get("_mix_fractions", {}),
@@ -319,9 +401,17 @@ def build(
     }
 
 
+ZIPF_XL = "/tmp/llm_build_zipf_xl"  # 500k docs — the --scale 100 corpus
+N_XL_DOCS = 500_000
+
+
 def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
     """The shared Zipf corpus (built on demand via sf1_probe's generator),
-    with the 6-way source labels and the token-permuted paraphrase plant."""
+    with the 6-way source labels and the reversed-paraphrase plant.
+    ``scale=100`` generates a 500k-doc corpus with the SAME recipe
+    (sf1_probe.zipf_texts) under its own seed — the small/big pair keeps
+    the literal-prefix property for slope probes; the XL corpus only
+    needs the same statistics."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -330,9 +420,16 @@ def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
     )
     probe = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(probe)
-    path = probe.ZIPF_SMALL if scale == 1 else probe.ZIPF_BIG
-    if not os.path.exists(f"{path}/documents.parquet"):
-        probe._gen_zipf()
+    if scale == 100:
+        path = ZIPF_XL
+        if not os.path.exists(f"{path}/documents.parquet"):
+            probe.write_zipf_documents(
+                path, probe.zipf_texts(N_XL_DOCS, seed=20260815), N_XL_DOCS
+            )
+    else:
+        path = probe.ZIPF_SMALL if scale == 1 else probe.ZIPF_BIG
+        if not os.path.exists(f"{path}/documents.parquet"):
+            probe._gen_zipf()
     docs = spark.read.parquet(f"{path}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -341,7 +438,14 @@ def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=int, choices=(1, 10), default=1)
+    ap.add_argument("--scale", type=int, choices=(1, 10, 100), default=1)
+    ap.add_argument(
+        "--tokenize",
+        action="store_true",
+        help="add the BPE stage: train merges on the deduped corpus, "
+        "encode, repack by REAL token counts, export materialized "
+        "training sequences",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     out = args.out or f"/tmp/llm_build_gold_s{args.scale}"
@@ -352,7 +456,7 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     docs = _load_zipf(spark, args.scale)
-    report = build(spark, docs, out)
+    report = build(spark, docs, out, tokenize=args.tokenize)
     print(
         json.dumps(
             {

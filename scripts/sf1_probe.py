@@ -152,15 +152,19 @@ VOCAB_SIZE = 20_000
 ZIPF_S = 1.07
 
 
-def _gen_zipf() -> None:
-    rng = np.random.default_rng(20260814)
+def zipf_texts(n_docs: int, seed: int = 20260814) -> list[str]:
+    """The Zipf corpus recipe as a reusable generator (r12: shared with
+    scripts/llm_build.py's --scale 100 corpus): ``n_docs`` texts with the
+    documented vocabulary/length/plant structure — a 90%-prefix near-dup
+    every 25th doc, an exact re-ingest double every 100th."""
+    rng = np.random.default_rng(seed)
     ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
     probs = ranks ** -ZIPF_S
     probs /= probs.sum()
     vocab = np.array(
         _HEAD_WORDS + [f"w{i}" for i in range(VOCAB_SIZE - len(_HEAD_WORDS))]
     )
-    lens = rng.integers(60, 201, N_BIG_DOCS)
+    lens = rng.integers(60, 201, n_docs)
     draws = rng.choice(VOCAB_SIZE, size=int(lens.sum()), p=probs)
     texts: list[str] = []
     off = 0
@@ -170,26 +174,34 @@ def _gen_zipf() -> None:
     # near-dup plant: every 25th doc = 90% prefix of its predecessor +
     # fresh tail (drives the LSH/Jaccard/resolve paths); exact re-ingest
     # double every 100th (drives the exact-fp fast paths)
-    for i in range(1, N_BIG_DOCS, 25):
+    for i in range(1, n_docs, 25):
         prev = texts[i - 1].split()
         keep = int(len(prev) * 0.9)
         tail = vocab[rng.choice(VOCAB_SIZE, size=len(prev) - keep, p=probs)]
         texts[i] = " ".join(prev[:keep] + list(tail))
-    for i in range(3, N_BIG_DOCS, 100):
+    for i in range(3, n_docs, 100):
         texts[i] = texts[i - 1]
+    return texts
 
+
+def write_zipf_documents(path: str, texts: list[str], n: int) -> None:
+    os.makedirs(path, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": texts[:n],
+            "lang": ["en"] * n,
+            "source": ["zipf"] * n,
+            "n_chars": pa.array([len(x) for x in texts[:n]], pa.int64()),
+        }
+    )
+    papq.write_table(t, f"{path}/documents.parquet")
+
+
+def _gen_zipf() -> None:
+    texts = zipf_texts(N_BIG_DOCS)
     for path, n in ((ZIPF_SMALL, N_SMALL_DOCS), (ZIPF_BIG, N_BIG_DOCS)):
-        os.makedirs(path, exist_ok=True)
-        t = pa.table(
-            {
-                "doc_id": pa.array(range(n), pa.int64()),
-                "text": texts[:n],
-                "lang": ["en"] * n,
-                "source": ["zipf"] * n,
-                "n_chars": pa.array([len(x) for x in texts[:n]], pa.int64()),
-            }
-        )
-        papq.write_table(t, f"{path}/documents.parquet")
+        write_zipf_documents(path, texts, n)
 
 
 def _q61_dfcut(spark, sf_dir: str):

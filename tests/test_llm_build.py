@@ -153,3 +153,38 @@ def test_build_is_deterministic(spark, corpus, tmp_path):
     b2 = _shard_bytes(f"{out2}/shards")
     assert b1 == b2 and len(b1) > 0
     assert sum(len(v) for v in b1.values()) > 0
+
+
+def test_tokenized_sequence_export(spark, corpus, tmp_path):
+    """--tokenize: BPE merges trained on the deduped corpus, documents
+    re-packed by REAL token counts, physical sequences (pack_text +
+    boundary offsets) exported. Boundaries are the attention-reset
+    contract: boundaries[i] is doc i's token offset, and the whole
+    sequence's token count equals the sum of its parts."""
+    out = str(tmp_path / "gold")
+    report = llm_build.build(
+        spark, corpus, out, nlist=4, tokenize=True, num_merges=50
+    )
+    st = report["stages"]
+    assert st["tokenize_pack_sequences"]["rows"] > 0
+    manifest = json.loads(
+        (tmp_path / "gold" / "token_shards" / "manifest.json").read_text()
+    )
+    assert sum(manifest["shards"].values()) == st["tokenize_pack_sequences"]["rows"]
+    lines = []
+    for blob in _shard_bytes(f"{out}/token_shards").values():
+        lines.extend(json.loads(l) for l in blob.decode().splitlines() if l)
+    assert len(lines) == st["tokenize_pack_sequences"]["rows"]
+    for l in lines:
+        assert l["split"] in llm_build.SPLIT_WEIGHTS
+        assert len(l["boundaries"]) == l["n_docs"] == len(l["doc_ids"])
+        assert l["boundaries"][0] == 0
+        # n_tokens is the BPE token count of the materialized sequence
+        assert l["n_tokens"] == len(l["pack_text"].split())
+        assert all(
+            a < b for a, b in zip(l["boundaries"], l["boundaries"][1:])
+        )
+        assert l["boundaries"][-1] < l["n_tokens"]
+    # the sequences cover every mixed doc exactly once
+    all_doc_ids = [d for l in lines for d in l["doc_ids"]]
+    assert len(all_doc_ids) == len(set(all_doc_ids)) == st["mix_split"]["rows"]
