@@ -193,6 +193,12 @@ def build(
                 "p95_len_cap": (0.95, lambda v: v <= 50_000),
                 "median_len_floor": (0.5, lambda v: v >= 2),
             },
+            # the stop-shingle skew cap is MANDATORY at corpus scale:
+            # without it, mega-buckets (minhashes landing on globally
+            # common trigrams) make candidate generation quadratic —
+            # measured 94% of candidates from 59 buckets at 50k docs and
+            # a >79 GB spill death at 500k (BASELINE.md r12)
+            lsh_max_bucket_size=64,
         )
         # keep the source label with the survivors (curate's projection is
         # its documented 6-column contract)

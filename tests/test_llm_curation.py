@@ -161,3 +161,23 @@ def test_quantile_expectation_gate(spark, corpus):
             corpus,
             quantile_expectations={"p95_len_cap": (0.95, lambda v: v <= 1)},
         ).collect()
+
+
+def test_lsh_bucket_cap_passes_through(spark, corpus):
+    """r12: the stop-shingle skew cap (minhash_lsh_pairs'
+    max_bucket_size) is reachable from the curation plan — at corpus
+    scale mega-buckets make candidate generation quadratic (measured:
+    94% of candidates from 59 buckets at 50k docs; >79 GB spill at 500k
+    uncapped). cap=1 drops every multi-member bucket, so near-dup
+    resolution no-ops and the near-dup doc 3 SURVIVES (exact dedup,
+    which runs first, is unaffected)."""
+    capped = {r.doc_id: r for r in curate_documents(
+        corpus, lsh_max_bucket_size=1
+    ).collect()}
+    assert 3 in capped, "cap=1 disables near-dup candidates entirely"
+    assert capped[3].cluster_size == 1
+    assert 2 not in capped, "exact dedup is unaffected by the LSH cap"
+    # default (None) keeps the q55 pipeline byte-identical: doc 3 folds
+    # into doc 1's cluster
+    baseline = {r.doc_id: r for r in curate_documents(corpus).collect()}
+    assert 3 not in baseline and baseline[1].cluster_size == 2
