@@ -220,7 +220,15 @@ def build(
         )
 
         n = curated.count()
-        nl = nlist if nlist is not None else max(8, n // 1000)
+        # nlist scales to hold E[cluster] ≈ 250: the pair stage is
+        # Σ cluster², so quantizer granularity is THE cost lever — and
+        # under skew (measured r12 at 500k: top cluster 34× the median,
+        # 36 hot clusters carrying 66% of 813M pairs) it is also the
+        # straggler lever, since the cluster-keyed join can't split a
+        # cluster across tasks. The fit sample scales with nlist
+        # (k-means needs ≥ several samples per centroid or the seeds ARE
+        # the fit).
+        nl = nlist if nlist is not None else max(8, n // 250)
         # materialize the embedding ONCE: the 64-bucket feature-hash
         # expression is a large codegen unit, and fit/assign/pair stages
         # would each re-evaluate (and re-JIT) it otherwise — measured
@@ -232,7 +240,7 @@ def build(
             nlist=nl,
             iters=2,
             id_col="doc_id",
-            driver_fit_rows=2048,
+            driver_fit_rows=max(2048, 8 * nl),
         )
         survivors = semantic_dedup(
             embedded,
