@@ -14,9 +14,10 @@ the JSONL exporter); this script proves the COMPOSITION and measures its
 scale slope. Corpus: the Zipf-realistic generator shared with
 ``scripts/sf1_probe.py`` (20k vocab, exponent 1.07 — the small corpus is
 the big one's literal 5k-doc prefix, so 1×/10× walls measure pure corpus
-scaling on identical text statistics), plus one plant this script adds:
-every 40th doc is a TOKEN-PERMUTED paraphrase of its predecessor — the
-same bag of words in sorted order. That plant is the separating case for
+scaling on identical text statistics; --scale 100 generates a 500k-doc
+corpus from the same recipe), plus one plant this script adds: every
+40th doc is the REVERSED token sequence of its predecessor — the same
+bag of words, order destroyed. That plant is the separating case for
 the semantic stage: n-gram shingles are destroyed (text near-dup passes
 it) while the bag-of-words embedding is IDENTICAL (cosine 1.0 — only
 embedding dedup catches it).
@@ -26,7 +27,8 @@ Per-stage walls come from forcing each stage with its own parquet write
 stages); later stages read the previous stage's silver, so each wall is
 attributable.
 
-Usage: python scripts/llm_build.py [--scale {1,10}] [--out DIR]
+Usage: python scripts/llm_build.py [--scale {1,10,100}] [--tokenize]
+[--out DIR]
 Prints one JSON line: {"metric": "llm_build_runtime", "value": sec,
 "stages": {name: {"sec": s, "rows": n}}, "scale": S, ...}.
 """
@@ -78,6 +80,24 @@ def _with_sources(docs: DataFrame) -> DataFrame:
                 "string"
             ),
         ),
+    )
+
+
+def _split_bucket() -> "F.Column":
+    """The split-encoded pack bucket (split_index·64 + crc-of-md5 % 64),
+    shared by the whitespace pack stage and the BPE tokenize stage so the
+    two can never desynchronize (r12 review pass 3): packs within a
+    bucket belong to exactly one split, and pack_documents' pack_id
+    (bucket·2^40 + local) stays globally unique across splits."""
+    names = sorted(SPLIT_WEIGHTS)
+    split_idx = F.lit(None).cast("int")
+    for i, s in enumerate(names):
+        split_idx = F.when(F.col("split") == s, F.lit(i)).otherwise(split_idx)
+    return (
+        split_idx * 64
+        + F.pmod(
+            F.crc32(F.md5(F.col("doc_id").cast("string"))), F.lit(64)
+        ).cast("int")
     )
 
 
@@ -285,19 +305,7 @@ def build(
     # second form's per-split loop tripled the shuffle and left pack_id
     # unique only within a split.)
     def _pack():
-        names = sorted(SPLIT_WEIGHTS)
-        split_idx = F.lit(None).cast("int")
-        for i, s in enumerate(names):
-            split_idx = F.when(F.col("split") == s, F.lit(i)).otherwise(
-                split_idx
-            )
-        bucketed = mixed.withColumn(
-            "__bucket",
-            split_idx * 64
-            + F.pmod(
-                F.crc32(F.md5(F.col("doc_id").cast("string"))), F.lit(64)
-            ).cast("int"),
-        )
+        bucketed = mixed.withColumn("__bucket", _split_bucket())
         packs = pack_documents(
             bucketed,
             budget=PACK_BUDGET,
@@ -345,21 +353,20 @@ def build(
         )
 
         def _tokenize():
+            from crossbar_data_process_spark.operators.materialize import (
+                materialize,
+            )
+
             merges = bpe_train(deduped, num_merges=num_merges)
-            enc = bpe_encode(mixed, merges)
-            names = sorted(SPLIT_WEIGHTS)
-            split_idx = F.lit(None).cast("int")
-            for i, s in enumerate(names):
-                split_idx = F.when(
-                    F.col("split") == s, F.lit(i)
-                ).otherwise(split_idx)
-            bpe_docs = mixed.join(enc, "doc_id").withColumn(
-                "__bucket",
-                split_idx * 64
-                + F.pmod(
-                    F.crc32(F.md5(F.col("doc_id").cast("string"))),
-                    F.lit(64),
-                ).cast("int"),
+            # materialize the encoded frame ONCE: the Arrow-path BPE
+            # encode is consumed by the pack window, the pack_text join
+            # side, AND the manifest input-count scan — unmaterialized it
+            # re-executes per consumer (the stage-2 lesson; r12 review
+            # pass 3 measured the stage wall inflated several-fold)
+            bpe_docs = materialize(
+                mixed.join(bpe_encode(mixed, merges), "doc_id").withColumn(
+                    "__bucket", _split_bucket()
+                )
             )
             packs = pack_documents(
                 bpe_docs,
@@ -375,19 +382,21 @@ def build(
                 packs,
                 text_col="bpe_text",
             )
-            # recover the split from the bucket encoded in pack_id
-            # (pack_id = bucket·2^40 + local; bucket = split_idx·64 + crc)
+            # recover the split from packs' OWN decoded bucket column
+            # (split = bucket // 64) instead of re-deriving pack_id's
+            # internal bit layout here — a pack_documents encoding change
+            # must not silently mislabel exported splits (r12 review
+            # pass 3); the (pack_id, bucket) side is pack-count-sized
+            names = sorted(SPLIT_WEIGHTS)
             split_names = F.array(*[F.lit(s) for s in names])
-            seqs = seqs.withColumn(
-                "split",
+            pack_split = packs.select("pack_id", "bucket").distinct().select(
+                "pack_id",
                 F.element_at(
                     split_names,
-                    (
-                        F.floor(F.col("pack_id") / F.lit(1 << 40)) / 64
-                    ).cast("int")
-                    + 1,
-                ),
+                    F.floor(F.col("bucket") / 64).cast("int") + 1,
+                ).alias("split"),
             )
+            seqs = materialize(seqs.join(pack_split, "pack_id"))
             counts = write_jsonl_shards(
                 seqs.select(
                     "pack_id",
@@ -411,6 +420,7 @@ def build(
     return {
         "stages": {k: v for k, v in stages.items() if not k.startswith("_")},
         "mix_fractions": stages.get("_mix_fractions", {}),
+        "n_bpe_merges": stages.get("_bpe", {}).get("n_merges"),
         "total_sec": round(time.monotonic() - t_all, 3),
     }
 
