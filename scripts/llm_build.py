@@ -177,6 +177,7 @@ def build(
     row counts. Deterministic end-to-end: same corpus → byte-identical
     shards (no RNG anywhere — md5/xxhash decisions only)."""
     from crossbar_data_process_spark.operators.ivf import ivf_fit
+    from crossbar_data_process_spark.operators.materialize import materialize
     from crossbar_data_process_spark.operators.packing import pack_documents
     from crossbar_data_process_spark.operators.sampling import (
         assign_split,
@@ -235,10 +236,6 @@ def build(
     # nlist scales with the corpus (the SemDeDup posture: constant
     # expected cluster size).
     def _semantic():
-        from crossbar_data_process_spark.operators.materialize import (
-            materialize,
-        )
-
         n = curated.count()
         # nlist scales to hold E[cluster] ≈ 250: the pair stage is
         # Σ cluster², so quantizer granularity is THE cost lever — and
@@ -353,26 +350,28 @@ def build(
         )
 
         def _tokenize():
-            from crossbar_data_process_spark.operators.materialize import (
-                materialize,
-            )
-
             merges = bpe_train(deduped, num_merges=num_merges)
-            # materialize the encoded frame ONCE: the Arrow-path BPE
-            # encode is consumed by the pack window, the pack_text join
-            # side, AND the manifest input-count scan — unmaterialized it
-            # re-executes per consumer (the stage-2 lesson; r12 review
-            # pass 3 measured the stage wall inflated several-fold)
+            # materialize the encoded frame ONCE, projected to the four
+            # columns downstream reads (checkpointing the raw text next
+            # to its own re-encoding would double the block size): the
+            # Arrow-path BPE encode is consumed by the pack window and
+            # the pack_text join side — unmaterialized it re-executes per
+            # consumer (the stage-2 lesson; r12 review passes 3/4)
             bpe_docs = materialize(
-                mixed.join(bpe_encode(mixed, merges), "doc_id").withColumn(
-                    "__bucket", _split_bucket()
-                )
+                mixed.join(bpe_encode(mixed, merges), "doc_id")
+                .withColumn("__bucket", _split_bucket())
+                .select("doc_id", "bpe_tokens", "n_bpe", "__bucket")
             )
-            packs = pack_documents(
-                bpe_docs,
-                budget=PACK_BUDGET,
-                n_tokens_col="n_bpe",
-                bucket_col="__bucket",
+            # packs feeds BOTH materialize_packs and the split recovery
+            # below — materialize so the pack window runs once (r12
+            # review pass 4)
+            packs = materialize(
+                pack_documents(
+                    bpe_docs,
+                    budget=PACK_BUDGET,
+                    n_tokens_col="n_bpe",
+                    bucket_col="__bucket",
+                )
             )
             seqs = materialize_packs(
                 bpe_docs.select(
@@ -489,6 +488,7 @@ def main() -> None:
                 "unit": "sec",
                 "stages": report["stages"],
                 "mix_fractions": report["mix_fractions"],
+                "n_bpe_merges": report["n_bpe_merges"],
                 "scale": args.scale,
                 "out": out,
             },
