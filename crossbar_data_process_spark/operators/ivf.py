@@ -388,7 +388,12 @@ def write_assigned_corpus(
         )
 
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    # static per-write (writers.py:144 convention): a session-level
+    # dynamic overwrite would leave stale cluster partitions from a prior
+    # assignment alive under the fresh centroid stamp
+    assigned.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cluster").parquet(path)
     # stamp the quantizer's identity next to the data (after the
     # overwrite, which wipes the dir): probes and auditors can verify
     # their centroid matrix against the one the silver was assigned

@@ -503,7 +503,13 @@ def write_pq_corpus(
         ).drop(vec_col)
         enc_col = "__rv"
     encoded = pq_encode(assigned, codebooks, vec_col=enc_col, keep_vec=False)
-    encoded.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    # static per-write: under a session-level dynamic overwrite a rewrite
+    # with different centroids/corpus would leave STALE cluster partitions
+    # from the prior encode alive — and the freshly written codebook stamp
+    # would certify them (r12 ADVICE; the writers.py:144 convention)
+    encoded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("cluster").parquet(path)
     # stamps go AFTER the overwrite (which wipes the dir)
     _write_centroid_meta(vectors.sparkSession, path, centroids)
     _hadoop_write_text(

@@ -428,6 +428,17 @@ ZIPF_XL = "/tmp/llm_build_zipf_xl"  # 500k docs — the --scale 100 corpus
 N_XL_DOCS = 500_000
 
 
+def _read_corpus_recipe(path: str) -> dict | None:
+    """The `_recipe.json` sidecar stamped next to a generated corpus, or
+    None if absent/unreadable — absence means 'regenerate' (a bare
+    documents.parquet with no sidecar could be a partial write)."""
+    try:
+        with open(f"{path}/_recipe.json") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
     """The shared Zipf corpus (built on demand via sf1_probe's generator),
     with the 6-way source labels and the reversed-paraphrase plant.
@@ -445,10 +456,23 @@ def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
     spec.loader.exec_module(probe)
     if scale == 100:
         path = ZIPF_XL
-        if not os.path.exists(f"{path}/documents.parquet"):
+        # Reuse is keyed on a RECIPE SIDECAR, not bare file existence: a
+        # partially written parquet from a crashed generator run, or a
+        # corpus from an older recipe/seed, must never silently feed the
+        # build and skew the recorded scale baselines (r12 ADVICE). The
+        # generator writes into a temp dir and os.replace()s it into
+        # place, so the sidecar only ever describes a complete corpus.
+        recipe = {"seed": 20260815, "n_docs": N_XL_DOCS, "gen": "zipf_texts"}
+        if _read_corpus_recipe(path) != recipe:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
             probe.write_zipf_documents(
-                path, probe.zipf_texts(N_XL_DOCS, seed=20260815), N_XL_DOCS
+                tmp, probe.zipf_texts(N_XL_DOCS, seed=recipe["seed"]), N_XL_DOCS
             )
+            with open(f"{tmp}/_recipe.json", "w") as f:
+                json.dump(recipe, f, sort_keys=True)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
     else:
         path = probe.ZIPF_SMALL if scale == 1 else probe.ZIPF_BIG
         if not os.path.exists(f"{path}/documents.parquet"):
