@@ -333,6 +333,7 @@ def write_assigned_corpus(
     quantize: bool = False,
     diagnostics: dict[str, float] | None = None,
     require_clustered: bool = False,
+    two_level: "TwoLevelQuantizer | None" = None,
 ) -> None:
     """The 100 TB silver layout: assign every vector to its list ONCE (a
     pure projection — no join) and write partitioned BY the cluster id.
@@ -379,9 +380,22 @@ def write_assigned_corpus(
     bound = vectors.withColumn(
         "__checked_vec", checked_vec(F.col(vec_col), len(centroids[0]), vec_col)
     )
-    assigned = bound.withColumn(
-        "cluster", ivf_assign(F.col("__checked_vec"), centroids)
-    ).drop("__checked_vec")
+    # two_level swaps the O(nlist)-dots-per-row flat assignment for the
+    # O(√nlist) probe-then-score shape (VERDICT r12 #1); the quantizer
+    # must wrap THESE centroids or the stamped identity would certify
+    # assignments made under a different leaf set
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "ones being stamped on this silver — refusing to write an "
+            "index whose identity metadata would lie"
+        )
+    assign_expr = (
+        two_level.assign(F.col("__checked_vec"))
+        if two_level is not None
+        else ivf_assign(F.col("__checked_vec"), centroids)
+    )
+    assigned = bound.withColumn("cluster", assign_expr).drop("__checked_vec")
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
             quantize_embeddings,
@@ -480,6 +494,159 @@ def ivf_topk_assigned(
     )
 
 
+class TwoLevelQuantizer:
+    """Two-level coarse quantizer (VERDICT r12 #1) — the assignment-cost
+    fix that lets IVF-backed semantic dedup and the ANN silvers survive
+    past ~10M rows.
+
+    The measured wall: flat ``ivf_assign`` is a literal-matrix expression
+    costing O(nlist) dot products PER ROW, and SemDeDup wants
+    nlist ≈ n/250 (constant expected cluster size), so corpus assignment
+    is O(n·nlist) = O(n^1.5) overall — ``llm_build --scale 100`` died on
+    /tmp spill before the cluster-size policy landed (BASELINE r12 memory
+    traps). The standard fix (FAISS's IMI/two-level shape): cluster the
+    nlist leaf centroids themselves into ntop ≈ √nlist top-level groups
+    (driver-side numpy — the input is the centroid list, already driver-
+    resident and hyperparameter-sized), then assign each row by scoring
+    the ntop top-level centroids, keeping the ``assign_probes`` best
+    groups, and scoring ONLY their member leaves:
+    O(√nlist·(1 + assign_probes)) dots per row instead of O(nlist) —
+    O(n·√nlist) overall, and nlist's literal matrix leaves the per-row
+    hot path (the group literal is indexed, not scanned).
+
+    Exactness: with ``assign_probes == ntop`` every leaf is a candidate
+    and the assignment (including the min-id tie-break) equals flat
+    ``ivf_assign`` bit-for-bit (pinned in tests/test_ivf_ann.py). With
+    fewer probes a row whose true nearest leaf sits in an unprobed group
+    lands in its probed-best leaf instead — for SemDeDup this is nearly
+    free recall-wise, because near-dup PAIRS have near-identical vectors
+    and therefore take the same probe path to the SAME cluster; measured
+    agreement/recall is pinned in tests/test_ivf_ann.py and
+    tests/test_semantic_dedup.py.
+
+    Determinism: the top-level fit seeds from the md5-order of leaf
+    indices (the ``ivf_fit`` seeding family), Lloyd's runs the same
+    argmax-first/empty-keeps-previous rules, and empty groups are dropped
+    after ownership assignment — same centroids in → same quantizer out,
+    bit-for-bit, across sessions.
+    """
+
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        top: list[list[float]],
+        groups: list[list[int]],
+        assign_probes: int = 2,
+    ) -> None:
+        if len(groups) != len(top):
+            raise ValueError(
+                f"groups ({len(groups)}) and top centroids ({len(top)}) "
+                "must align 1:1"
+            )
+        owned = sorted(j for g in groups for j in g)
+        if owned != list(range(len(centroids))):
+            raise ValueError(
+                "groups must partition the leaf ids 0..nlist-1 exactly "
+                f"(got {len(owned)} memberships over {len(centroids)} leaves)"
+            )
+        if not 1 <= assign_probes:
+            raise ValueError(f"assign_probes must be >= 1, got {assign_probes}")
+        self.centroids = centroids
+        self.top = top
+        self.groups = groups
+        self.assign_probes = min(assign_probes, len(top))
+
+    def _group_literal(self) -> Column:
+        """ntop-element literal: groups[g] = array<struct<j int, c array>>
+        of the leaves top centroid g owns. Constant-folded once — per-row
+        work only ever touches the probed groups' slices via element_at."""
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.array(
+                                *[F.lit(float(x)) for x in self.centroids[j]]
+                            ).alias("c"),
+                        )
+                        for j in g
+                    ]
+                )
+                for g in self.groups
+            ]
+        )
+
+    def assign(self, vec: Column) -> Column:
+        """0-based leaf cluster id — drop-in for ``ivf_assign(vec,
+        centroids)`` with the two-level cost shape. Same caller contract:
+        bind any ``checked_vec`` guard in its own projection first (the
+        HOF no-CSE rule)."""
+        probe = _probe_list(vec, self.top, self.assign_probes)
+        cand = F.flatten(
+            F.transform(
+                probe, lambda g: F.element_at(self._group_literal(), g + 1)
+            )
+        )
+        # min of (-score, leaf id) structs == argmax score with the
+        # smallest-id tie-break — exactly flat ivf_assign's
+        # first-index-of-max rule
+        scored = F.transform(
+            cand,
+            lambda s: F.struct(
+                (-dot(vec, s["c"])).alias("s"), s["j"].alias("j")
+            ),
+        )
+        return F.array_min(scored)["j"].cast("int")
+
+
+def fit_two_level(
+    centroids: list[list[float]],
+    ntop: int | None = None,
+    iters: int = 5,
+    assign_probes: int = 2,
+) -> TwoLevelQuantizer:
+    """Fit the top level over an already-fitted leaf quantizer: cluster
+    the nlist (unit) leaf centroids into ``ntop`` groups with the same
+    driver-side spherical Lloyd's as ``ivf_fit(driver_fit_rows=...)``.
+    Default ntop = round(√nlist) — the cost-balanced choice (top scan and
+    probed-group scan are then both ~√nlist dots per row). Groups that
+    end up owning no leaves are dropped (probing them buys nothing).
+
+    Driver cost is O(nlist·ntop·dim) numpy — nlist is a hyperparameter
+    (≤65536 in practice), never data-sized; no Spark job runs here."""
+    import hashlib
+
+    import numpy as np
+
+    nlist = len(centroids)
+    if nlist == 0:
+        raise ValueError("fit_two_level needs at least one leaf centroid")
+    if ntop is None:
+        ntop = max(1, int(round(nlist**0.5)))
+    ntop = min(ntop, nlist)
+    c = np.array(centroids, dtype=np.float64)
+    # md5-order the leaf INDICES for seeding — the ivf_fit determinism
+    # family: pseudo-random, fully reproducible, no RNG state
+    order = sorted(
+        range(nlist),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    top = _numpy_lloyds(c[order], ntop, iters)
+    t = np.array(top, dtype=np.float64)
+    own = (c @ t.T).argmax(axis=1)  # first-max, as everywhere
+    groups = [
+        [j for j in range(nlist) if own[j] == g] for g in range(len(t))
+    ]
+    keep = [g for g in range(len(t)) if groups[g]]
+    return TwoLevelQuantizer(
+        centroids,
+        [top[g] for g in keep],
+        [groups[g] for g in keep],
+        assign_probes=assign_probes,
+    )
+
+
 def save_centroids(
     spark, centroids: list[list[float]], path: str
 ) -> None:
@@ -530,10 +697,14 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     sample_fraction: float | None = None,
     driver_fit_rows: int | None = None,
+    two_level: "TwoLevelQuantizer | None" = None,
 ) -> DataFrame:
     """IVF cosine top-k: train (or reuse) the coarse quantizer, bucket the
     corpus by nearest centroid (one linear pass), probe each query's
-    ``nprobe`` nearest lists, score exactly inside them.
+    ``nprobe`` nearest lists, score exactly inside them. ``two_level``
+    (a :class:`TwoLevelQuantizer` over the same centroids) switches the
+    CORPUS assignment to the O(√nlist)-per-row shape; query probing stays
+    flat — queries are the small side.
 
     Scale shape: corpus assignment is a projection (no join); the candidate
     join is an equi-join on the int cluster id with the exploded probe list
@@ -546,10 +717,20 @@ def ivf_topk(
             vectors, dim, nlist, iters, id_col, vec_col,
             sample_fraction, driver_fit_rows,
         )
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "probe list's — corpus lists and query probes would disagree"
+        )
+    corpus_assign = (
+        two_level.assign(F.col(vec_col))
+        if two_level is not None
+        else ivf_assign(F.col(vec_col), centroids)
+    )
     corpus = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        ivf_assign(F.col(vec_col), centroids).alias("__c"),
+        corpus_assign.alias("__c"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.topk import top_k_per_group
 
 
@@ -366,6 +367,8 @@ def neighbor_pairs_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    shard_target: int | None = 2000,
+    two_level=None,
 ) -> DataFrame:
     """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
     Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
@@ -375,15 +378,35 @@ def neighbor_pairs_ivf(
     each other by construction, so same-cluster candidacy catches them at
     nprobe=1 cost. Reuses the IVF quantizer (``operators.ivf.ivf_fit`` /
     ``load_centroids``) — one fitted artifact serves search (q54) and
-    dedup.
+    dedup. ``two_level`` (an ``operators.ivf.TwoLevelQuantizer`` over the
+    same centroids) switches corpus assignment to the O(√nlist)-per-row
+    shape — MANDATORY posture past ~10M rows, where SemDeDup's
+    nlist ≈ n/250 makes flat assignment O(n^1.5) (VERDICT r12 #1).
 
     Candidates are Σ c_i²/2 over cluster sizes instead of n²/2; the
-    shuffle is keyed on the int cluster id. ``max_cluster_size`` is the
-    skew lever (same contract as ``minhash_lsh_pairs.max_bucket_size``):
-    clusters above the cap — quantizer failure modes, e.g. a dead-center
-    catch-all — are EXCLUDED from pair generation rather than allowed to
-    go quadratic; pairs inside them are missed (documented trade, they
-    need a finer quantizer, not a bigger join).
+    shuffle is keyed on the int cluster id. Two skew levers, layered:
+
+    - ``shard_target`` (DEFAULT ON — VERDICT r12 #2): clusters larger
+      than the target are salted into s = ⌈size/target⌉ sub-shards and
+      pairs are generated across the s×s shard grid — the a-side carries
+      its own shard as grid row and fans out over grid columns, the
+      b-side the transpose, so every unordered pair lands in EXACTLY one
+      grid cell (cell (h_a, h_b) with the id< order filter) and the pair
+      set is byte-identical to the unsharded join (pinned in
+      tests/test_semantic_dedup.py). What changes is the TASK shape: a
+      cluster-keyed join cannot split one cluster across tasks (measured
+      r12 at 500k docs: 36 hot clusters carried 66% of 813M candidate
+      pairs, top cluster 34× the median — the straggler floor WAS the
+      hottest cluster), while the grid key splits it into s² independent
+      tasks of ~(size/s)² pairs each. Replication cost: hot-cluster rows
+      are duplicated s× per side — linear, paid only by over-target
+      clusters. Total pair WORK is unchanged — the work lever is
+      quantizer granularity (nlist), not the shard grid.
+    - ``max_cluster_size`` (off by default): the old EXCLUSION cap —
+      clusters above it are dropped from pair generation entirely,
+      silently losing their pairs. Kept for true quantizer failure modes
+      (a dead-center catch-all list that would dwarf even sharded work),
+      no longer the default skew posture.
 
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥ threshold.
     Cross-cluster near-dups (borderline vectors quantized apart) are the
@@ -392,6 +415,16 @@ def neighbor_pairs_ivf(
     """
     from crossbar_data_process_spark.operators.ivf import ivf_assign
 
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "ones passed to neighbor_pairs_ivf"
+        )
+    assign_expr = (
+        two_level.assign(F.col(vec_col))
+        if two_level is not None
+        else ivf_assign(F.col(vec_col), centroids)
+    )
     # Precompute the norm ONCE per vector: every vector meets
     # ~cluster_size candidates, and cosine() would recompute BOTH norms
     # per PAIR — carrying the scalar norm makes each candidate one dot
@@ -400,32 +433,66 @@ def neighbor_pairs_ivf(
     # unit vectors: a transform lambda that captures an outer column
     # miscompiles under self-join attribute dedup — INTERNAL_ERROR
     # ATTRIBUTE_NOT_FOUND on generated-expression sources.)
-    assigned = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
-        ivf_assign(F.col(vec_col), centroids).alias("cluster"),
+    # Materialized: the assignment expression (the expensive part) feeds
+    # the size count AND both self-join sides — three consumers.
+    assigned = materialize(
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+            assign_expr.alias("cluster"),
+        )
     )
-    if max_cluster_size is not None:
+    need_sizes = max_cluster_size is not None or shard_target is not None
+    if need_sizes:
         sizes = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("__csz")
         )
-        assigned = (
-            assigned.join(F.broadcast(sizes), "cluster")
-            .filter(F.col("__csz") <= max_cluster_size)
-            .drop("__csz")
+        assigned = assigned.join(F.broadcast(sizes), "cluster")
+        if max_cluster_size is not None:
+            assigned = assigned.filter(F.col("__csz") <= max_cluster_size)
+    if shard_target is not None:
+        # s sub-shards per over-target cluster; each row carries its own
+        # shard (md5-deterministic, the engine hashing family) and the
+        # shard COUNT, from which each join side fans out its grid axis
+        base = assigned.withColumn(
+            "__s",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__csz") / shard_target)
+            ).cast("int"),
+        ).withColumn(
+            "__h",
+            F.pmod(F.xxhash64(F.col("id"), F.lit(41)), F.col("__s")).cast(
+                "int"
+            ),
+        ).drop("__csz")
+        a = base.withColumn(
+            "__ga", F.col("__h")
+        ).withColumn(
+            "__gb", F.explode(F.sequence(F.lit(0), F.col("__s") - 1))
+        ).alias("a")
+        b = base.withColumn(
+            "__ga", F.explode(F.sequence(F.lit(0), F.col("__s") - 1))
+        ).withColumn("__gb", F.col("__h")).alias("b")
+        join_cond = (
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__ga") == F.col("b.__ga"))
+            & (F.col("a.__gb") == F.col("b.__gb"))
+            & (F.col("a.id") < F.col("b.id"))
         )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    else:
+        if need_sizes:
+            assigned = assigned.drop("__csz")
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        join_cond = (F.col("a.cluster") == F.col("b.cluster")) & (
+            F.col("a.id") < F.col("b.id")
+        )
     # shuffle-hash: both sides are corpus-sized — refuse a broadcast that
     # local stats would allow but scale forbids (same rule as textdedup)
     return (
         a.hint("shuffle_hash")
-        .join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        .join(b, join_cond)
         # precomputed norms => ONE dot per candidate, same 1e-6 rounding
         # and try_divide zero-norm semantics as cosine() (ANSI mode: a
         # plain / on a 0 divisor aborts the job; NULL is dropped by the
@@ -449,6 +516,70 @@ def neighbor_pairs_ivf(
     )
 
 
+def cluster_cap_stats(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+    shard_target: int | None = 2000,
+    two_level=None,
+) -> DataFrame:
+    """The `no silent caps` report for the SemDeDup pair stage (VERDICT
+    r12 #3): ONE row quantifying what the skew levers actually did —
+    ``max_cluster_size`` silently DROPS pairs (members of over-cap
+    clusters are never compared) and a funnel that doesn't say how much
+    mass that touched reads as 'covered everything' when it didn't;
+    ``shard_target`` drops nothing but its reach is the straggler story a
+    scale run is judged by.
+
+    Columns: n_clusters, max_cluster, n_docs,
+    n_dropped_clusters / n_dropped_docs (the exclusion cap's silent
+    mass — 0 when ``max_cluster_size`` is None),
+    n_sharded_clusters / n_sharded_docs (grid-split, NOT dropped).
+
+    Cost: the same assignment projection the pair stage runs, one
+    (cluster) groupBy, one 1-row aggregate — cheap next to the pair join
+    it reports on. Callers who already hold the assigned frame can pass
+    it as ``vectors`` with ``vec_col`` untouched (assignment is
+    deterministic, so recomputing yields the identical partition)."""
+    from crossbar_data_process_spark.operators.ivf import ivf_assign
+
+    assign_expr = (
+        two_level.assign(F.col(vec_col))
+        if two_level is not None
+        else ivf_assign(F.col(vec_col), centroids)
+    )
+    sizes = (
+        vectors.select(assign_expr.alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("csz"))
+    )
+    dropped = (
+        (F.col("csz") > max_cluster_size)
+        if max_cluster_size is not None
+        else F.lit(False)
+    )
+    sharded = (
+        (~dropped & (F.col("csz") > shard_target))
+        if shard_target is not None
+        else F.lit(False)
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.max("csz").alias("max_cluster"),
+        F.sum("csz").alias("n_docs"),
+        F.sum(dropped.cast("long")).alias("n_dropped_clusters"),
+        F.sum(F.when(dropped, F.col("csz")).otherwise(F.lit(0))).alias(
+            "n_dropped_docs"
+        ),
+        F.sum(sharded.cast("long")).alias("n_sharded_clusters"),
+        F.sum(F.when(sharded, F.col("csz")).otherwise(F.lit(0))).alias(
+            "n_sharded_docs"
+        ),
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -456,6 +587,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    shard_target: int | None = 2000,
+    two_level=None,
 ) -> DataFrame:
     """SemDeDup end-to-end: k-means-bucketed cosine pairs →
     connected components → one surviving representative per semantic
@@ -475,7 +608,14 @@ def semantic_dedup(
     )
 
     pairs = neighbor_pairs_ivf(
-        vectors, centroids, threshold, id_col, vec_col, max_cluster_size
+        vectors,
+        centroids,
+        threshold,
+        id_col,
+        vec_col,
+        max_cluster_size,
+        shard_target=shard_target,
+        two_level=two_level,
     )
     return resolve_neardups(
         vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"

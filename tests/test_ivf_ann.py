@@ -335,3 +335,115 @@ def test_fit_diagnostics_guards_nlist_and_empty_sample(spark, clustered):
     two = [[1.0] + [0.0] * 31, [0.0, 1.0] + [0.0] * 30]
     with pytest.raises(ValueError, match="empty sample"):
         ivf_fit_diagnostics(empty, two)
+
+
+# ---------------------------------------------------------------- two-level
+# coarse quantizer (VERDICT r12 #1): assignment via a centroid-index —
+# O(√nlist) dots per row instead of O(nlist) — with flat-exactness at full
+# probes, near-total agreement at the default probes on clustered data,
+# and fit determinism.
+
+
+def test_two_level_full_probes_equals_flat_exactly(spark, clustered):
+    """assign_probes == ntop makes every leaf a candidate, so the
+    assignment (including the min-id tie-break) must equal flat
+    ivf_assign bit-for-bit on EVERY row."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    tl = fit_two_level(cents)
+    tl_full = fit_two_level(cents, assign_probes=len(tl.top))
+    rows = clustered.select(
+        "vec_id",
+        ivf_assign(F.col("embedding"), cents).alias("flat"),
+        tl_full.assign(F.col("embedding")).alias("two"),
+    ).collect()
+    assert all(r.flat == r.two for r in rows)
+
+
+def test_two_level_default_probes_agreement_and_recall(spark, clustered):
+    """On the clustered corpus (the workload the quantizer exists for),
+    the default probe budget must agree with flat assignment on ≥99% of
+    rows — near-identical vectors take the same probe path, which is why
+    SemDeDup recall survives the approximation."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    tl = fit_two_level(cents)
+    rows = clustered.select(
+        ivf_assign(F.col("embedding"), cents).alias("flat"),
+        tl.assign(F.col("embedding")).alias("two"),
+    ).collect()
+    agree = sum(1 for r in rows if r.flat == r.two) / len(rows)
+    assert agree >= 0.99, agree
+
+
+def test_two_level_fit_deterministic_and_partitions_leaves(spark, clustered):
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    t1 = fit_two_level(cents)
+    t2 = fit_two_level(cents)
+    assert t1.top == t2.top and t1.groups == t2.groups
+    # groups partition 0..nlist-1 exactly (ownership is total, no dupes)
+    owned = sorted(j for g in t1.groups for j in g)
+    assert owned == list(range(len(cents)))
+    assert all(g for g in t1.groups)  # empty groups dropped
+    # default ntop ≈ √nlist
+    assert len(t1.top) <= max(1, int(round(len(cents) ** 0.5)))
+
+
+def test_two_level_ivf_topk_recall(spark, clustered):
+    """End-to-end: ivf_topk with two-level corpus assignment keeps the
+    recall bar of the flat path on the clustered corpus."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=3, driver_fit_rows=2048)
+    tl = fit_two_level(cents)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(clustered, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            clustered, q, dim=32, k=10, nprobe=4, centroids=cents, two_level=tl
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+
+
+def test_two_level_write_assigned_corpus_matches_flat(spark, clustered, tmp_path):
+    """The silver written under two-level assignment at full probes is
+    row-identical to the flat-assigned silver (same partition layout,
+    same members per cluster directory); a quantizer wrapping different
+    leaves is refused."""
+    import pytest as _pytest
+
+    from crossbar_data_process_spark.operators.ivf import (
+        fit_two_level,
+        write_assigned_corpus,
+    )
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    tl_full = fit_two_level(cents, assign_probes=10**6)  # clamped to ntop
+    p_flat = str(tmp_path / "flat")
+    p_two = str(tmp_path / "two")
+    write_assigned_corpus(clustered, cents, p_flat)
+    write_assigned_corpus(clustered, cents, p_two, two_level=tl_full)
+    flat = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(p_flat).select("vec_id", "cluster").collect()
+    }
+    two = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(p_two).select("vec_id", "cluster").collect()
+    }
+    assert flat == two
+    other = ivf_fit(clustered, dim=32, nlist=8, iters=1, driver_fit_rows=512)
+    with _pytest.raises(ValueError, match="different leaf centroids"):
+        write_assigned_corpus(
+            clustered, cents, p_two, two_level=fit_two_level(other)
+        )
