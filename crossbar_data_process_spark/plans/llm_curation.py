@@ -203,10 +203,25 @@ def curation_report(
     text_col: str = "text",
     min_quality: float = 0.4,
     languages: tuple[str, ...] = ("en",),
+    lsh_max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The funnel a curation run is judged by: docs in, docs surviving each
     gate, final survivors, and how many raw docs the survivors represent.
-    One row; every count from one aggregation pass per stage."""
+    One row; every count from one aggregation pass per stage.
+
+    ``lsh_max_bucket_size`` (VERDICT r12 #3, the `no silent caps` rule):
+    when the curation ran with the near-dup stage's mega-bucket cap, the
+    funnel must SAY how much mass the cap silently excluded from pair
+    generation — otherwise the report reads as 'near-dup covered
+    everything' when it didn't. Adds est_dropped_buckets /
+    est_dropped_memberships / est_dropped_bucket_docs, ESTIMATED over the
+    gated corpus (``operators.textdedup.lsh_cap_stats`` on the same
+    quality/language gate this report already recomputes — an upper bound
+    on what ``curate_documents``'s LSH stage saw, since that stage runs
+    after exact dedup has already thinned identical copies; members of
+    dropped buckets were never near-dup-compared, so the bound is tight
+    when the mega-mass is boilerplate-similar rather than byte-identical).
+    Default None keeps the exact 4-column q55 schema."""
     profiled = docs.select(
         quality_score(text_col).alias("q"),
         language_id(text_col).alias("lg"),
@@ -227,4 +242,25 @@ def curation_report(
     # back into a nested loop anyway, so state the intent directly — this
     # is one of the engine's sanctioned 1-row crossJoins (with q38's
     # dangling-mass attach; pinned in tests/test_plan_shapes.py)
-    return gate.crossJoin(out)
+    report = gate.crossJoin(out)
+    if lsh_max_bucket_size is not None:
+        from crossbar_data_process_spark.operators.textdedup import (
+            lsh_cap_stats,
+        )
+
+        gated = docs.select(F.col(id_col), F.col(text_col)).filter(
+            (quality_score(text_col) >= min_quality)
+            & language_id(text_col).isin(*languages)
+        )
+        caps = lsh_cap_stats(
+            gated,
+            text_col=text_col,
+            id_col=id_col,
+            max_bucket_size=lsh_max_bucket_size,
+        ).select(
+            F.col("n_dropped_buckets").alias("est_dropped_buckets"),
+            F.col("n_dropped_memberships").alias("est_dropped_memberships"),
+            F.col("n_docs_affected").alias("est_dropped_bucket_docs"),
+        )
+        report = report.crossJoin(caps)
+    return report

@@ -176,14 +176,20 @@ def build(
     each stage's silver under ``out`` and returning per-stage walls and
     row counts. Deterministic end-to-end: same corpus → byte-identical
     shards (no RNG anywhere — md5/xxhash decisions only)."""
-    from crossbar_data_process_spark.operators.ivf import ivf_fit
+    from crossbar_data_process_spark.operators.ivf import (
+        fit_two_level,
+        ivf_fit,
+    )
     from crossbar_data_process_spark.operators.materialize import materialize
     from crossbar_data_process_spark.operators.packing import pack_documents
     from crossbar_data_process_spark.operators.sampling import (
         assign_split,
         source_mix_by_tokens,
     )
-    from crossbar_data_process_spark.operators.similarity import semantic_dedup
+    from crossbar_data_process_spark.operators.similarity import (
+        cluster_cap_stats,
+        semantic_dedup,
+    )
     from crossbar_data_process_spark.plans.llm_curation import curate_documents
     from crossbar_data_process_spark.sources.writers import write_jsonl_shards
 
@@ -231,6 +237,21 @@ def build(
     _stage("curate", _curate)
     curated = spark.read.parquet(f"{out}/curated")
 
+    # `no silent caps` (VERDICT r12 #3): say how much mass the LSH
+    # mega-bucket cap excluded from near-dup pair generation. Measured
+    # over the curated SILVER (members of dropped buckets were never
+    # deduped, so they survive into it — a faithful estimate that reuses
+    # the persisted stage output instead of re-running the gate).
+    from crossbar_data_process_spark.operators.textdedup import lsh_cap_stats
+
+    _caps = lsh_cap_stats(curated, max_bucket_size=64).collect()[0]
+    stages["curate"]["lsh_cap"] = {
+        "max_bucket_size": 64,
+        "est_dropped_buckets": int(_caps.n_dropped_buckets),
+        "est_dropped_memberships": int(_caps.n_dropped_memberships),
+        "est_docs_affected": int(_caps.n_docs_affected),
+    }
+
     # -- stage 2: semantic dedup — feature-hash embeddings, IVF-bucketed
     # SemDeDup (never all-pairs; candidates are within-cluster only).
     # nlist scales with the corpus (the SemDeDup posture: constant
@@ -259,15 +280,39 @@ def build(
             id_col="doc_id",
             driver_fit_rows=max(2048, 8 * nl),
         )
+        # two-level assignment once nlist is big enough for the top-level
+        # detour to pay (r13, VERDICT r12 #1): flat is O(nlist) dots per
+        # row and nlist ~ n/250 ⇒ O(n^1.5) corpus assignment — the
+        # measured /tmp-spill killer at --scale 100; two-level is
+        # O(√nlist) per row with recall pinned in tests
+        tl = fit_two_level(cents) if nl >= 64 else None
         survivors = semantic_dedup(
             embedded,
             cents,
             threshold=semantic_threshold,
             id_col="doc_id",
+            two_level=tl,
         )
         curated.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(f"{out}/semantic")
+        # `no silent caps`: the pair stage's skew posture, quantified —
+        # sharded clusters are split (no recall loss), dropped would be
+        # excluded (none by default; exclusion cap off)
+        cstats = cluster_cap_stats(
+            embedded, cents, id_col="doc_id", two_level=tl
+        ).collect()[0]
+        stages.setdefault("_semantic_caps", {}).update(
+            {
+                "nlist": nl,
+                "two_level": tl is not None,
+                "max_cluster": int(cstats.max_cluster),
+                "n_sharded_clusters": int(cstats.n_sharded_clusters),
+                "n_sharded_docs": int(cstats.n_sharded_docs),
+                "n_dropped_clusters": int(cstats.n_dropped_clusters),
+                "n_dropped_docs": int(cstats.n_dropped_docs),
+            }
+        )
         return spark.read.parquet(f"{out}/semantic").count()
 
     _stage("semantic_dedup", _semantic)
@@ -420,6 +465,7 @@ def build(
         "stages": {k: v for k, v in stages.items() if not k.startswith("_")},
         "mix_fractions": stages.get("_mix_fractions", {}),
         "n_bpe_merges": stages.get("_bpe", {}).get("n_merges"),
+        "semantic_caps": stages.get("_semantic_caps", {}),
         "total_sec": round(time.monotonic() - t_all, 3),
     }
 
@@ -513,6 +559,7 @@ def main() -> None:
                 "stages": report["stages"],
                 "mix_fractions": report["mix_fractions"],
                 "n_bpe_merges": report["n_bpe_merges"],
+                "semantic_caps": report["semantic_caps"],
                 "scale": args.scale,
                 "out": out,
             },

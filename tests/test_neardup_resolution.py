@@ -383,3 +383,31 @@ def test_segment_dedup_min_doc_freq_threshold(spark):
         3: ("y1 y2", 1),
         4: ("solo a b c", 0),
     }
+
+
+def test_lsh_cap_stats_quantifies_dropped_mass(spark):
+    """`no silent caps` (VERDICT r12 #3): the stats row must put numbers
+    on exactly what max_bucket_size excluded — the 20-doc boilerplate
+    cluster's buckets — and report zeros when the cap is off."""
+    from crossbar_data_process_spark.operators.textdedup import lsh_cap_stats
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(1, 21)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = _docs(spark, boiler + near)
+
+    off = lsh_cap_stats(docs, max_bucket_size=None).collect()[0]
+    assert off.n_dropped_buckets == 0
+    assert off.n_dropped_memberships == 0
+    assert off.n_docs_affected == 0
+    assert off.max_bucket >= 20  # the boilerplate mega-bucket exists
+
+    capped = lsh_cap_stats(docs, max_bucket_size=10).collect()[0]
+    assert capped.n_buckets == off.n_buckets
+    # identical docs agree on every band: 6 bands × 20 members
+    assert capped.n_dropped_buckets == 6
+    assert capped.n_dropped_memberships == 120
+    assert capped.n_docs_affected == 20
