@@ -62,20 +62,65 @@ def bm25_topk(
     candidates are bounded by ``max_df_ratio·N`` per query term. Scores
     drop by at most the skipped terms' tiny idf contributions; documents
     matched ONLY through stop terms disappear. Default off (exact)."""
-    dtok = (
-        _spread(docs)
-        .select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("__lt"))
-        .select("doc", F.explode(tokens("__lt")).alias("term"))
-    )
-    tf = materialize(
-        dtok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = materialize(_doc_tf(docs, text_col, id_col))
     dl = tf.groupBy("doc").agg(F.sum("tf").cast("double").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _score_from_stats(
+        tf, dl, df_, stats,
+        _query_terms(queries, query_id_col, query_text_col),
+        k1=k1, b=b, top_k=top_k, scale=scale, max_df_ratio=max_df_ratio,
+        id_col=id_col, query_id_col=query_id_col,
+    )
+
+
+def _doc_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, term, tf) term-frequency table — the tokenizer contract
+    shared by the batch path and the index silver (lower + whitespace
+    ``tokens``); one definition so batch and indexed rankings can never
+    drift."""
+    return (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("__lt"))
+        .select("doc", F.explode(tokens("__lt")).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str
+) -> DataFrame:
+    """(qid, term) distinct query terms under the same tokenizer."""
+    return queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.lower(F.col(query_text_col)).alias("__qt"),
+    ).select("qid", F.explode(F.array_distinct(tokens("__qt"))).alias("term"))
+
+
+def _score_from_stats(
+    tf: DataFrame,
+    dl: DataFrame,
+    df_: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k1: float,
+    b: float,
+    top_k: int,
+    scale: int,
+    max_df_ratio: float | None,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """The BM25 scoring tail over prepared statistics frames — tf
+    (doc, term, tf), dl (doc, dl double), df_ (term, df), stats (1 row:
+    n_docs double, avgdl double), qterms (qid, term). Shared verbatim by
+    :func:`bm25_topk` (stats built in-query) and
+    :func:`bm25_topk_indexed` (stats read from the persisted silver), so
+    the two paths are the same math by construction."""
     idf = df_.crossJoin(F.broadcast(stats))
     if max_df_ratio is not None:
         idf = idf.filter(F.col("df") <= max_df_ratio * F.col("n_docs"))
@@ -89,13 +134,6 @@ def bm25_topk(
             scale,
         ).alias("idf"),
         "avgdl",
-    )
-    qterms = (
-        queries.select(
-            F.col(query_id_col).alias("qid"),
-            F.lower(F.col(query_text_col)).alias("__qt"),
-        )
-        .select("qid", F.explode(F.array_distinct(tokens("__qt"))).alias("term"))
     )
     # join idf BEFORE tf: the (tiny) query-term × vocab join decides which
     # terms expand at all, so the stop-term cut bounds the tf fan-out —
@@ -133,6 +171,307 @@ def bm25_topk(
         top_k,
         rank_col="rnk",
     )
+
+
+# ---------------------------------------------------------------- BM25
+# persisted index silver (VERDICT r12 #4) — the retrieval twin of
+# textdedup.dedup_index: a production 100 TB search corpus persists its
+# term statistics ONCE and ingests deltas, instead of re-tokenizing the
+# corpus on every bm25_topk call. Everything BM25 needs is additive over
+# disjoint document batches:
+#   tf (doc, term, tf)        — per-batch rows, never merged (docs disjoint)
+#   dl (doc, dl)              — same
+#   df (term, df)             — per-batch partial counts; df(term) = Σ batches
+#   stats (n_docs, total_dl)  — per-batch scalars; N and avgdl = Σ / Σ
+# Layout: every table lives under {path}/{name}/batch=<id>/ — one
+# directory per ingest batch, written with an overwrite of ONLY its own
+# directory, so re-running a failed batch is idempotent (the q63/ann_ingest
+# exactly-once posture without a manifest: the batch dir IS the unit of
+# atomicity). tf is additionally partitioned by term_bucket =
+# pmod(xxhash64(term), N_BUCKETS) so the probe join on the bucket column
+# partition-prunes the scan to the query terms' buckets (the q54/q69
+# partition-pruned silver precedent). The tokenizer + bucket layout are
+# stamped in _bm25_meta.json and verified on every ingest/read (the
+# check_centroid_meta philosophy: an index probed under different
+# parameters silently returns wrong rankings).
+
+_BM25_META = "_bm25_meta.json"
+_BM25_TERM_BUCKETS = 64
+
+
+def _term_bucket(term) -> "F.Column":
+    c = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.xxhash64(c), F.lit(_BM25_TERM_BUCKETS)).cast("int")
+
+
+def _bm25_meta_payload() -> dict:
+    return {
+        "tokenizer": "lower+whitespace",
+        "n_term_buckets": _BM25_TERM_BUCKETS,
+        "version": 1,
+    }
+
+
+def _check_bm25_meta(spark, path: str) -> None:
+    import json
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        _fs_and_path,
+        _hadoop_read_text,
+    )
+
+    meta_uri = f"{path}/{_BM25_META}"
+    fs, jpath = _fs_and_path(spark, meta_uri)
+    if not fs.exists(jpath):
+        from crossbar_data_process_spark.sources.writers import (
+            _hadoop_write_text,
+        )
+
+        _hadoop_write_text(spark, meta_uri, json.dumps(_bm25_meta_payload()))
+        return
+    want = json.loads(_hadoop_read_text(spark, meta_uri))
+    got = _bm25_meta_payload()
+    if want != got:
+        raise ValueError(
+            f"BM25 index at {path} was built under different parameters "
+            f"(stored {want}, this engine {got}): probing it would "
+            "silently return wrong rankings — rebuild the index"
+        )
+
+
+def bm25_index_ingest(
+    docs: DataFrame,
+    path: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Ingest one document batch into the persisted BM25 index at
+    ``path``. Work is BATCH-sized (the q63 contract): one tokenize pass
+    over the batch, three batch-local aggregations, four writes into
+    ``batch=<batch_id>/`` directories — the existing index is never read,
+    rewritten, or locked. Re-running a batch id overwrites exactly its
+    own directories (idempotent recovery).
+
+    PRECONDITION: batches are disjoint in ``id_col`` — a doc ingested
+    twice under two batch ids would double-count its tf/df/dl mass
+    (run the batch through ``textdedup.flag_against_index`` first, the
+    composition ``streaming.ingest`` already implements for text dedup).
+    """
+    spark = docs.sparkSession
+    _check_bm25_meta(spark, path)
+    _recover_bm25_compaction(spark, path)
+    tf = materialize(_doc_tf(docs, text_col, id_col))
+    (
+        tf.withColumn("term_bucket", _term_bucket("term"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/tf/batch={batch_id}")
+    )
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/dl/batch={batch_id}")
+    (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("term_bucket", _term_bucket("term"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/df/batch={batch_id}")
+    )
+    (
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats/batch={batch_id}")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    scale: int = 6,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """BM25 top-k against the persisted index — bit-identical rankings to
+    :func:`bm25_topk` over the union of the ingested batches (pinned in
+    tests/test_retrieval.py; the q71 oracle is q61's SQL verbatim):
+
+    - df(term) = Σ per-batch partials (exact — batches are doc-disjoint);
+    - N = Σ n_docs, avgdl = Σ total_dl / N — dl values are integer token
+      counts, so the batch path's double ``avg`` and this long-sum
+      division compute the SAME double (integer sums < 2^53 are exact in
+      both representations);
+    - the scoring tail is :func:`_score_from_stats`, the same code object
+      the batch path runs.
+
+    Scale shape: the corpus is never re-tokenized — the probed bucket set
+    is collected first (ONE tiny job, ≤ N_TERM_BUCKETS ints — a
+    hyperparameter-sized bounded collect, never data-sized) and applied
+    as a LITERAL ``IN`` filter on the term_bucket partition column, so
+    the tf/df scans partition-prune STATICALLY (visible in the scan's
+    PartitionFilters — pinned in tests/test_retrieval.py) to
+    ≈ |query-term buckets| / N_TERM_BUCKETS of the index regardless of
+    join-strategy or DPP heuristics; df/stats reads are vocabulary- and
+    batch-count-sized. Batch-count growth is bounded by compaction
+    (:func:`compact_bm25_index`)."""
+    _check_bm25_meta(spark, path)
+    qterms = materialize(
+        _query_terms(queries, query_id_col, query_text_col)
+    )
+    buckets = sorted(
+        r.b
+        for r in qterms.select(_term_bucket("term").alias("b"))
+        .distinct()
+        .collect()
+    )
+    tf = (
+        spark.read.parquet(f"{path}/tf")
+        .filter(F.col("term_bucket").isin(buckets))
+        .select("doc", "term", "tf")
+    )
+    dl = spark.read.parquet(f"{path}/dl").select(
+        "doc", F.col("dl").cast("double").alias("dl")
+    )
+    df_ = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("term_bucket").isin(buckets))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").cast("double").alias("n_docs"),
+        (
+            F.sum("total_dl").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+    return _score_from_stats(
+        tf, dl, df_, stats, qterms,
+        k1=k1, b=b, top_k=top_k, scale=scale, max_df_ratio=max_df_ratio,
+        id_col=id_col, query_id_col=query_id_col,
+    )
+
+
+_BM25_PENDING = "_pending_compaction.json"
+
+
+def _recover_bm25_compaction(spark, path: str) -> None:
+    """Finish a compaction that crashed mid-protocol (see
+    :func:`compact_bm25_index`): the pending marker records which batch
+    dirs the already-written staging fold supersedes — delete any that
+    survive, move the staging fold into place, drop the marker. Idempotent
+    at every crash point (each step re-checks existence)."""
+    import json
+
+    from crossbar_data_process_spark.streaming.ingest import (
+        _fs_and_path,
+        _hadoop_read_text,
+    )
+
+    fs, marker = _fs_and_path(spark, f"{path}/{_BM25_PENDING}")
+    if not fs.exists(marker):
+        return
+    pend = json.loads(_hadoop_read_text(spark, f"{path}/{_BM25_PENDING}"))
+    table, batch_id = pend["table"], pend["batch_id"]
+    _, staging = _fs_and_path(spark, f"{path}/{table}/_staging_{batch_id}")
+    _, dest = _fs_and_path(spark, f"{path}/{table}/batch={batch_id}")
+    if fs.exists(staging):
+        for name in pend["old"]:
+            _, p = _fs_and_path(spark, f"{path}/{table}/{name}")
+            if fs.exists(p):
+                fs.delete(p, True)
+        fs.rename(staging, dest)
+    fs.delete(marker, False)
+
+
+def compact_bm25_index(spark, path: str, batch_id: str = "compacted") -> None:
+    """Fold every ingested batch of the df and stats tables into ONE
+    batch directory (df: groupBy-term sum; stats: one summed row) —
+    read-side work stays vocabulary-sized no matter how many batches have
+    landed. tf/dl are per-doc tables with no cross-batch duplication, so
+    they are left in place (their batch dirs are only directory-listing
+    overhead; a full rewrite would be corpus-sized for no read-path win).
+
+    Crash protocol, per table: (1) the fold is materialized (reads of the
+    superseded dirs complete into checkpoint blocks) and written to an
+    ``_staging_<id>`` directory — underscore-prefixed, so parquet readers
+    never see it; (2) a pending marker records the staging id and the
+    superseded batch dirs; (3) the old dirs are deleted; (4) the staging
+    dir renames to ``batch=<id>``; (5) the marker drops. A crash anywhere
+    is healed by :func:`_recover_bm25_compaction` (run automatically at
+    the start of every compaction and ingest): before the marker exists
+    the staging dir is invisible garbage; after it, recovery replays
+    steps 3–5 idempotently. The one honest window: a READER concurrent
+    with steps 3–4 (or with a crashed-and-not-yet-recovered compaction)
+    sees reduced df/stats mass — this is a single-writer maintenance
+    operation on a raw-parquet silver, the same ops contract as any
+    hive-style table without a transaction log."""
+    import json
+
+    from crossbar_data_process_spark.sources.writers import _hadoop_write_text
+    from crossbar_data_process_spark.streaming.ingest import _fs_and_path
+
+    _check_bm25_meta(spark, path)
+    _recover_bm25_compaction(spark, path)
+    for table, fold in (
+        ("df", lambda d: d.groupBy("term").agg(F.sum("df").alias("df"))),
+        (
+            "stats",
+            lambda d: d.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_dl").alias("total_dl"),
+            ),
+        ),
+    ):
+        fs, root = _fs_and_path(spark, f"{path}/{table}")
+        old = [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("batch=")
+        ]
+        if len(old) <= 1:
+            continue  # already a single batch — nothing to fold
+        # materialize + count: the fold READS every old batch dir — force
+        # that read to complete (into checkpoint blocks; the fold output
+        # is vocab-/1-row-sized) before any directory is touched
+        folded = materialize(fold(spark.read.parquet(f"{path}/{table}")))
+        folded.count()
+        staging = f"{path}/{table}/_staging_{batch_id}"
+        if table == "df":
+            (
+                folded.withColumn("term_bucket", _term_bucket("term"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("term_bucket")
+                .parquet(staging)
+            )
+        else:
+            folded.coalesce(1).write.mode("overwrite").parquet(staging)
+        _hadoop_write_text(
+            spark,
+            f"{path}/{_BM25_PENDING}",
+            json.dumps({"table": table, "batch_id": batch_id, "old": old}),
+        )
+        for name in old:
+            _, p = _fs_and_path(spark, f"{path}/{table}/{name}")
+            fs.delete(p, True)
+        _, sp = _fs_and_path(spark, staging)
+        _, dest = _fs_and_path(spark, f"{path}/{table}/batch={batch_id}")
+        fs.rename(sp, dest)
+        _, marker = _fs_and_path(spark, f"{path}/{_BM25_PENDING}")
+        fs.delete(marker, False)
 
 
 def rrf_fuse(

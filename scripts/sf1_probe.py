@@ -71,7 +71,7 @@ TEXT_QUERIES = {
     "q58_pack_documents",
     "q59_segment_dedup",
     "q60_nb_quality",
-    "q61_bm25",
+    "q71_bm25_indexed",
     "q63_incremental_dedup",
     "q64_streaming_ingest",
     "q22_doc_profile",

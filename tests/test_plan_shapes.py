@@ -100,8 +100,10 @@ def test_no_cartesian_in_any_declared_query(spark, name):
     #   one task).
     # - q22_doc_profile: the unigram-LM leg (log_ppl) attaches the corpus
     #   token-mass/vocab totals the same way (operators/lm.py).
-    # - q61_bm25: the corpus scalars (N, avgdl) ride the same 1-row
-    #   broadcast into the idf table (operators/retrieval.py).
+    # - q71_bm25_indexed: the corpus scalars (N, avgdl — summed from the
+    #   persisted per-batch stats table) ride the same 1-row broadcast
+    #   into the idf table (operators/retrieval.py _score_from_stats,
+    #   shared with the batch path q70 exercises).
     # - q67_pq_adc_topk: same contract as q27 — the 10-row query-LUT frame
     #   is broadcast against the encoded corpus on the non-equi
     #   self-exclusion; the corpus streams once and each pair costs m
@@ -120,7 +122,7 @@ def test_no_cartesian_in_any_declared_query(spark, name):
         "q55_curation_funnel",
         "q60_nb_quality",
         "q22_doc_profile",
-        "q61_bm25",
+        "q71_bm25_indexed",
         "q67_pq_adc_topk",
         "q70_rrf_fusion",
     ):
@@ -176,7 +178,9 @@ def test_checkpoint_reuse_bounds_executed_work(spark, name, max_jobs, max_stages
 # its source; new workload-deriving registrations must be added here
 # (REGISTRY.md "declared-form decisions" documents the rule).
 _WORKLOAD_BOUNDS = {
-    "q61_bm25": r'F\.col\("doc_id"\)\s*<\s*5000',
+    # r13: q61_bm25 folded out (REGISTRY.md) — q71 carries the identical
+    # fixed query carve against the persisted index
+    "q71_bm25_indexed": r'F\.col\("doc_id"\)\s*<\s*5000',
     # the benchmark/eval set is a workload in the same sense: it must stay
     # fixed-size as the corpus grows or scale probes measure eval growth
     "q65_contamination": r'F\.col\("doc_id"\)\s*<\s*5000',
@@ -234,7 +238,7 @@ def _builds_query_workload(src: str) -> bool:
         return True
     carves_ids = re.search(r'F\.col\(\s*"\w*_?id"\s*\)\s*[<>%=!]', src)
     takes_query_frame = re.search(
-        r"\b(bm25_topk|cosine_topk\w*|ivf_topk\w*|pq_adc_topk|pq_query_lut"
+        r"\b(bm25_topk\w*|cosine_topk\w*|ivf_topk\w*|pq_adc_topk|pq_query_lut"
         r"|ivf_pq_topk\w*)\s*\(",
         src,
     )
