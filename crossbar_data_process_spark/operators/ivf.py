@@ -39,10 +39,18 @@ from crossbar_data_process_spark.operators.topk import top_k_per_group
 
 
 def _centroid_matrix(centroids: list[list[float]]) -> Column:
-    """nlist × dim literal matrix column."""
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    """nlist × dim literal matrix column — built as ONE parsed SQL
+    expression instead of nlist×dim ``F.lit`` calls: each ``F.lit`` is a
+    py4j round-trip (~0.13 ms), so the element-wise form costs ~33 s of
+    DRIVER plan-build time at nlist=4000, dim=64 vs ~0.6 s for the parsed
+    string (measured r13). Values are ``repr``-formatted (shortest
+    round-trip — bit-exact) with the ``D`` double suffix, so the literal
+    tree is identical to the element-wise form's."""
+    sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    return F.expr(sql)
 
 
 def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
@@ -118,7 +126,8 @@ def ivf_fit(
     clusters keep their previous centroid.
 
     ``driver_fit_rows=N`` switches to the fit-on-bounded-sample fast path
-    (the FAISS-style training contract): ONE Spark job collects the N
+    (the FAISS-style training contract): one count + one bounded collect
+    (the threshold-filtered top-n — see ``_md5_smallest``) pull the N
     md5-smallest unit vectors (N is a hyperparameter — driver memory is
     N×dim doubles, never data-sized) and Lloyd's runs in numpy on the
     driver, replacing the per-iteration assignment+groupBy jobs whose
@@ -140,12 +149,7 @@ def ivf_fit(
 
     train = materialize(train)  # consumed once per iteration
 
-    seed_rows = (
-        train.orderBy(F.md5(F.col("__id").cast("string")))
-        .limit(nlist)
-        .select("__u")
-        .collect()
-    )
+    seed_rows = _md5_smallest(train, nlist)
     # NB: Row.__getattr__ refuses dunder-prefixed names — index access only
     centroids = [[float(x) for x in r["__u"]] for r in seed_rows]
 
@@ -172,6 +176,37 @@ def ivf_fit(
     return centroids
 
 
+def _md5_smallest(train: DataFrame, n: int) -> list:
+    """The ``n`` md5(id)-smallest ``__u`` rows of a prepped ``(__id, __u)``
+    frame — the fit paths' shared deterministic sample.
+
+    NOT a bare ``orderBy(k).limit(n).collect()``: that plan is
+    ``TakeOrderedAndProject``, which ships the top-``n`` of EVERY
+    partition to the driver — at n=80k over a 5M-row corpus that is
+    partitions×n rows (~1 GB) and kills the job on
+    ``spark.driver.maxResultSize`` (measured r13, ivf_assign_probe).
+    Instead: md5 is uniform over hex strings, so the n smallest keys of
+    N rows all sit below the ``4n/N`` quantile with overwhelming odds —
+    pre-filter to that threshold (scan-side, no shuffle), leaving ~4n
+    candidate rows globally, THEN top-n. Driver transfer is bounded by
+    the candidate count, not partitions×n. Exactness is guarded, not
+    assumed: if fewer than n rows survive the filter (md5 says this is
+    ~impossible at 4×, but the guard makes it a slow path instead of a
+    wrong answer), fall back to the unfiltered plan."""
+    k = F.md5(F.col("__id").cast("string"))
+    total = train.count()
+    if total > 4 * n:
+        frac = (4.0 * n) / total
+        # 8-hex-digit prefix threshold; +1 so tiny fractions never round
+        # to an empty filter
+        bound = min(int(frac * 16**8) + 1, 16**8 - 1)
+        cand = train.filter(k < F.lit(format(bound, "08x")))
+        rows = cand.orderBy(k).limit(n).select("__u").collect()
+        if len(rows) >= min(n, total):
+            return rows
+    return train.orderBy(k).limit(n).select("__u").collect()
+
+
 def _collect_unit_sample(train: DataFrame, n: int):
     """ONE bounded collect job: the ``n`` md5-smallest unit vectors of a
     prepped ``(__id, __u)`` frame as an (n, dim) float64 matrix — driver
@@ -179,13 +214,9 @@ def _collect_unit_sample(train: DataFrame, n: int):
     md5 order matches the distributed fit path's seeding exactly."""
     import numpy as np
 
-    rows = (
-        train.orderBy(F.md5(F.col("__id").cast("string")))
-        .limit(n)
-        .select("__u")
-        .collect()
+    return np.array(
+        [r["__u"] for r in _md5_smallest(train, n)], dtype=np.float64
     )
-    return np.array([r["__u"] for r in rows], dtype=np.float64)
 
 
 def _numpy_lloyds(x, nlist: int, iters: int) -> list[list[float]]:
@@ -390,12 +421,15 @@ def write_assigned_corpus(
             "ones being stamped on this silver — refusing to write an "
             "index whose identity metadata would lie"
         )
-    assign_expr = (
-        two_level.assign(F.col("__checked_vec"))
-        if two_level is not None
-        else ivf_assign(F.col("__checked_vec"), centroids)
-    )
-    assigned = bound.withColumn("cluster", assign_expr).drop("__checked_vec")
+    if two_level is not None:
+        # broadcast-join transport: plan size stays O(ntop) at any nlist
+        assigned = two_level.assign_frame(
+            bound, "__checked_vec", out_col="cluster"
+        ).drop("__checked_vec")
+    else:
+        assigned = bound.withColumn(
+            "cluster", ivf_assign(F.col("__checked_vec"), centroids)
+        ).drop("__checked_vec")
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
             quantize_embeddings,
@@ -559,23 +593,20 @@ class TwoLevelQuantizer:
     def _group_literal(self) -> Column:
         """ntop-element literal: groups[g] = array<struct<j int, c array>>
         of the leaves top centroid g owns. Constant-folded once — per-row
-        work only ever touches the probed groups' slices via element_at."""
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            F.array(
-                                *[F.lit(float(x)) for x in self.centroids[j]]
-                            ).alias("c"),
-                        )
-                        for j in g
-                    ]
-                )
-                for g in self.groups
-            ]
-        )
+        work only ever touches the probed groups' slices via element_at.
+        Built as one parsed SQL expression (the ``_centroid_matrix``
+        plan-build-speed rationale). For nlist past a few thousand prefer
+        :meth:`assign_frame`, whose PLAN carries no leaf literals at all."""
+
+        def leaf(j: int) -> str:
+            c = ",".join(f"{float(x)!r}D" for x in self.centroids[j])
+            return f"named_struct('j', {j}, 'c', array({c}))"
+
+        sql = "array(" + ",".join(
+            "array(" + ",".join(leaf(j) for j in g) + ")"
+            for g in self.groups
+        ) + ")"
+        return F.expr(sql)
 
     def assign(self, vec: Column) -> Column:
         """0-based leaf cluster id — drop-in for ``ivf_assign(vec,
@@ -598,6 +629,65 @@ class TwoLevelQuantizer:
             ),
         )
         return F.array_min(scored)["j"].cast("int")
+
+    def assign_frame(
+        self, df: DataFrame, vec_col: str, out_col: str = "cluster"
+    ) -> DataFrame:
+        """Two-level assignment as a BROADCAST-JOIN plan — identical
+        assignments to :meth:`assign` (pinned in tests/test_ivf_ann.py),
+        different transport: the leaf centroids ride a broadcast TABLE of
+        ntop rows (one array<struct<j,c>> per group) instead of living in
+        the expression tree. The plan stays O(ntop + assign_probes) nodes
+        no matter how large nlist grows — at nlist ≳ a few thousand the
+        literal form pays minutes of driver plan-build + analyzer
+        constant-folding over nlist×dim literal nodes PER ACTION
+        (measured r13: ~33 s build + ~20 s fold at nlist=4000, dim=64),
+        which this form never does; the broadcast ships the same bytes as
+        DATA. This is the production path ``neighbor_pairs_ivf`` /
+        ``write_assigned_corpus`` take when handed a two-level quantizer.
+
+        Mechanics: the per-row probe list (top-matrix literal — ntop×dim,
+        small by construction) explodes into ``assign_probes`` join-key
+        columns; each probes the leaf table through its own broadcast
+        hash join (scan-side, no shuffle); the concatenated candidate
+        arrays score through one transform and the (−score, id) struct
+        min picks the leaf — flat ``ivf_assign`` tie-break exactly."""
+        spark = df.sparkSession
+        rows = [
+            (g, [(j, [float(x) for x in self.centroids[j]]) for j in grp])
+            for g, grp in enumerate(self.groups)
+        ]
+        leaf_tbl = spark.createDataFrame(
+            rows, "g int, leaves array<struct<j: int, c: array<double>>>"
+        )
+        w = self.assign_probes
+        out = df.withColumn(
+            "__probe", _probe_list(F.col(vec_col), self.top, w)
+        )
+        for p in range(w):
+            lt = leaf_tbl.select(
+                F.col("g").alias(f"__g{p}"), F.col("leaves").alias(f"__lv{p}")
+            )
+            out = out.withColumn(
+                f"__g{p}", F.element_at("__probe", p + 1)
+            ).join(F.broadcast(lt), f"__g{p}")
+        cand = (
+            F.concat(*[F.col(f"__lv{p}") for p in range(w)])
+            if w > 1
+            else F.col("__lv0")
+        )
+        # bind the candidate array in its own projection (HOF no-CSE rule)
+        out = out.withColumn("__cand", cand)
+        scored = F.transform(
+            F.col("__cand"),
+            lambda s: F.struct(
+                (-dot(F.col(vec_col), s["c"])).alias("s"), s["j"].alias("j")
+            ),
+        )
+        out = out.withColumn(out_col, F.array_min(scored)["j"].cast("int"))
+        return out.drop(
+            "__probe", "__cand", *[c for p in range(w) for c in (f"__g{p}", f"__lv{p}")]
+        )
 
 
 def fit_two_level(
@@ -722,16 +812,14 @@ def ivf_topk(
             "two_level quantizer wraps different leaf centroids than the "
             "probe list's — corpus lists and query probes would disagree"
         )
-    corpus_assign = (
-        two_level.assign(F.col(vec_col))
-        if two_level is not None
-        else ivf_assign(F.col(vec_col), centroids)
-    )
-    corpus = vectors.select(
+    pre = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        corpus_assign.alias("__c"),
     )
+    if two_level is not None:
+        corpus = two_level.assign_frame(pre, "cv", out_col="__c")
+    else:
+        corpus = pre.withColumn("__c", ivf_assign(F.col("cv"), centroids))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

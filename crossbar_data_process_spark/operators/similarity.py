@@ -420,11 +420,6 @@ def neighbor_pairs_ivf(
             "two_level quantizer wraps different leaf centroids than the "
             "ones passed to neighbor_pairs_ivf"
         )
-    assign_expr = (
-        two_level.assign(F.col(vec_col))
-        if two_level is not None
-        else ivf_assign(F.col(vec_col), centroids)
-    )
     # Precompute the norm ONCE per vector: every vector meets
     # ~cluster_size candidates, and cosine() would recompute BOTH norms
     # per PAIR — carrying the scalar norm makes each candidate one dot
@@ -433,16 +428,23 @@ def neighbor_pairs_ivf(
     # unit vectors: a transform lambda that captures an outer column
     # miscompiles under self-join attribute dedup — INTERNAL_ERROR
     # ATTRIBUTE_NOT_FOUND on generated-expression sources.)
-    # Materialized: the assignment expression (the expensive part) feeds
-    # the size count AND both self-join sides — three consumers.
-    assigned = materialize(
-        vectors.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("n"),
-            assign_expr.alias("cluster"),
-        )
+    # Materialized: the assignment (the expensive part) feeds the size
+    # count AND both self-join sides — three consumers.
+    base_cols = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
     )
+    if two_level is not None:
+        # the broadcast-join transport: plan size stays O(ntop) however
+        # large nlist grows (SemDeDup wants nlist ~ n/250 — plan-node
+        # literals would be the new O(n^1.5)-adjacent wall)
+        assigned = two_level.assign_frame(base_cols, "v", out_col="cluster")
+    else:
+        assigned = base_cols.withColumn(
+            "cluster", ivf_assign(F.col("v"), centroids)
+        )
+    assigned = materialize(assigned)
     need_sizes = max_cluster_size is not None or shard_target is not None
     if need_sizes:
         sizes = assigned.groupBy("cluster").agg(
@@ -545,16 +547,15 @@ def cluster_cap_stats(
     deterministic, so recomputing yields the identical partition)."""
     from crossbar_data_process_spark.operators.ivf import ivf_assign
 
-    assign_expr = (
-        two_level.assign(F.col(vec_col))
-        if two_level is not None
-        else ivf_assign(F.col(vec_col), centroids)
-    )
-    sizes = (
-        vectors.select(assign_expr.alias("cluster"))
-        .groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("csz"))
-    )
+    if two_level is not None:
+        assigned = two_level.assign_frame(
+            vectors.select(F.col(vec_col).alias("__v")), "__v"
+        ).select("cluster")
+    else:
+        assigned = vectors.select(
+            ivf_assign(F.col(vec_col), centroids).alias("cluster")
+        )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
     dropped = (
         (F.col("csz") > max_cluster_size)
         if max_cluster_size is not None

@@ -130,6 +130,7 @@ def ivf_ingest_writer(
     dedup_threshold: float | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
     pq_residual_centers: list[list[float]] | None = None,
+    two_level=None,
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -193,6 +194,20 @@ def ivf_ingest_writer(
         checked_vec,
         ivf_assign,
     )
+
+    # ``two_level`` (operators.ivf.TwoLevelQuantizer over the SAME
+    # centroids) switches per-batch corpus assignment to the
+    # O(√nlist)-per-row broadcast-join transport (VERDICT r12 #1) — the
+    # posture for a streaming silver whose quantizer has grown past a few
+    # thousand lists. Results are centroid-identical at full probes and
+    # recall-pinned at the default (tests/test_ivf_ann.py), and the
+    # stamped centroid identity is untouched (same leaf set).
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "ones stamped on this silver — assignments would not match "
+            "the stored identity"
+        )
 
     if pq_codebooks is not None:
         if quantize:
@@ -384,6 +399,7 @@ def ivf_ingest_writer(
                 threshold=dedup_threshold,
                 id_col=id_col,
                 vec_col=vec_col,
+                two_level=two_level,
             ).select(id_col)
             batch_df = batch_df.join(survivors, id_col, "left_semi")
             if _has_data():
@@ -404,16 +420,18 @@ def ivf_ingest_writer(
         # poisons every later read of the silver. Bound in its own
         # projection so the guard runs once per row, not once per
         # centroid inside the assign transform (r12 review).
-        assigned = (
-            batch_df.withColumn(
-                "__checked_vec",
-                checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
-            )
-            .withColumn(
-                _CLUSTER_COL, ivf_assign(F.col("__checked_vec"), centroids)
-            )
-            .drop("__checked_vec")
+        bound = batch_df.withColumn(
+            "__checked_vec",
+            checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
         )
+        if two_level is not None:
+            assigned = two_level.assign_frame(
+                bound, "__checked_vec", out_col=_CLUSTER_COL
+            ).drop("__checked_vec")
+        else:
+            assigned = bound.withColumn(
+                _CLUSTER_COL, ivf_assign(F.col("__checked_vec"), centroids)
+            ).drop("__checked_vec")
         if quantize:
             from crossbar_data_process_spark.operators.similarity import (
                 quantize_embeddings,

@@ -85,14 +85,89 @@ def run(spark, n: int) -> dict:
     }
 
 
+def gen_skewed(spark, n: int, ncenters: int, hot: int = 36):
+    """The measured r12 skew shape (36 hot clusters carried 66% of 813M
+    candidate pairs at 500k docs): half the corpus lands in ``hot``
+    clusters, half spreads uniformly over the rest — every 20th vector is
+    still the planted near-dup copy of its predecessor."""
+    base = F.when(
+        F.col("id") % 20 == 19, F.col("id") - 1
+    ).otherwise(F.col("id"))
+    g = F.when(
+        F.pmod(F.xxhash64(base * 7 + 3), F.lit(2)) == 0,
+        F.pmod(F.xxhash64(base * 11 + 5), F.lit(hot)),
+    ).otherwise(
+        F.lit(hot) + F.pmod(F.xxhash64(base * 13 + 9), F.lit(ncenters - hot))
+    )
+
+    def comp(j):
+        center = (
+            F.pmod(F.xxhash64(g * 73 + j), F.lit(2000)) / 1000.0 - 1.0
+        )
+        noise = (
+            F.pmod(F.xxhash64(base * 131 + j), F.lit(2000)) / 1000.0 - 1.0
+        ) * 0.3
+        jitter = (
+            F.pmod(F.xxhash64(F.col("id") * 17 + j), F.lit(2000)) / 1000.0
+            - 1.0
+        ) * 1e-4
+        return (center + noise + jitter).cast("float")
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(DIM)]).alias("embedding"),
+    )
+
+
+def run_skew(spark, n: int) -> dict:
+    """Straggler probe (VERDICT r12 #2): on a skewed corpus the pair set
+    is identical with and without sub-sharding — what changes is the TASK
+    shape, so the wall difference IS the straggler relief (a cluster-keyed
+    join floors at the hottest cluster's single task; the s×s grid splits
+    it across ~s² tasks on 32 cores)."""
+    from crossbar_data_process_spark.operators.similarity import (
+        neighbor_pairs_ivf,
+    )
+
+    ncenters = max(64, n // CLUSTER_SIZE)
+    corpus = gen_skewed(spark, n, ncenters)
+    cents = ivf_fit(
+        corpus, dim=DIM, nlist=ncenters, iters=2, driver_fit_rows=20_000
+    )
+    out = {"n": n, "nlist": ncenters}
+    for label, target in (("unsharded", None), ("sharded", 2000)):
+        t0 = time.perf_counter()
+        pairs = neighbor_pairs_ivf(
+            corpus, cents, threshold=0.999, shard_target=target
+        ).count()
+        out[f"t_pairs_{label}"] = round(time.perf_counter() - t0, 2)
+        out[f"pairs_{label}"] = pairs
+    assert out["pairs_unsharded"] == out["pairs_sharded"]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=50_000)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run the hot-cluster straggler probe instead of the slope pair",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="semdedup_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.skew:
+        res = run_skew(spark, args.small * args.factor)
+        print("\nskew probe:", res)
+        print(
+            "straggler relief (unsharded/sharded wall): "
+            f"{res['t_pairs_unsharded'] / res['t_pairs_sharded']:.2f}x"
+        )
+        spark.stop()
+        return
     small = run(spark, args.small)
     big = run(spark, args.small * args.factor)
     print("\nsmall:", small)

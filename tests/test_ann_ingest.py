@@ -959,6 +959,60 @@ def test_flat_silver_refuses_exclude_batch_id(
         read_assigned_silver(spark, silver, exclude_batch_id=0)
 
 
+def test_two_level_streamed_silver_equals_flat_streamed_silver(
+    spark, clustered, centroids, tmp_path
+):
+    """two_level= at the sink switches per-batch assignment to the
+    broadcast-join transport; at FULL probes the assignments are
+    centroid-identical to flat ivf_assign, so the streamed silvers must
+    match row-for-row (cluster included) and probe identically — and the
+    dedup flag composes (it assigns through the same quantizer)."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    tl = fit_two_level(centroids, assign_probes=len(centroids))
+    flat = str(tmp_path / "flat")
+    two = str(tmp_path / "two")
+    batch0 = clustered.filter(F.col("vec_id") % 2 == 0)
+    batch1 = clustered.filter(F.col("vec_id") % 2 == 1)
+    for path, kw in ((flat, {}), (two, {"two_level": tl})):
+        sink = ivf_ingest_writer(
+            spark, centroids, path, dedup_threshold=0.999, **kw
+        )
+        sink(batch0, 0)
+        sink(batch1, 1)
+        sink(batch1, 1)  # replay stays exactly-once through the new path
+    rows = lambda p: sorted(  # noqa: E731
+        (r.vec_id, r.cluster)
+        for r in read_assigned_silver(spark, p).collect()
+    )
+    assert rows(two) == rows(flat) and len(rows(two)) == clustered.count()
+
+    q = clustered.filter(F.col("vec_id") % 150 == 0)
+    probe = lambda p: {  # noqa: E731
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 6))
+        for r in ivf_topk_assigned(
+            spark, p, q, centroids, k=5, nprobe=3
+        ).collect()
+    }
+    assert probe(two) == probe(flat) and len(probe(two)) > 0
+
+
+def test_two_level_sink_refuses_foreign_leaf_centroids(
+    spark, centroids, tmp_path
+):
+    """A two-level quantizer wrapping DIFFERENT leaf centroids than the
+    silver's stamped matrix must fail at factory time — assignments would
+    not match the stored identity."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    refit = [[float(x) + 0.25 for x in row] for row in centroids]
+    with pytest.raises(ValueError, match="different leaf centroids"):
+        ivf_ingest_writer(
+            spark, centroids, str(tmp_path / "x"),
+            two_level=fit_two_level(refit),
+        )
+
+
 def test_pq_identity_check_tolerates_tuple_and_numpy_books(
     spark, clustered, centroids, tmp_path
 ):

@@ -447,3 +447,54 @@ def test_two_level_write_assigned_corpus_matches_flat(spark, clustered, tmp_path
         write_assigned_corpus(
             clustered, cents, p_two, two_level=fit_two_level(other)
         )
+
+
+def test_md5_smallest_filtered_plan_is_exact(spark, clustered):
+    """The maxResultSize fix (r13): the threshold-filtered top-n must
+    return EXACTLY the naive orderBy+limit's rows, in the same order, in
+    both regimes — filter active (total > 4n) and bypassed (small n is
+    the whole frame). ivf_fit seeding and the driver-fit sample both ride
+    this helper, so sameness here is fit determinism at scale."""
+    from crossbar_data_process_spark.operators.ivf import (
+        _md5_smallest,
+        _unit,
+    )
+
+    train = _unit(clustered, "embedding", "__u").select(
+        F.col("vec_id").alias("__id"), "__u"
+    )
+    for n in (16, 290, 1200, 5000):  # filtered / filtered / ==total / >total
+        naive = [
+            r["__u"]
+            for r in train.orderBy(F.md5(F.col("__id").cast("string")))
+            .limit(n)
+            .select("__u")
+            .collect()
+        ]
+        got = [r["__u"] for r in _md5_smallest(train, n)]
+        assert got == naive, n
+        assert len(got) == min(n, 1200)
+
+
+def test_assign_frame_equals_assign_expression(spark, clustered):
+    """The broadcast-join transport (assign_frame — the production path
+    for big nlist, plan size O(ntop)) must produce IDENTICAL assignments
+    to the literal-expression form at the same probe budget."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    for probes in (1, 2, 16):
+        tl = fit_two_level(cents, assign_probes=probes)
+        expr = {
+            r.vec_id: r.c
+            for r in clustered.select(
+                "vec_id", tl.assign(F.col("embedding")).alias("c")
+            ).collect()
+        }
+        framed = {
+            r.vec_id: r.cluster
+            for r in tl.assign_frame(
+                clustered.select("vec_id", "embedding"), "embedding"
+            ).collect()
+        }
+        assert expr == framed, f"probes={probes}"
