@@ -365,6 +365,7 @@ def write_assigned_corpus(
     diagnostics: dict[str, float] | None = None,
     require_clustered: bool = False,
     two_level: "TwoLevelQuantizer | None" = None,
+    assign_backend: str = "jvm",
 ) -> None:
     """The 100 TB silver layout: assign every vector to its list ONCE (a
     pure projection — no join) and write partitioned BY the cluster id.
@@ -421,7 +422,15 @@ def write_assigned_corpus(
             "ones being stamped on this silver — refusing to write an "
             "index whose identity metadata would lie"
         )
-    if two_level is not None:
+    if assign_backend == "arrow":
+        # Arrow/BLAS projection (assign_frame_arrow) — the scale-run
+        # backend; same argmax/tie semantics, checked_vec still guards
+        # the partition key (its JVM projection runs before the Python
+        # stage consumes the column)
+        assigned = assign_frame_arrow(
+            bound, "__checked_vec", centroids, two_level=two_level
+        ).drop("__checked_vec")
+    elif two_level is not None:
         # broadcast-join transport: plan size stays O(ntop) at any nlist
         assigned = two_level.assign_frame(
             bound, "__checked_vec", out_col="cluster"
@@ -734,6 +743,150 @@ def fit_two_level(
         [top[g] for g in keep],
         [groups[g] for g in keep],
         assign_probes=assign_probes,
+    )
+
+
+def assign_frame_arrow(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cluster",
+    two_level: "TwoLevelQuantizer | None" = None,
+) -> DataFrame:
+    """Coarse assignment as an Arrow-batched BLAS projection
+    (``mapInPandas``) — the 100 TB throughput backend for both the flat
+    and the two-level quantizer.
+
+    Why this exists (r13, measured): Spark NEVER codegens higher-order
+    functions — ``transform``/``aggregate``/``array_sort`` run on the
+    interpreted ``eval`` path (``SimpleHigherOrderFunction.eval`` +
+    ``InterpretedOrdering``, confirmed by jstack under
+    ``scripts/ivf_assign_probe.py``), so every HOF dot product pays
+    per-element boxing: ~13 ms/row at 5M rows / nlist=20000 for the
+    two-level JVM path (2962 s on 32 cores). The same arithmetic as
+    chunked numpy matmuls over Arrow batches runs at BLAS speed —
+    measured ~50-100× faster end-to-end (BASELINE r13 table) — which is
+    exactly the charter's sanctioned drop-to-Arrow case: the built-in
+    operators genuinely cannot express dense linear algebra efficiently.
+
+    Semantics: identical argmax-with-smallest-id-tie-break as
+    ``ivf_assign`` (flat) / ``TwoLevelQuantizer.assign`` (two-level) —
+    max dot product, ties broken to the smallest leaf id; the two-level
+    probe order is score-desc-then-group-id-asc (numpy stable argsort ≡
+    the JVM (−score, id) struct sort). The ONLY divergence surface is
+    float summation order: the JVM folds element-by-element while BLAS
+    sums pairwise/SIMD, so two centroids within ~1 ulp of each other can
+    flip — real fitted centroids are separated by margins enormously
+    wider than that, and the backends agree bit-for-bit on every test
+    corpus (tests/test_ivf_ann.py). Hash-gated registry queries keep the
+    JVM path; this backend is the declared posture for scale runs
+    (probes, ``llm_build --scale``, streaming ANN silvers past ~10M
+    rows).
+
+    Scale shape: a pure projection — no shuffle, no join; per-row result
+    depends only on the row, so partitioning/batching cannot change the
+    output. The centroid matrix ships once per task via the function
+    closure: nlist×dim float64 = 10 MB at nlist=20000 and bounded by the
+    engine's practical nlist ≤ 65536 cap (≤ 32 MB at dim 64) — never
+    data-sized. Rows must carry non-null, dim-length vectors (bind
+    ``checked_vec`` upstream, or let this raise with the same intent)."""
+    import numpy as np
+
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "ones passed to assign_frame_arrow"
+        )
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    nlist, dim = c_mat.shape
+    if two_level is not None:
+        top_mat = np.asarray(two_level.top, dtype=np.float64)
+        group_ids = [np.asarray(g, dtype=np.int64) for g in two_level.groups]
+        leaf_mats = [c_mat[g] for g in group_ids]
+        probes = min(two_level.assign_probes, len(top_mat))
+    # nullable int, matching the JVM paths' cast("int") schema exactly —
+    # silver appends and schema-compare tests must not see a flag diff.
+    # (A fresh StructType: df.schema is cached on the DataFrame and
+    # StructType.add MUTATES in place — appending to it corrupts df's
+    # own column list.)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, IntegerType(), True)]
+    )
+    in_cols = df.columns
+
+    def _stack(pdf) -> "np.ndarray":
+        vecs = pdf[vec_col].to_numpy()
+        try:
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"assign_frame_arrow: column '{vec_col}' must hold "
+                f"non-null length-{dim} numeric vectors"
+            ) from e
+        if v.shape[1] != dim:
+            raise ValueError(
+                f"assign_frame_arrow: vector length {v.shape[1]} != "
+                f"centroid dim {dim}"
+            )
+        return v
+
+    def _flat(it):
+        # centroid-block chunking bounds the score matrix at
+        # rows×block×8 B (~160 MB at the default 10k-row Arrow batch)
+        block = 2048
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = _stack(pdf)
+            n = len(v)
+            best = np.full(n, -np.inf)
+            best_j = np.zeros(n, dtype=np.int64)
+            for s in range(0, nlist, block):
+                scores = v @ c_mat[s : s + block].T
+                bj = scores.argmax(axis=1)  # first max == smallest id
+                bs = scores[np.arange(n), bj]
+                # strict > : earlier block wins ties == global smallest id
+                upd = bs > best
+                best[upd] = bs[upd]
+                best_j[upd] = bj[upd] + s
+            pdf[out_col] = best_j.astype(np.int32)
+            yield pdf
+
+    def _two(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = _stack(pdf)
+            n = len(v)
+            top_scores = v @ top_mat.T
+            # stable argsort of -scores: ties keep ascending group id —
+            # the JVM (−score, id) struct-sort order exactly
+            probe = np.argsort(-top_scores, axis=1, kind="stable")[:, :probes]
+            best = np.full(n, -np.inf)
+            best_j = np.full(n, np.iinfo(np.int64).max)
+            for g in range(len(leaf_mats)):
+                rows = np.nonzero((probe == g).any(axis=1))[0]
+                if rows.size == 0:
+                    continue
+                scores = v[rows] @ leaf_mats[g].T
+                bj = scores.argmax(axis=1)
+                bs = scores[np.arange(rows.size), bj]
+                gj = group_ids[g][bj]
+                cur_s, cur_j = best[rows], best_j[rows]
+                # max score, then min leaf id — the array_min((−s, j)) rule
+                upd = (bs > cur_s) | ((bs == cur_s) & (gj < cur_j))
+                r_upd = rows[upd]
+                best[r_upd] = bs[upd]
+                best_j[r_upd] = gj[upd]
+            pdf[out_col] = best_j.astype(np.int32)
+            yield pdf
+
+    fn = _flat if two_level is None else _two
+    # column order is part of the Arrow contract: emit exactly out_schema
+    return df.mapInPandas(
+        lambda it: (pdf[in_cols + [out_col]] for pdf in fn(it)), out_schema
     )
 
 

@@ -369,6 +369,7 @@ def neighbor_pairs_ivf(
     max_cluster_size: int | None = None,
     shard_target: int | None = 2000,
     two_level=None,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
     Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
@@ -409,16 +410,29 @@ def neighbor_pairs_ivf(
       no longer the default skew posture.
 
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥ threshold.
+    ``assign_backend="arrow"`` swaps the JVM assignment expression for
+    the Arrow-batched BLAS projection (``ivf.assign_frame_arrow`` —
+    measured ~50-100× faster; HOFs never codegen). Same argmax/tie
+    semantics, agreement pinned in tests; the scale-run posture, while
+    hash-gated registry queries keep the JVM default.
+
     Cross-cluster near-dups (borderline vectors quantized apart) are the
     recall trade vs the LSH multiprobe variant — measured in
     tests/test_semantic_dedup.py.
     """
-    from crossbar_data_process_spark.operators.ivf import ivf_assign
+    from crossbar_data_process_spark.operators.ivf import (
+        assign_frame_arrow,
+        ivf_assign,
+    )
 
     if two_level is not None and two_level.centroids != centroids:
         raise ValueError(
             "two_level quantizer wraps different leaf centroids than the "
             "ones passed to neighbor_pairs_ivf"
+        )
+    if assign_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
         )
     # Precompute the norm ONCE per vector: every vector meets
     # ~cluster_size candidates, and cosine() would recompute BOTH norms
@@ -435,7 +449,11 @@ def neighbor_pairs_ivf(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
-    if two_level is not None:
+    if assign_backend == "arrow":
+        assigned = assign_frame_arrow(
+            base_cols, "v", centroids, out_col="cluster", two_level=two_level
+        )
+    elif two_level is not None:
         # the broadcast-join transport: plan size stays O(ntop) however
         # large nlist grows (SemDeDup wants nlist ~ n/250 — plan-node
         # literals would be the new O(n^1.5)-adjacent wall)
@@ -526,6 +544,7 @@ def cluster_cap_stats(
     max_cluster_size: int | None = None,
     shard_target: int | None = 2000,
     two_level=None,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """The `no silent caps` report for the SemDeDup pair stage (VERDICT
     r12 #3): ONE row quantifying what the skew levers actually did —
@@ -545,9 +564,19 @@ def cluster_cap_stats(
     it reports on. Callers who already hold the assigned frame can pass
     it as ``vectors`` with ``vec_col`` untouched (assignment is
     deterministic, so recomputing yields the identical partition)."""
-    from crossbar_data_process_spark.operators.ivf import ivf_assign
+    from crossbar_data_process_spark.operators.ivf import (
+        assign_frame_arrow,
+        ivf_assign,
+    )
 
-    if two_level is not None:
+    if assign_backend == "arrow":
+        assigned = assign_frame_arrow(
+            vectors.select(F.col(vec_col).alias("__v")),
+            "__v",
+            centroids,
+            two_level=two_level,
+        ).select("cluster")
+    elif two_level is not None:
         assigned = two_level.assign_frame(
             vectors.select(F.col(vec_col).alias("__v")), "__v"
         ).select("cluster")
@@ -590,6 +619,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     shard_target: int | None = 2000,
     two_level=None,
+    assign_backend: str = "jvm",
 ) -> DataFrame:
     """SemDeDup end-to-end: k-means-bucketed cosine pairs →
     connected components → one surviving representative per semantic
@@ -617,6 +647,7 @@ def semantic_dedup(
         max_cluster_size,
         shard_target=shard_target,
         two_level=two_level,
+        assign_backend=assign_backend,
     )
     return resolve_neardups(
         vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"

@@ -5,13 +5,17 @@ coarse assignment walls at SemDeDup's production quantizer granularity
 flat-vs-two-level assignment agreement as the quality gauge.
 
 The law being probed: flat ``ivf_assign`` costs O(nlist) dot products
-per row, so with nlist ∝ n the corpus assignment is O(n^1.5); the
-two-level quantizer (``fit_two_level`` → ``assign_frame``) costs
-O(√nlist·(1+probes)) per row — O(n^1.25) overall — and its PLAN carries
-no leaf literals (the broadcast-join transport), so driver plan-build /
-analysis time stays flat too. Flat at 5M/nlist=20000 would be ~1e11 dot
-products plus a ~1.3M-literal plan — the probe exists to show that wall,
-not to die on it (see the size-ladder note below).
+per row, so with nlist = n/250 the corpus assignment is n²/250 dots;
+the two-level quantizer (``fit_two_level`` → ``assign_frame``) costs
+O(√nlist·(1+probes)) per row — still Θ(n^1.5) asymptotically under the
+nlist ∝ n policy, but with a √nlist/(1+probes) work advantage over flat
+that GROWS with the corpus (≈25× at 1M, ≈47× at 5M — measured, r13
+BASELINE) — and its PLAN carries no leaf literals (the broadcast-join
+transport), so driver plan-build / analysis time stays flat too. Flat
+at 5M/nlist=20000 would be ~1e11 dot products plus a ~1.3M-literal plan
+— the probe exists to show that wall, not to die on it (see the
+size-ladder note below). Past ~100M rows the same move recurses (a
+third level buys another √ntop factor); nothing below assumes depth 2.
 
 Corpora are generated distributed (spark.range + hash exprs, no driver
 lists) and staged to /tmp parquet ONCE per size so every timed run reads
@@ -40,6 +44,7 @@ from pyspark.sql import functions as F
 
 from crossbar_data_process_spark import get_spark
 from crossbar_data_process_spark.operators.ivf import (
+    assign_frame_arrow,
     fit_two_level,
     ivf_assign,
     ivf_fit,
@@ -86,7 +91,7 @@ def _time_assign(df) -> tuple[float, int]:
     return time.perf_counter() - t0, int(row.n)
 
 
-def run(spark, n: int, with_flat: bool) -> dict:
+def run(spark, n: int, with_flat: bool, with_jvm_two: bool = True) -> dict:
     nlist = max(8, n // CLUSTER_SIZE)
     corpus = spark.read.parquet(stage(spark, n, nlist))
     t0 = time.perf_counter()
@@ -102,10 +107,25 @@ def run(spark, n: int, with_flat: bool) -> dict:
     tl = fit_two_level(cents)
     t_fit_top = time.perf_counter() - t0
 
-    t_two, rows = _time_assign(
-        tl.assign_frame(corpus, "embedding", out_col="cluster")
+    if with_jvm_two:
+        t_two, rows = _time_assign(
+            tl.assign_frame(corpus, "embedding", out_col="cluster")
+        )
+        assert rows == n
+    else:
+        t_two = None  # --arrow-only rerun; JVM walls already on record
+
+    # the Arrow/BLAS backend (r13): same assignments, BLAS arithmetic —
+    # the gap between these columns and the JVM ones is pure
+    # interpreted-HOF overhead (HOFs never codegen; jstack-confirmed)
+    t_arrow_flat, rows_af = _time_assign(
+        assign_frame_arrow(corpus, "embedding", cents)
     )
-    assert rows == n
+    assert rows_af == n
+    t_arrow_two, rows_at = _time_assign(
+        assign_frame_arrow(corpus, "embedding", cents, two_level=tl)
+    )
+    assert rows_at == n
 
     out = {
         "n": n,
@@ -113,7 +133,9 @@ def run(spark, n: int, with_flat: bool) -> dict:
         "ntop": len(tl.top),
         "t_fit": round(t_fit, 2),
         "t_fit_top": round(t_fit_top, 2),
-        "t_assign_two_level": round(t_two, 2),
+        "t_assign_two_level": round(t_two, 2) if t_two is not None else None,
+        "t_assign_arrow_flat": round(t_arrow_flat, 2),
+        "t_assign_arrow_two": round(t_arrow_two, 2),
     }
     # flat on the big ladder is the measured wall this probe exists to
     # retire (1M/nlist=4000 ~ 90 min; 5M/nlist=20000 ~ 1e11 dots plus a
@@ -147,6 +169,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--flat-sizes", default="62500,125000,250000")
     ap.add_argument("--two-sizes", default="250000,1000000,5000000")
+    ap.add_argument(
+        "--arrow-only",
+        action="store_true",
+        help="skip the slow JVM paths (flat AND two-level) — re-measure "
+        "just the Arrow columns against already-recorded JVM walls",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="ivf_assign_probe")
@@ -155,7 +183,14 @@ def main() -> None:
     two_sizes = [int(s) for s in args.two_sizes.split(",") if s]
     rows = []
     for n in sorted(set(flat_sizes) | set(two_sizes)):
-        rows.append(run(spark, n, with_flat=n in flat_sizes))
+        rows.append(
+            run(
+                spark,
+                n,
+                with_flat=n in flat_sizes and not args.arrow_only,
+                with_jvm_two=not args.arrow_only,
+            )
+        )
         print(json.dumps(rows[-1]), file=sys.stderr)  # progress
     print(json.dumps({"metric": "ivf_assign_probe", "rows": rows}))
     spark.stop()

@@ -498,3 +498,76 @@ def test_assign_frame_equals_assign_expression(spark, clustered):
             ).collect()
         }
         assert expr == framed, f"probes={probes}"
+
+
+# ------------------------------------------------------------ Arrow/BLAS
+# assignment backend (r13): Spark never codegens HOFs, so the JVM
+# assignment paths run interpreted (~13 ms/row measured at 5M rows /
+# nlist=20000 — jstack-confirmed SimpleHigherOrderFunction.eval). The
+# Arrow backend does the same argmax as chunked numpy matmuls — the
+# sanctioned drop-to-Arrow case. Contract: identical assignments (the
+# only divergence surface is <1-ulp centroid-score ties, which fitted
+# centroids don't produce), identical schema, pure projection.
+
+
+def test_arrow_backend_equals_jvm_flat_and_two_level(spark, clustered):
+    from crossbar_data_process_spark.operators.ivf import (
+        assign_frame_arrow,
+        fit_two_level,
+    )
+
+    cents = ivf_fit(clustered, dim=32, nlist=16, iters=2, driver_fit_rows=2048)
+    flat_jvm = {
+        r.vec_id: r.c
+        for r in clustered.select(
+            "vec_id", ivf_assign(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    flat_arrow = {
+        r.vec_id: r.cluster
+        for r in assign_frame_arrow(clustered, "embedding", cents).collect()
+    }
+    assert flat_jvm == flat_arrow
+    for probes in (1, 2, 16):
+        tl = fit_two_level(cents, assign_probes=probes)
+        two_jvm = {
+            r.vec_id: r.cluster
+            for r in tl.assign_frame(
+                clustered.select("vec_id", "embedding"), "embedding"
+            ).collect()
+        }
+        two_arrow = {
+            r.vec_id: r.cluster
+            for r in assign_frame_arrow(
+                clustered, "embedding", cents, two_level=tl
+            ).collect()
+        }
+        assert two_jvm == two_arrow, f"probes={probes}"
+
+
+def test_arrow_backend_schema_matches_jvm(spark, clustered):
+    from crossbar_data_process_spark.operators.ivf import assign_frame_arrow
+
+    cents = ivf_fit(clustered, dim=32, nlist=8, iters=1, driver_fit_rows=512)
+    jvm = clustered.withColumn(
+        "cluster", ivf_assign(F.col("embedding"), cents)
+    )
+    arrow = assign_frame_arrow(clustered, "embedding", cents)
+    assert arrow.schema == jvm.schema
+
+
+def test_arrow_backend_rejects_bad_input(spark, clustered):
+    from crossbar_data_process_spark.operators.ivf import (
+        assign_frame_arrow,
+        fit_two_level,
+    )
+
+    cents = ivf_fit(clustered, dim=32, nlist=8, iters=1, driver_fit_rows=512)
+    short = clustered.withColumn("embedding", F.slice("embedding", 1, 5))
+    with pytest.raises(Exception, match="vector length|length-32"):
+        assign_frame_arrow(short, "embedding", cents).collect()
+    other = ivf_fit(clustered, dim=32, nlist=4, iters=1, driver_fit_rows=256)
+    with pytest.raises(ValueError, match="different leaf centroids"):
+        assign_frame_arrow(
+            clustered, "embedding", cents, two_level=fit_two_level(other)
+        )

@@ -227,3 +227,32 @@ def test_cluster_cap_stats_surfaces_dropped_and_sharded_mass(
     ).collect()[0]
     assert r2.n_sharded_clusters == r2.n_clusters
     assert r2.n_sharded_docs == n and r2.n_dropped_docs == 0
+
+
+def test_arrow_assign_backend_pairs_byte_identical(spark, corpus, cents):
+    """assign_backend='arrow' (the BLAS scale backend, r13) must produce
+    the IDENTICAL pair set as the JVM assignment — flat and two-level,
+    sharded and not."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    tl = fit_two_level(cents)
+    for two_level in (None, tl):
+        for target in (None, 10):
+            jvm = {
+                (r.vec_a, r.vec_b, r.cosine)
+                for r in neighbor_pairs_ivf(
+                    corpus, cents, threshold=0.95,
+                    shard_target=target, two_level=two_level,
+                ).collect()
+            }
+            arrow = {
+                (r.vec_a, r.vec_b, r.cosine)
+                for r in neighbor_pairs_ivf(
+                    corpus, cents, threshold=0.95,
+                    shard_target=target, two_level=two_level,
+                    assign_backend="arrow",
+                ).collect()
+            }
+            assert jvm == arrow, (two_level is not None, target)
+    with pytest.raises(ValueError, match="assign_backend"):
+        neighbor_pairs_ivf(corpus, cents, assign_backend="blas")
