@@ -360,6 +360,103 @@ def cosine_topk_quantized(
     )
 
 
+def _pairs_arrow_grouped(
+    df: DataFrame,
+    keys: list[str],
+    threshold: float,
+    id_type,
+    two_sided: bool,
+) -> DataFrame:
+    """The pair stage as a grouped BLAS kernel (r13): each grid cell
+    (cluster[, __ga, __gb]) scores every cross pair in ONE numpy matmul
+    — S = (Vₐ @ V_b.T) / outer(nₐ, n_b) — instead of one
+    interpreted-HOF dot per candidate row (HOFs never codegen; the
+    per-candidate eval tax is the pair stage's analogue of the
+    assignment tax ``assign_frame_arrow`` retires).
+
+    Transport: ONE ``groupBy(cell).applyInPandas`` over a side-tagged
+    union (``two_sided``, the sharded grid — a cogroup of a frame with
+    itself trips the ambiguous-self-join analyzer check, and the union
+    shuffles the same bytes) or over the bare assigned frame
+    (``two_sided=False``, the unsharded case — HALF the shuffle of the
+    JVM self-join, since each row ships once and the kernel reads it as
+    both sides). Cell memory is bounded by ``shard_target`` rows per
+    side; an unsharded mega-cluster is the caller's documented hazard on
+    BOTH backends. A-side rows are chunked so the score block stays
+    ≤ ~64 MB whatever the cell shape.
+
+    Parity: the divisor reuses the JVM-computed ``n`` norm column
+    verbatim; rounding is HALF_UP at 6 dp (numpy's round is banker's —
+    wrong half-case); non-finite scores (zero-norm vectors) drop exactly
+    like try_divide's NULLs; the ``id <`` order filter applies inside the
+    kernel. The only divergence surface is sub-ulp dot-product summation
+    order — byte-identical pair sets on every test corpus
+    (tests/test_semantic_dedup.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_type, True),
+            StructField("vec_b", id_type, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    empty = {
+        "vec_a": pd.Series([], dtype="object"),
+        "vec_b": pd.Series([], dtype="object"),
+        "cosine": pd.Series([], dtype="float64"),
+    }
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if two_sided:
+            left = pdf[pdf["__side"] == 0]
+            right = pdf[pdf["__side"] == 1]
+        else:
+            left = right = pdf
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(empty)
+        vb = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in right["v"].to_numpy()]
+        )
+        ids_a = left["id"].to_numpy()
+        ids_b = right["id"].to_numpy()
+        na_all = left["n"].to_numpy()
+        nb = right["n"].to_numpy()
+        va_all = left["v"].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        # chunk the A side: score block ≤ ~64 MB regardless of cell shape
+        block = max(1, 8_000_000 // max(len(right), 1))
+        for s0 in range(0, len(left), block):
+            sl = slice(s0, s0 + block)
+            va = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in va_all[sl]]
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (va @ vb.T) / np.outer(na_all[sl], nb)
+            # HALF_UP at 6 dp — F.round's rule (np.round would be banker's)
+            s = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s) / 1e6
+            mask = (
+                np.isfinite(s)
+                & (s >= threshold)
+                & (ids_a[sl][:, None] < ids_b[None, :])
+            )
+            ia, ib = np.nonzero(mask)
+            out_a.append(ids_a[sl][ia])
+            out_b.append(ids_b[ib])
+            out_s.append(s[ia, ib])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    return df.groupby(*keys).applyInPandas(_score, out_schema)
+
+
 def neighbor_pairs_ivf(
     vectors: DataFrame,
     centroids: list[list[float]],
@@ -370,6 +467,7 @@ def neighbor_pairs_ivf(
     shard_target: int | None = 2000,
     two_level=None,
     assign_backend: str = "jvm",
+    pair_backend: str = "jvm",
 ) -> DataFrame:
     """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
     Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
@@ -415,6 +513,11 @@ def neighbor_pairs_ivf(
     measured ~50-100× faster; HOFs never codegen). Same argmax/tie
     semantics, agreement pinned in tests; the scale-run posture, while
     hash-gated registry queries keep the JVM default.
+    ``pair_backend="arrow"`` does the same for the PAIR stage: each grid
+    cell scores as one numpy matmul via cogrouped ``applyInPandas``
+    (:func:`_pairs_arrow_cogroup`) instead of one interpreted dot per
+    candidate — same shuffle shape, same pair set (pinned), the
+    arithmetic engine swapped. Scale runs take both backends together.
 
     Cross-cluster near-dups (borderline vectors quantized apart) are the
     recall trade vs the LSH multiprobe variant — measured in
@@ -433,6 +536,10 @@ def neighbor_pairs_ivf(
     if assign_backend not in ("jvm", "arrow"):
         raise ValueError(
             f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
+        )
+    if pair_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"pair_backend must be 'jvm' or 'arrow', got {pair_backend!r}"
         )
     # Precompute the norm ONCE per vector: every vector meets
     # ~cluster_size candidates, and cosine() would recompute BOTH norms
@@ -486,28 +593,38 @@ def neighbor_pairs_ivf(
                 "int"
             ),
         ).drop("__csz")
-        a = base.withColumn(
+        a_raw = base.withColumn(
             "__ga", F.col("__h")
         ).withColumn(
             "__gb", F.explode(F.sequence(F.lit(0), F.col("__s") - 1))
-        ).alias("a")
-        b = base.withColumn(
+        ).drop("__s", "__h")
+        b_raw = base.withColumn(
             "__ga", F.explode(F.sequence(F.lit(0), F.col("__s") - 1))
-        ).withColumn("__gb", F.col("__h")).alias("b")
-        join_cond = (
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.__ga") == F.col("b.__ga"))
-            & (F.col("a.__gb") == F.col("b.__gb"))
-            & (F.col("a.id") < F.col("b.id"))
-        )
+        ).withColumn("__gb", F.col("__h")).drop("__s", "__h")
+        keys = ["cluster", "__ga", "__gb"]
     else:
         if need_sizes:
             assigned = assigned.drop("__csz")
-        a = assigned.alias("a")
-        b = assigned.alias("b")
-        join_cond = (F.col("a.cluster") == F.col("b.cluster")) & (
-            F.col("a.id") < F.col("b.id")
+        a_raw, b_raw = assigned, assigned
+        keys = ["cluster"]
+    if pair_backend == "arrow":
+        if shard_target is not None:
+            tagged = a_raw.withColumn(
+                "__side", F.lit(0)
+            ).unionByName(b_raw.withColumn("__side", F.lit(1)))
+            two_sided = True
+        else:
+            tagged = a_raw  # one copy per row; kernel reads it as both sides
+            two_sided = False
+        return _pairs_arrow_grouped(
+            tagged, keys, threshold,
+            vectors.schema[id_col].dataType, two_sided,
         )
+    a = a_raw.alias("a")
+    b = b_raw.alias("b")
+    join_cond = F.col("a.id") < F.col("b.id")
+    for k in keys:
+        join_cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & join_cond
     # shuffle-hash: both sides are corpus-sized — refuse a broadcast that
     # local stats would allow but scale forbids (same rule as textdedup)
     return (
@@ -620,6 +737,7 @@ def semantic_dedup(
     shard_target: int | None = 2000,
     two_level=None,
     assign_backend: str = "jvm",
+    pair_backend: str = "jvm",
 ) -> DataFrame:
     """SemDeDup end-to-end: k-means-bucketed cosine pairs →
     connected components → one surviving representative per semantic
@@ -648,6 +766,7 @@ def semantic_dedup(
         shard_target=shard_target,
         two_level=two_level,
         assign_backend=assign_backend,
+        pair_backend=pair_backend,
     )
     return resolve_neardups(
         vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"

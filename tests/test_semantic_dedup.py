@@ -229,30 +229,38 @@ def test_cluster_cap_stats_surfaces_dropped_and_sharded_mass(
     assert r2.n_sharded_docs == n and r2.n_dropped_docs == 0
 
 
-def test_arrow_assign_backend_pairs_byte_identical(spark, corpus, cents):
-    """assign_backend='arrow' (the BLAS scale backend, r13) must produce
-    the IDENTICAL pair set as the JVM assignment — flat and two-level,
-    sharded and not."""
+def test_arrow_backends_pairs_byte_identical(spark, corpus, cents):
+    """assign_backend='arrow' + pair_backend='arrow' (the BLAS scale
+    backends, r13) must produce the IDENTICAL pair set as the full JVM
+    path — flat and two-level, sharded and not, zero vector included
+    (numpy's inf/nan drop ≡ try_divide's NULL drop)."""
     from crossbar_data_process_spark.operators.ivf import fit_two_level
 
+    with_zero = corpus.unionByName(
+        spark.createDataFrame(
+            [(99_999, [0.0] * DIM)], "vec_id long, embedding array<float>"
+        )
+    )
     tl = fit_two_level(cents)
     for two_level in (None, tl):
         for target in (None, 10):
             jvm = {
                 (r.vec_a, r.vec_b, r.cosine)
                 for r in neighbor_pairs_ivf(
-                    corpus, cents, threshold=0.95,
+                    with_zero, cents, threshold=0.95,
                     shard_target=target, two_level=two_level,
                 ).collect()
             }
             arrow = {
                 (r.vec_a, r.vec_b, r.cosine)
                 for r in neighbor_pairs_ivf(
-                    corpus, cents, threshold=0.95,
+                    with_zero, cents, threshold=0.95,
                     shard_target=target, two_level=two_level,
-                    assign_backend="arrow",
+                    assign_backend="arrow", pair_backend="arrow",
                 ).collect()
             }
             assert jvm == arrow, (two_level is not None, target)
     with pytest.raises(ValueError, match="assign_backend"):
         neighbor_pairs_ivf(corpus, cents, assign_backend="blas")
+    with pytest.raises(ValueError, match="pair_backend"):
+        neighbor_pairs_ivf(corpus, cents, pair_backend="blas")
