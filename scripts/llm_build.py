@@ -286,12 +286,18 @@ def build(
         # measured /tmp-spill killer at --scale 100; two-level is
         # O(√nlist) per row with recall pinned in tests
         tl = fit_two_level(cents) if nl >= 64 else None
+        # Arrow/BLAS backends (r13): assignment AND pair scoring as numpy
+        # matmuls — the scale-run posture (this is a scale script, not a
+        # hash-gated registry query). Measured: 500k-vector SemDeDup
+        # 217 s → 9 s, slope 5.77 → 1.16 per 10× (BASELINE r13)
         survivors = semantic_dedup(
             embedded,
             cents,
             threshold=semantic_threshold,
             id_col="doc_id",
             two_level=tl,
+            assign_backend="arrow",
+            pair_backend="arrow",
         )
         curated.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
             "overwrite"
@@ -300,7 +306,8 @@ def build(
         # sharded clusters are split (no recall loss), dropped would be
         # excluded (none by default; exclusion cap off)
         cstats = cluster_cap_stats(
-            embedded, cents, id_col="doc_id", two_level=tl
+            embedded, cents, id_col="doc_id", two_level=tl,
+            assign_backend="arrow",
         ).collect()[0]
         stages.setdefault("_semantic_caps", {}).update(
             {
