@@ -222,19 +222,29 @@ def _collect_unit_sample(train: DataFrame, n: int):
 def _numpy_lloyds(x, nlist: int, iters: int) -> list[list[float]]:
     """Driver-side spherical Lloyd's over a bounded sample — same seeding
     (first nlist md5-ordered rows), argmax-first tie-break, and
-    empty-cluster rule as the distributed path."""
+    empty-cluster rule as the distributed path.
+
+    The member-mean update is a vectorized scatter-add (np.add.at +
+    bincount), not a per-cluster mask loop: the loop scans the whole
+    sample once PER CLUSTER — O(nlist·N) python — which at the SemDeDup
+    production granularity (nlist = 20000, N = 80000 sample) measured
+    ~50 s/iteration and made FIT the scale path's bottleneck once
+    assignment moved to BLAS (r13: 111 s fit vs 25 s assignment at 5M
+    rows). Scatter-add is one pass; summation is per-row in index order
+    — deterministic, same fit in → same centroids out."""
     import numpy as np
 
     cents = x[:nlist].copy()
     for _ in range(iters):
         assign = (x @ cents.T).argmax(axis=1)  # first-max, as argmax dot
-        for j in range(len(cents)):
-            members = x[assign == j]
-            if len(members) == 0:
-                continue  # empty cluster keeps previous centroid
-            m = members.mean(axis=0)
-            n = float(np.linalg.norm(m))
-            cents[j] = m / n if n > 0 else m
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=len(cents))
+        nonempty = counts > 0  # empty cluster keeps previous centroid
+        m = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(m, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        cents[nonempty] = np.where((norms > 0)[:, None], m / safe[:, None], m)
     return [[float(v) for v in c] for c in cents]
 
 

@@ -131,6 +131,7 @@ def ivf_ingest_writer(
     pq_codebooks: list[list[list[float]]] | None = None,
     pq_residual_centers: list[list[float]] | None = None,
     two_level=None,
+    assign_backend: str = "jvm",
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -424,7 +425,19 @@ def ivf_ingest_writer(
             "__checked_vec",
             checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
         )
-        if two_level is not None:
+        if assign_backend == "arrow":
+            # Arrow/BLAS projection (r13) — the scale-silver posture;
+            # checked_vec still guards the partition key (its JVM
+            # projection evaluates before the Python stage consumes it)
+            from crossbar_data_process_spark.operators.ivf import (
+                assign_frame_arrow,
+            )
+
+            assigned = assign_frame_arrow(
+                bound, "__checked_vec", centroids,
+                out_col=_CLUSTER_COL, two_level=two_level,
+            ).drop("__checked_vec")
+        elif two_level is not None:
             assigned = two_level.assign_frame(
                 bound, "__checked_vec", out_col=_CLUSTER_COL
             ).drop("__checked_vec")

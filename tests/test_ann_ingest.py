@@ -1041,3 +1041,35 @@ def test_pq_identity_check_tolerates_tuple_and_numpy_books(
         spark, silver, q, centroids, list(as_tuples), k=3, nprobe=8
     )
     assert out.count() == 9
+
+
+def test_arrow_assign_backend_silver_is_identical(
+    spark, clustered, centroids, tmp_path
+):
+    """assign_backend='arrow' (r13 BLAS projection) must land every row in
+    the same cluster partition as the JVM sink — (vec_id, cluster) sets
+    identical across the full silver, with and without two-level."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+    tl = fit_two_level(centroids)
+    for two_level in (None, tl):
+        jvm_dir = str(tmp_path / f"jvm_{two_level is not None}")
+        arrow_dir = str(tmp_path / f"arrow_{two_level is not None}")
+        for d, backend in ((jvm_dir, "jvm"), (arrow_dir, "arrow")):
+            sink = ivf_ingest_writer(
+                spark, centroids, d,
+                two_level=two_level, assign_backend=backend,
+            )
+            sink(clustered.filter(F.col("vec_id") % 2 == 0), 0)
+            sink(clustered.filter(F.col("vec_id") % 2 == 1), 1)
+        want = {
+            (r.vec_id, r.cluster)
+            for r in spark.read.parquet(jvm_dir)
+            .select("vec_id", "cluster").collect()
+        }
+        got = {
+            (r.vec_id, r.cluster)
+            for r in spark.read.parquet(arrow_dir)
+            .select("vec_id", "cluster").collect()
+        }
+        assert want == got and len(got) == clustered.count()
