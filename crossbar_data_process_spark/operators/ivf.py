@@ -38,6 +38,22 @@ from crossbar_data_process_spark.operators.similarity import cosine, dot, norm
 from crossbar_data_process_spark.operators.topk import top_k_per_group
 
 
+def _sql_double(x: float) -> str:
+    """One double as a parseable SQL literal: ``repr`` (shortest
+    round-trip — bit-exact) + the ``D`` suffix for finite values; CAST
+    strings for NaN/±inf, which ``repr`` would render as the unparseable
+    ``nanD``/``infD`` (r13 review — a NaN component in a degenerate fit
+    sample must produce a degenerate assignment, not a ParseException)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{x!r}D"
+
+
 def _centroid_matrix(centroids: list[list[float]]) -> Column:
     """nlist × dim literal matrix column — built as ONE parsed SQL
     expression instead of nlist×dim ``F.lit`` calls: each ``F.lit`` is a
@@ -47,7 +63,7 @@ def _centroid_matrix(centroids: list[list[float]]) -> Column:
     round-trip — bit-exact) with the ``D`` double suffix, so the literal
     tree is identical to the element-wise form's."""
     sql = "array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        "array(" + ",".join(_sql_double(x) for x in c) + ")"
         for c in centroids
     ) + ")"
     return F.expr(sql)
@@ -419,13 +435,11 @@ def write_assigned_corpus(
     # check from pq._with_subvecs). Bound in its OWN projection so the
     # guard runs once per row, not once per centroid inside the assign
     # transform (r12 review).
-    bound = vectors.withColumn(
-        "__checked_vec", checked_vec(F.col(vec_col), len(centroids[0]), vec_col)
-    )
     # two_level swaps the O(nlist)-dots-per-row flat assignment for the
     # O(√nlist) probe-then-score shape (VERDICT r12 #1); the quantizer
     # must wrap THESE centroids or the stamped identity would certify
-    # assignments made under a different leaf set
+    # assignments made under a different leaf set (assign_with_backend
+    # re-checks; this site keeps the silver-specific message)
     if two_level is not None and two_level.centroids != centroids:
         raise ValueError(
             "two_level quantizer wraps different leaf centroids than the "
@@ -433,21 +447,22 @@ def write_assigned_corpus(
             "index whose identity metadata would lie"
         )
     if assign_backend == "arrow":
-        # Arrow/BLAS projection (assign_frame_arrow) — the scale-run
-        # backend; same argmax/tie semantics, checked_vec still guards
-        # the partition key (its JVM projection runs before the Python
-        # stage consumes the column)
-        assigned = assign_frame_arrow(
-            bound, "__checked_vec", centroids, two_level=two_level
-        ).drop("__checked_vec")
-    elif two_level is not None:
-        # broadcast-join transport: plan size stays O(ntop) at any nlist
-        assigned = two_level.assign_frame(
-            bound, "__checked_vec", out_col="cluster"
-        ).drop("__checked_vec")
+        # Arrow/BLAS projection — the scale-run backend; its python-side
+        # checks (null/length/finiteness) subsume checked_vec, and
+        # skipping the duplicate guarded column halves the vector bytes
+        # crossing the Arrow boundary (r13 review)
+        assigned = assign_with_backend(
+            vectors, vec_col, centroids,
+            two_level=two_level, backend="arrow",
+        )
     else:
-        assigned = bound.withColumn(
-            "cluster", ivf_assign(F.col("__checked_vec"), centroids)
+        bound = vectors.withColumn(
+            "__checked_vec",
+            checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+        )
+        assigned = assign_with_backend(
+            bound, "__checked_vec", centroids,
+            two_level=two_level, backend="jvm",
         ).drop("__checked_vec")
     if quantize:
         from crossbar_data_process_spark.operators.similarity import (
@@ -618,7 +633,7 @@ class TwoLevelQuantizer:
         :meth:`assign_frame`, whose PLAN carries no leaf literals at all."""
 
         def leaf(j: int) -> str:
-            c = ",".join(f"{float(x)!r}D" for x in self.centroids[j])
+            c = ",".join(_sql_double(x) for x in self.centroids[j])
             return f"named_struct('j', {j}, 'c', array({c}))"
 
         sql = "array(" + ",".join(
@@ -840,6 +855,16 @@ def assign_frame_arrow(
                 f"assign_frame_arrow: vector length {v.shape[1]} != "
                 f"centroid dim {dim}"
             )
+        # NaN/inf guard (r13 review): a NaN row would otherwise fall out
+        # of every score comparison and land in a cluster no valid leaf
+        # produces (two-level: int64-max wrapped to -1; flat: silently 0)
+        # — the checked_vec posture is to refuse loudly at the sink, so
+        # the arrow path refuses too
+        if not np.isfinite(v).all():
+            raise ValueError(
+                f"assign_frame_arrow: column '{vec_col}' contains "
+                "non-finite components (NaN/inf) — refusing to assign"
+            )
         return v
 
     def _flat(it):
@@ -898,6 +923,46 @@ def assign_frame_arrow(
     return df.mapInPandas(
         lambda it: (pdf[in_cols + [out_col]] for pdf in fn(it)), out_schema
     )
+
+
+def assign_with_backend(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "cluster",
+    two_level: "TwoLevelQuantizer | None" = None,
+    backend: str = "jvm",
+) -> DataFrame:
+    """THE assignment dispatch (r13 review): every consumer of corpus
+    assignment — ``write_assigned_corpus``, the streaming sink,
+    ``neighbor_pairs_ivf``, ``cluster_cap_stats`` — routes through this
+    one ladder, so the backend validation and the centroid-identity guard
+    (a ``two_level`` wrapping DIFFERENT leaves than ``centroids`` would
+    partition under an identity the stamps/stats lie about) cannot be
+    dropped at any single call site.
+
+    Ladder: ``backend="arrow"`` → :func:`assign_frame_arrow` (BLAS, both
+    quantizer depths; validates null/length/finiteness python-side);
+    else ``two_level`` → its broadcast-join ``assign_frame``; else the
+    flat literal-matrix expression. Callers needing the JVM
+    ``checked_vec`` guard bind it BEFORE calling (its own projection —
+    the HOF no-CSE rule); the arrow path needs no extra column."""
+    if backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"assignment backend must be 'jvm' or 'arrow', got {backend!r}"
+        )
+    if two_level is not None and two_level.centroids != centroids:
+        raise ValueError(
+            "two_level quantizer wraps different leaf centroids than the "
+            "ones passed for assignment"
+        )
+    if backend == "arrow":
+        return assign_frame_arrow(
+            df, vec_col, centroids, out_col=out_col, two_level=two_level
+        )
+    if two_level is not None:
+        return two_level.assign_frame(df, vec_col, out_col=out_col)
+    return df.withColumn(out_col, ivf_assign(F.col(vec_col), centroids))
 
 
 def save_centroids(

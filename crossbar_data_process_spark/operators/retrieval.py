@@ -388,11 +388,21 @@ def _recover_bm25_compaction(spark, path: str) -> None:
     _, staging = _fs_and_path(spark, f"{path}/{table}/_staging_{batch_id}")
     _, dest = _fs_and_path(spark, f"{path}/{table}/batch={batch_id}")
     if fs.exists(staging):
+        # same returns-false-on-failure contract as compaction (r13
+        # review): abort with the marker intact rather than dropping it
+        # over a half-applied fold
         for name in pend["old"]:
             _, p = _fs_and_path(spark, f"{path}/{table}/{name}")
-            if fs.exists(p):
-                fs.delete(p, True)
-        fs.rename(staging, dest)
+            if fs.exists(p) and not fs.delete(p, True):
+                raise IOError(
+                    f"bm25 recovery: could not delete superseded "
+                    f"'{table}/{name}' — marker left in place"
+                )
+        if not fs.rename(staging, dest):
+            raise IOError(
+                f"bm25 recovery: could not move staging fold into "
+                f"'{table}/batch={batch_id}' — marker left in place"
+            )
     fs.delete(marker, False)
 
 
@@ -464,12 +474,26 @@ def compact_bm25_index(spark, path: str, batch_id: str = "compacted") -> None:
             f"{path}/{_BM25_PENDING}",
             json.dumps({"table": table, "batch_id": batch_id, "old": old}),
         )
+        # Hadoop FileSystem reports failure by RETURNING FALSE, not by
+        # raising (r13 review) — an unchecked delete would leave an old
+        # batch dir alive next to the fold (df double-counted under the
+        # dropped marker), an unchecked rename would strand the fold in
+        # the invisible _staging dir after the old mass was deleted.
+        # Raise instead: the marker survives, recovery replays 3–5.
         for name in old:
             _, p = _fs_and_path(spark, f"{path}/{table}/{name}")
-            fs.delete(p, True)
+            if fs.exists(p) and not fs.delete(p, True):
+                raise IOError(
+                    f"bm25 compaction: could not delete superseded "
+                    f"'{table}/{name}' — marker left for recovery"
+                )
         _, sp = _fs_and_path(spark, staging)
         _, dest = _fs_and_path(spark, f"{path}/{table}/batch={batch_id}")
-        fs.rename(sp, dest)
+        if not fs.rename(sp, dest):
+            raise IOError(
+                f"bm25 compaction: could not move staging fold into "
+                f"'{table}/batch={batch_id}' — marker left for recovery"
+            )
         _, marker = _fs_and_path(spark, f"{path}/{_BM25_PENDING}")
         fs.delete(marker, False)
 

@@ -386,12 +386,14 @@ def _pairs_arrow_grouped(
     ≤ ~64 MB whatever the cell shape.
 
     Parity: the divisor reuses the JVM-computed ``n`` norm column
-    verbatim; rounding is HALF_UP at 6 dp (numpy's round is banker's —
-    wrong half-case); non-finite scores (zero-norm vectors) drop exactly
+    verbatim; rounding is EXACTLY ``F.round``'s rule — HALF_UP on the
+    shortest-repr decimal, via a sparse Decimal path for the rare
+    half-boundary values where the vectorized floor-form splits from it
+    (r13 review); non-finite scores (zero-norm vectors) drop exactly
     like try_divide's NULLs; the ``id <`` order filter applies inside the
     kernel. The only divergence surface is sub-ulp dot-product summation
     order — byte-identical pair sets on every test corpus
-    (tests/test_semantic_dedup.py)."""
+    (tests/test_semantic_dedup.py, incl. a planted half-boundary case)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -403,6 +405,21 @@ def _pairs_arrow_grouped(
             StructField("cosine", DoubleType(), True),
         ]
     )
+
+    def _round6_exact(v: float) -> float:
+        """Spark F.round(x, 6) exactly: HALF_UP on the SHORTEST-REPR
+        decimal of the double (scala BigDecimal(double) ≡ Double.toString
+        ≡ python repr — both shortest round-trip). The vectorized
+        floor(abs·1e6+0.5) emulation diverges on half-boundary doubles
+        (~5k/1M measured, r13 review: 0.0005045 → Spark 0.000505,
+        floor-form 0.000504), so those go through Decimal."""
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
     empty = {
         "vec_a": pd.Series([], dtype="object"),
         "vec_b": pd.Series([], dtype="object"),
@@ -435,17 +452,31 @@ def _pairs_arrow_grouped(
             )
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = (va @ vb.T) / np.outer(na_all[sl], nb)
-            # HALF_UP at 6 dp — F.round's rule (np.round would be banker's)
-            s = np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s) / 1e6
-            mask = (
+            # pre-filter on the RAW scores with a half-ulp guard band
+            # (rounding moves a value by ≤ 5e-7), so the exact-rounding
+            # work below touches only near-threshold survivors
+            pre = (
                 np.isfinite(s)
-                & (s >= threshold)
+                & (s >= threshold - 1e-6)
                 & (ids_a[sl][:, None] < ids_b[None, :])
             )
-            ia, ib = np.nonzero(mask)
-            out_a.append(ids_a[sl][ia])
-            out_b.append(ids_b[ib])
-            out_s.append(s[ia, ib])
+            ia, ib = np.nonzero(pre)
+            vals = s[ia, ib]
+            # HALF_UP at 6 dp: vectorized floor-form for the bulk, exact
+            # shortest-repr Decimal (≡ Spark F.round) for the rare values
+            # within 1e-7 of a .5 boundary where the two rules can split
+            frac = np.abs(vals) * 1e6
+            rounded = np.copysign(np.floor(frac + 0.5), vals) / 1e6
+            danger = np.abs(frac + 0.5 - np.round(frac + 0.5)) < 1e-7
+            if danger.any():
+                rounded[danger] = np.fromiter(
+                    (_round6_exact(v) for v in vals[danger]),
+                    dtype=np.float64,
+                )
+            keep = rounded >= threshold
+            out_a.append(ids_a[sl][ia[keep]])
+            out_b.append(ids_b[ib[keep]])
+            out_s.append(rounded[keep])
         return pd.DataFrame(
             {
                 "vec_a": np.concatenate(out_a),
@@ -523,16 +554,8 @@ def neighbor_pairs_ivf(
     recall trade vs the LSH multiprobe variant — measured in
     tests/test_semantic_dedup.py.
     """
-    from crossbar_data_process_spark.operators.ivf import (
-        assign_frame_arrow,
-        ivf_assign,
-    )
+    from crossbar_data_process_spark.operators.ivf import assign_with_backend
 
-    if two_level is not None and two_level.centroids != centroids:
-        raise ValueError(
-            "two_level quantizer wraps different leaf centroids than the "
-            "ones passed to neighbor_pairs_ivf"
-        )
     if assign_backend not in ("jvm", "arrow"):
         raise ValueError(
             f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
@@ -556,20 +579,17 @@ def neighbor_pairs_ivf(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("n"),
     )
-    if assign_backend == "arrow":
-        assigned = assign_frame_arrow(
-            base_cols, "v", centroids, out_col="cluster", two_level=two_level
+    # ONE dispatch for all assignment consumers (r13 review): backend
+    # ladder + the two_level centroid-identity guard live in
+    # assign_with_backend so no call site can drop either. (Two-level JVM
+    # rides the broadcast-join transport — plan size stays O(ntop)
+    # however large nlist grows.)
+    assigned = materialize(
+        assign_with_backend(
+            base_cols, "v", centroids,
+            two_level=two_level, backend=assign_backend,
         )
-    elif two_level is not None:
-        # the broadcast-join transport: plan size stays O(ntop) however
-        # large nlist grows (SemDeDup wants nlist ~ n/250 — plan-node
-        # literals would be the new O(n^1.5)-adjacent wall)
-        assigned = two_level.assign_frame(base_cols, "v", out_col="cluster")
-    else:
-        assigned = base_cols.withColumn(
-            "cluster", ivf_assign(F.col("v"), centroids)
-        )
-    assigned = materialize(assigned)
+    )
     need_sizes = max_cluster_size is not None or shard_target is not None
     if need_sizes:
         sizes = assigned.groupBy("cluster").agg(
@@ -681,26 +701,19 @@ def cluster_cap_stats(
     it reports on. Callers who already hold the assigned frame can pass
     it as ``vectors`` with ``vec_col`` untouched (assignment is
     deterministic, so recomputing yields the identical partition)."""
-    from crossbar_data_process_spark.operators.ivf import (
-        assign_frame_arrow,
-        ivf_assign,
-    )
+    from crossbar_data_process_spark.operators.ivf import assign_with_backend
 
-    if assign_backend == "arrow":
-        assigned = assign_frame_arrow(
-            vectors.select(F.col(vec_col).alias("__v")),
-            "__v",
-            centroids,
-            two_level=two_level,
-        ).select("cluster")
-    elif two_level is not None:
-        assigned = two_level.assign_frame(
-            vectors.select(F.col(vec_col).alias("__v")), "__v"
-        ).select("cluster")
-    else:
-        assigned = vectors.select(
-            ivf_assign(F.col(vec_col), centroids).alias("cluster")
-        )
+    # the shared dispatch (r13 review) — this report previously skipped
+    # the two_level centroid-identity guard on its JVM branch, i.e. the
+    # `no silent caps` report could itself describe a partition the pair
+    # stage never used; assign_with_backend makes that impossible
+    assigned = assign_with_backend(
+        vectors.select(F.col(vec_col).alias("__v")),
+        "__v",
+        centroids,
+        two_level=two_level,
+        backend=assign_backend,
+    ).select("cluster")
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
     dropped = (
         (F.col("csz") > max_cluster_size)

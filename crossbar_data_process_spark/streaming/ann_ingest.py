@@ -193,7 +193,6 @@ def ivf_ingest_writer(
         _centroid_scores,
         _unit,
         checked_vec,
-        ivf_assign,
     )
 
     # ``two_level`` (operators.ivf.TwoLevelQuantizer over the SAME
@@ -208,6 +207,10 @@ def ivf_ingest_writer(
             "two_level quantizer wraps different leaf centroids than the "
             "ones stamped on this silver — assignments would not match "
             "the stored identity"
+        )
+    if assign_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
         )
 
     if pq_codebooks is not None:
@@ -421,29 +424,27 @@ def ivf_ingest_writer(
         # poisons every later read of the silver. Bound in its own
         # projection so the guard runs once per row, not once per
         # centroid inside the assign transform (r12 review).
-        bound = batch_df.withColumn(
-            "__checked_vec",
-            checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+        from crossbar_data_process_spark.operators.ivf import (
+            assign_with_backend,
         )
-        if assign_backend == "arrow":
-            # Arrow/BLAS projection (r13) — the scale-silver posture;
-            # checked_vec still guards the partition key (its JVM
-            # projection evaluates before the Python stage consumes it)
-            from crossbar_data_process_spark.operators.ivf import (
-                assign_frame_arrow,
-            )
 
-            assigned = assign_frame_arrow(
-                bound, "__checked_vec", centroids,
-                out_col=_CLUSTER_COL, two_level=two_level,
-            ).drop("__checked_vec")
-        elif two_level is not None:
-            assigned = two_level.assign_frame(
-                bound, "__checked_vec", out_col=_CLUSTER_COL
-            ).drop("__checked_vec")
+        if assign_backend == "arrow":
+            # Arrow/BLAS projection (r13) — the scale-silver posture; its
+            # python-side checks (null/length/finiteness) subsume
+            # checked_vec, and skipping the duplicate guarded column
+            # halves the vector bytes crossing the Arrow boundary
+            assigned = assign_with_backend(
+                batch_df, vec_col, centroids,
+                out_col=_CLUSTER_COL, two_level=two_level, backend="arrow",
+            )
         else:
-            assigned = bound.withColumn(
-                _CLUSTER_COL, ivf_assign(F.col("__checked_vec"), centroids)
+            bound = batch_df.withColumn(
+                "__checked_vec",
+                checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+            )
+            assigned = assign_with_backend(
+                bound, "__checked_vec", centroids,
+                out_col=_CLUSTER_COL, two_level=two_level, backend="jvm",
             ).drop("__checked_vec")
         if quantize:
             from crossbar_data_process_spark.operators.similarity import (

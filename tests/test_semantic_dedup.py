@@ -264,3 +264,41 @@ def test_arrow_backends_pairs_byte_identical(spark, corpus, cents):
         neighbor_pairs_ivf(corpus, cents, assign_backend="blas")
     with pytest.raises(ValueError, match="pair_backend"):
         neighbor_pairs_ivf(corpus, cents, pair_backend="blas")
+
+
+def test_arrow_kernel_rounding_matches_spark_round_on_half_boundaries(spark):
+    """The pair kernel's rounding must equal F.round(x, 6) EXACTLY —
+    including half-boundary doubles where the naive floor(abs*1e6+0.5)
+    form splits from Spark's shortest-repr HALF_UP (r13 review finding:
+    0.0005045 → Spark 0.000505, floor-form 0.000504). Exercise the
+    kernel end-to-end: planted 2-d vectors whose cosine lands exactly on
+    half-boundary doubles, compared pair-for-pair across backends."""
+    import math
+
+    # vectors (1,0) and (cos θ, sin θ): cosine == the planted double
+    planted = [0.0005045, 0.1234565, 0.9999875, 0.5000005, 0.0000005]
+    rows = [(0, [1.0, 0.0])]
+    for i, c in enumerate(planted):
+        rows.append((i + 1, [c, math.sqrt(max(0.0, 1.0 - c * c))]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # one centroid => one cluster => all pairs compared; float32 storage
+    # perturbs the planted value, so parity is checked on whatever raw
+    # double the dot actually produces — the half-boundary neighborhoods
+    # are still exercised because the perturbation is sub-ulp-of-1e-6
+    cents = [[1.0, 0.0]]
+    jvm = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in neighbor_pairs_ivf(
+            corpus, cents, threshold=0.0, shard_target=None
+        ).collect()
+    }
+    arrow = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in neighbor_pairs_ivf(
+            corpus, cents, threshold=0.0, shard_target=None,
+            pair_backend="arrow",
+        ).collect()
+    }
+    assert jvm == arrow and len(jvm) >= len(planted)
