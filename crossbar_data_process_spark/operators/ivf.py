@@ -93,22 +93,45 @@ def checked_vec(vec: Column, dim: int, vec_name: str) -> Column:
     skips rows). The message coalesces the NULL case so it stays
     diagnosable (concat null-propagates).
 
+    Also refuses non-finite components (r13 review pass 2): a NaN vector
+    otherwise assigns SILENTLY — Spark treats NaN as greatest and
+    NaN = NaN, so ``array_position(scores, array_max(scores))`` lands on
+    cluster 0 — poisoning the partitioned silver just as insidiously as
+    a NULL, and diverging from the arrow backend's refusal.
+
     Callers must BIND the result in its own projection before handing it
     to ``ivf_assign`` (the ``__n`` idiom): inside the assign's per-
     centroid transform lambda the guard would re-evaluate once per
     centroid (nlist× per row — the HOF no-CSE trap this repo keeps
     re-measuring; r12 review)."""
-    return F.when(F.size(vec) == dim, vec).otherwise(
-        F.raise_error(
-            F.concat(
+    nonfinite = F.exists(
+        vec,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return (
+        F.when((F.size(vec) == dim) & ~nonfinite, vec)
+        .when(
+            vec.isNull() | (F.size(vec) != dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"IVF quantizer expects dim={dim} but '{vec_name}' "
+                        "has length "
+                    ),
+                    F.coalesce(
+                        F.size(vec).cast("string"),
+                        F.lit("NULL (the vector itself is NULL)"),
+                    ),
+                )
+            ),
+        )
+        .otherwise(
+            F.raise_error(
                 F.lit(
-                    f"IVF quantizer expects dim={dim} but '{vec_name}' "
-                    "has length "
-                ),
-                F.coalesce(
-                    F.size(vec).cast("string"),
-                    F.lit("NULL (the vector itself is NULL)"),
-                ),
+                    f"IVF quantizer refuses '{vec_name}': vector contains "
+                    "non-finite components (NaN/inf)"
+                )
             )
         )
     )
@@ -824,6 +847,17 @@ def assign_frame_arrow(
         )
     c_mat = np.asarray(centroids, dtype=np.float64)
     nlist, dim = c_mat.shape
+    # a NaN/inf CENTROID component would silently void its whole block
+    # (flat) or probe group (two-level) from the argmax — NaN falls out
+    # of every strict comparison (r13 review pass 2). The arrow posture
+    # is to refuse degenerate quantizers loudly; the JVM path's NaN
+    # semantics (NaN greatest) stay available for forensics.
+    if not np.isfinite(c_mat).all():
+        raise ValueError(
+            "assign_frame_arrow: centroids contain non-finite components "
+            "— refusing (refit the quantizer; a NaN centroid means the "
+            "fit saw NaN vectors or an empty unit-normalization)"
+        )
     if two_level is not None:
         top_mat = np.asarray(two_level.top, dtype=np.float64)
         group_ids = [np.asarray(g, dtype=np.int64) for g in two_level.groups]
@@ -850,9 +884,13 @@ def assign_frame_arrow(
                 f"assign_frame_arrow: column '{vec_col}' must hold "
                 f"non-null length-{dim} numeric vectors"
             ) from e
-        if v.shape[1] != dim:
+        # ndim check first: an ALL-NULL batch stacks 0-d nan scalars into
+        # a 1-d array and v.shape[1] would raise an opaque IndexError
+        # (r13 review pass 2)
+        if v.ndim != 2 or v.shape[1] != dim:
+            got = v.shape[1] if v.ndim == 2 else "NULL (vectors are NULL)"
             raise ValueError(
-                f"assign_frame_arrow: vector length {v.shape[1]} != "
+                f"assign_frame_arrow: vector length {got} != "
                 f"centroid dim {dim}"
             )
         # NaN/inf guard (r13 review): a NaN row would otherwise fall out

@@ -409,10 +409,16 @@ def _pairs_arrow_grouped(
     def _round6_exact(v: float) -> float:
         """Spark F.round(x, 6) exactly: HALF_UP on the SHORTEST-REPR
         decimal of the double (scala BigDecimal(double) ≡ Double.toString
-        ≡ python repr — both shortest round-trip). The vectorized
-        floor(abs·1e6+0.5) emulation diverges on half-boundary doubles
-        (~5k/1M measured, r13 review: 0.0005045 → Spark 0.000505,
-        floor-form 0.000504), so those go through Decimal."""
+        ≡ python repr). The vectorized floor(abs·1e6+0.5) emulation
+        diverges on half-boundary doubles (~5k/1M measured, r13 review:
+        0.0005045 → Spark 0.000505, floor-form 0.000504), so those go
+        through Decimal. Documented residual: pre-JDK-19 Double.toString
+        (JDK-4511638, fixed by Ryu in 19) occasionally emits MORE digits
+        than the shortest repr; parity then needs that longer decimal and
+        python's repr to round the same way at 6 dp — they differ only
+        when a value sits within ~1 double-ulp of a half boundary, which
+        the planted battery and test corpora never produce. The parity
+        test pins the running JDK."""
         from decimal import ROUND_HALF_UP, Decimal
 
         return float(
@@ -473,6 +479,11 @@ def _pairs_arrow_grouped(
                     (_round6_exact(v) for v in vals[danger]),
                     dtype=np.float64,
                 )
+            # BigDecimal has no signed zero: F.round(-2e-7, 6) is +0.0,
+            # copysign's floor form gives -0.0 — normalize so the cosine
+            # column is byte-identical, not just ==-identical (r13 review
+            # pass 2; the mask catches both zeros since -0.0 == 0.0)
+            rounded[rounded == 0.0] = 0.0
             keep = rounded >= threshold
             out_a.append(ids_a[sl][ia[keep]])
             out_b.append(ids_b[ib[keep]])

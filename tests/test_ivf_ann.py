@@ -571,3 +571,34 @@ def test_arrow_backend_rejects_bad_input(spark, clustered):
         assign_frame_arrow(
             clustered, "embedding", cents, two_level=fit_two_level(other)
         )
+
+
+def test_nan_vectors_refused_on_both_backends(spark, clustered):
+    """A NaN component must be refused LOUDLY by both sink guards — the
+    JVM checked_vec (Spark: NaN greatest + NaN = NaN would silently
+    assign cluster 0) and the arrow backend's python-side check — never
+    silently partitioned (r13 review pass 2)."""
+    from crossbar_data_process_spark.operators.ivf import (
+        assign_frame_arrow,
+        checked_vec,
+    )
+
+    cents = ivf_fit(clustered, dim=32, nlist=8, iters=1, driver_fit_rows=512)
+    poisoned = clustered.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 7,
+            F.array(*([F.lit(float("nan"))] + [F.lit(0.0)] * 31)),
+        ).otherwise(F.col("embedding").cast("array<double>")),
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        poisoned.select(
+            checked_vec(F.col("embedding"), 32, "embedding").alias("v")
+        ).collect()
+    with pytest.raises(Exception, match="non-finite"):
+        assign_frame_arrow(poisoned, "embedding", cents).collect()
+    # and a NaN CENTROID is refused at construction on the arrow backend
+    bad = [list(c) for c in cents]
+    bad[0][0] = float("nan")
+    with pytest.raises(ValueError, match="non-finite"):
+        assign_frame_arrow(clustered, "embedding", bad)

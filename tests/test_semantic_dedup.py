@@ -275,18 +275,20 @@ def test_arrow_kernel_rounding_matches_spark_round_on_half_boundaries(spark):
     half-boundary doubles, compared pair-for-pair across backends."""
     import math
 
-    # vectors (1,0) and (cos θ, sin θ): cosine == the planted double
+    # vectors (1,0) and (cos θ, sin θ): cosine == the planted double.
+    # array<DOUBLE> storage is load-bearing (r13 review pass 2): float32
+    # storage perturbs the planted values 10–60000× outside the 1e-7
+    # danger band, so the sparse Decimal path would never run and the
+    # test would pass with the parity fix reverted. With doubles the
+    # planted cosines sit ~1e-14 from their half boundaries and MUST
+    # take the exact path.
     planted = [0.0005045, 0.1234565, 0.9999875, 0.5000005, 0.0000005]
     rows = [(0, [1.0, 0.0])]
     for i, c in enumerate(planted):
         rows.append((i + 1, [c, math.sqrt(max(0.0, 1.0 - c * c))]))
     corpus = spark.createDataFrame(
-        rows, "vec_id long, embedding array<float>"
+        rows, "vec_id long, embedding array<double>"
     )
-    # one centroid => one cluster => all pairs compared; float32 storage
-    # perturbs the planted value, so parity is checked on whatever raw
-    # double the dot actually produces — the half-boundary neighborhoods
-    # are still exercised because the perturbation is sub-ulp-of-1e-6
     cents = [[1.0, 0.0]]
     jvm = {
         (r.vec_a, r.vec_b): r.cosine
