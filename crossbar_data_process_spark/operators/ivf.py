@@ -104,9 +104,15 @@ def checked_vec(vec: Column, dim: int, vec_name: str) -> Column:
     centroid transform lambda the guard would re-evaluate once per
     centroid (nlist× per row — the HOF no-CSE trap this repo keeps
     re-measuring; r12 review)."""
+    # isnull in the predicate (r13 ADVICE): exists() returns NULL when an
+    # element is NULL and nothing matched, which fell through both when()
+    # branches into the non-finite message — refusal was loud but the
+    # diagnosis misstated the cause. Flagging NULL elements explicitly
+    # keeps exists() three-valued-logic-free AND the message honest.
     nonfinite = F.exists(
         vec,
-        lambda x: F.isnan(x.cast("double"))
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
     return (
@@ -130,7 +136,7 @@ def checked_vec(vec: Column, dim: int, vec_name: str) -> Column:
             F.raise_error(
                 F.lit(
                     f"IVF quantizer refuses '{vec_name}': vector contains "
-                    "non-finite components (NaN/inf)"
+                    "non-finite (NaN/inf) or NULL components"
                 )
             )
         )
@@ -644,7 +650,12 @@ class TwoLevelQuantizer:
             raise ValueError(f"assign_probes must be >= 1, got {assign_probes}")
         self.centroids = centroids
         self.top = top
-        self.groups = groups
+        # Sorted ascending per group (r13 ADVICE): the arrow two-level
+        # kernel's within-group tie-break (first max == smallest leaf id)
+        # assumes ascending member lists; fit_two_level already produces
+        # them sorted, but a hand-constructed quantizer must not silently
+        # diverge from the JVM array_min((-score, id)) rule.
+        self.groups = [sorted(g) for g in groups]
         self.assign_probes = min(assign_probes, len(top))
 
     def _group_literal(self) -> Column:

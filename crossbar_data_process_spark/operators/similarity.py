@@ -556,10 +556,11 @@ def neighbor_pairs_ivf(
     semantics, agreement pinned in tests; the scale-run posture, while
     hash-gated registry queries keep the JVM default.
     ``pair_backend="arrow"`` does the same for the PAIR stage: each grid
-    cell scores as one numpy matmul via cogrouped ``applyInPandas``
-    (:func:`_pairs_arrow_cogroup`) instead of one interpreted dot per
-    candidate — same shuffle shape, same pair set (pinned), the
-    arithmetic engine swapped. Scale runs take both backends together.
+    cell scores as one numpy matmul via a side-tagged union + grouped
+    ``applyInPandas`` (:func:`_pairs_arrow_grouped`) instead of one
+    interpreted dot per candidate — same shuffle shape, same pair set
+    (pinned), the arithmetic engine swapped. Scale runs take both
+    backends together.
 
     Cross-cluster near-dups (borderline vectors quantized apart) are the
     recall trade vs the LSH multiprobe variant — measured in

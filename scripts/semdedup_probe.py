@@ -152,7 +152,11 @@ def run_skew(spark, n: int, hot: int = 36, backend: str = "jvm") -> dict:
     cents = ivf_fit(
         corpus, dim=DIM, nlist=ncenters, iters=2, driver_fit_rows=20_000
     )
-    stats = cluster_cap_stats(corpus, cents, assign_backend="arrow").collect()[0]
+    # stats computed on the SAME backend the probe row is labeled with
+    # (r13 ADVICE: a --backend jvm row used to carry arrow-computed stats)
+    stats = cluster_cap_stats(
+        corpus, cents, assign_backend="jvm" if backend == "jvm" else "arrow"
+    ).collect()[0]
     out = {
         "n": n,
         "nlist": ncenters,
