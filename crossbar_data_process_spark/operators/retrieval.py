@@ -406,18 +406,42 @@ def _recover_bm25_compaction(spark, path: str) -> None:
     fs.delete(marker, False)
 
 
-def compact_bm25_index(spark, path: str, batch_id: str = "compacted") -> None:
-    """Fold every ingested batch of the df and stats tables into ONE
-    batch directory (df: groupBy-term sum; stats: one summed row) —
-    read-side work stays vocabulary-sized no matter how many batches have
-    landed. tf/dl are per-doc tables with no cross-batch duplication, so
-    they are left in place (their batch dirs are only directory-listing
-    overhead; a full rewrite would be corpus-sized for no read-path win).
+def compact_bm25_index(
+    spark,
+    path: str,
+    batch_id: str = "compacted",
+    include_tf_dl: bool = True,
+    tf_files_per_bucket: int = 1,
+    dl_target_files: int = 8,
+) -> None:
+    """Fold every ingested batch of the index into ONE batch directory
+    per table — df as a groupBy-term sum and stats as one summed row
+    (vocabulary-/1-row-sized folds), tf and dl as a bin-packing REWRITE
+    (``include_tf_dl``, r13 VERDICT #3): per-doc tables carry no
+    cross-batch duplication, so their fold is an identity copy whose
+    only — but structural — win is file count. At a daily ingest cadence
+    the tf table is 365 ``batch=`` dirs × 64 ``term_bucket`` dirs of
+    kilobyte files per year, and every probe pays directory listing +
+    parquet footer opens per file; after compaction the probe lists
+    O(term_buckets) dirs and opens ``tf_files_per_bucket`` files per
+    probed bucket REGARDLESS of how many ingests ever landed (the exact
+    file-count wall the r09 streaming probe measured for the text-dedup
+    silver — ``streaming.ingest.compact_batch_partitions`` is this
+    function's gold-side twin). The rewrite reads and rewrites the whole
+    tf table once — corpus-sized I/O, which is what a compaction IS; run
+    it at maintenance cadence, not per ingest. tf keeps its
+    ``term_bucket`` partitioning (the probe's static-pruning contract)
+    with at most ``tf_files_per_bucket`` files per bucket — exactly one
+    at the default of 1; above it, (bucket, doc-hash slice) pairs that
+    hash into the same write task share a file — and dl bin-packs to
+    ``dl_target_files`` files.
 
-    Crash protocol, per table: (1) the fold is materialized (reads of the
-    superseded dirs complete into checkpoint blocks) and written to an
+    Crash protocol, per table: (1) the fold is fully written to an
     ``_staging_<id>`` directory — underscore-prefixed, so parquet readers
-    never see it; (2) a pending marker records the staging id and the
+    never see it (df/stats additionally materialize their vocab-/1-row-
+    sized folds first; for the corpus-sized tf/dl rewrite the staging
+    write itself is the read barrier, since the superseded dirs are not
+    touched until it finishes); (2) a pending marker records the staging id and the
     superseded batch dirs; (3) the old dirs are deleted; (4) the staging
     dir renames to ``batch=<id>``; (5) the marker drops. A crash anywhere
     is healed by :func:`_recover_bm25_compaction` (run automatically at
@@ -435,16 +459,8 @@ def compact_bm25_index(spark, path: str, batch_id: str = "compacted") -> None:
 
     _check_bm25_meta(spark, path)
     _recover_bm25_compaction(spark, path)
-    for table, fold in (
-        ("df", lambda d: d.groupBy("term").agg(F.sum("df").alias("df"))),
-        (
-            "stats",
-            lambda d: d.agg(
-                F.sum("n_docs").alias("n_docs"),
-                F.sum("total_dl").alias("total_dl"),
-            ),
-        ),
-    ):
+    tables = ["df", "stats"] + (["tf", "dl"] if include_tf_dl else [])
+    for table in tables:
         fs, root = _fs_and_path(spark, f"{path}/{table}")
         old = [
             st.getPath().getName()
@@ -453,22 +469,61 @@ def compact_bm25_index(spark, path: str, batch_id: str = "compacted") -> None:
         ]
         if len(old) <= 1:
             continue  # already a single batch — nothing to fold
-        # materialize + count: the fold READS every old batch dir — force
-        # that read to complete (into checkpoint blocks; the fold output
-        # is vocab-/1-row-sized) before any directory is touched
-        folded = materialize(fold(spark.read.parquet(f"{path}/{table}")))
-        folded.count()
         staging = f"{path}/{table}/_staging_{batch_id}"
-        if table == "df":
-            (
-                folded.withColumn("term_bucket", _term_bucket("term"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("term_bucket")
-                .parquet(staging)
+        if table in ("df", "stats"):
+            # materialize + count: the fold READS every old batch dir —
+            # force that read to complete (into checkpoint blocks; the
+            # fold output is vocab-/1-row-sized) before any directory is
+            # touched
+            fold = (
+                (lambda d: d.groupBy("term").agg(F.sum("df").alias("df")))
+                if table == "df"
+                else (
+                    lambda d: d.agg(
+                        F.sum("n_docs").alias("n_docs"),
+                        F.sum("total_dl").alias("total_dl"),
+                    )
+                )
             )
+            folded = materialize(fold(spark.read.parquet(f"{path}/{table}")))
+            folded.count()
+            if table == "df":
+                (
+                    folded.withColumn("term_bucket", _term_bucket("term"))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("term_bucket")
+                    .parquet(staging)
+                )
+            else:
+                folded.coalesce(1).write.mode("overwrite").parquet(staging)
         else:
-            folded.coalesce(1).write.mode("overwrite").parquet(staging)
+            # tf/dl: corpus-sized identity rewrite — NO driver-side
+            # materialize (that would checkpoint the whole corpus for
+            # nothing); the staging write itself is the read barrier,
+            # since the superseded dirs are not touched until it
+            # finishes (task retries re-read still-live sources).
+            src = spark.read.parquet(f"{path}/{table}").drop("batch")
+            if table == "tf":
+                # one write task per (bucket, doc-hash slice) → exactly
+                # tf_files_per_bucket files under each term_bucket dir
+                (
+                    src.repartition(
+                        _BM25_TERM_BUCKETS * tf_files_per_bucket,
+                        F.col("term_bucket"),
+                        F.pmod(
+                            F.xxhash64("doc"), F.lit(tf_files_per_bucket)
+                        ),
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy("term_bucket")
+                    .parquet(staging)
+                )
+            else:
+                src.repartition(dl_target_files).write.mode(
+                    "overwrite"
+                ).parquet(staging)
         _hadoop_write_text(
             spark,
             f"{path}/{_BM25_PENDING}",

@@ -541,15 +541,93 @@ def test_compaction_preserves_rankings_and_folds_batches(spark, tmp_path):
             d.filter(F.col("doc_id") % 3 == i), path, f"b{i}"
         )
     want = _ranks(bm25_topk_indexed(spark, path, q))
-    compact_bm25_index(spark, path)
+    compact_bm25_index(spark, path, include_tf_dl=False)
     assert _ranks(bm25_topk_indexed(spark, path, q)) == want
     assert sorted(os.listdir(f"{path}/df")) == ["batch=compacted"]
     assert sorted(os.listdir(f"{path}/stats")) == ["batch=compacted"]
-    # tf/dl keep their per-doc batch dirs (no cross-batch duplication)
+    # include_tf_dl=False leaves the per-doc batch dirs in place
     assert len(os.listdir(f"{path}/tf")) == 3
+    assert len(os.listdir(f"{path}/dl")) == 3
     # a second compaction is a no-op (single batch already)
-    compact_bm25_index(spark, path)
+    compact_bm25_index(spark, path, include_tf_dl=False)
     assert _ranks(bm25_topk_indexed(spark, path, q)) == want
+
+
+def test_tf_dl_compaction_bins_files_and_preserves_rankings(spark, tmp_path):
+    """The r14 tf/dl bin-pack (VERDICT r13 #3): after a full compaction
+    the probe lists O(term_buckets) dirs regardless of ingest count —
+    one batch dir per table, exactly tf_files_per_bucket parquet files
+    under each term_bucket dir, dl bin-packed — and indexed rankings
+    stay bit-identical to the single-pass batch form."""
+    import glob
+    import os
+
+    from crossbar_data_process_spark.operators.retrieval import (
+        bm25_index_ingest,
+        bm25_topk_indexed,
+        compact_bm25_index,
+    )
+
+    d, q = _corpus_df(spark), _queries_df(spark)
+    path = str(tmp_path / "bm25")
+    for i in range(3):
+        bm25_index_ingest(d.filter(F.col("doc_id") % 3 == i), path, f"b{i}")
+    compact_bm25_index(spark, path)  # include_tf_dl defaults ON
+    for t in ("tf", "dl", "df", "stats"):
+        assert sorted(os.listdir(f"{path}/{t}")) == ["batch=compacted"], t
+    # every term_bucket dir holds exactly tf_files_per_bucket(=1) files
+    for bdir in glob.glob(f"{path}/tf/batch=compacted/term_bucket=*"):
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(files) == 1, (bdir, files)
+    dl_files = [
+        f
+        for f in os.listdir(f"{path}/dl/batch=compacted")
+        if f.endswith(".parquet")
+    ]
+    assert len(dl_files) <= 8
+    assert _ranks(bm25_topk_indexed(spark, path, q)) == _ranks(
+        bm25_topk(d, q)
+    )
+    # idempotent: a second full compaction is a no-op, rankings intact
+    compact_bm25_index(spark, path)
+    assert _ranks(bm25_topk_indexed(spark, path, q)) == _ranks(
+        bm25_topk(d, q)
+    )
+
+
+def test_tf_compaction_crash_recovery(spark, tmp_path):
+    """Crash AFTER the tf staging rewrite + pending marker landed but
+    BEFORE the old batch dirs were removed: the next ingest replays
+    delete→rename→unmark and rankings are unchanged (the df recovery
+    test's twin for the corpus-sized table)."""
+    import json
+    import os
+    import shutil
+
+    from crossbar_data_process_spark.operators.retrieval import (
+        bm25_index_ingest,
+        bm25_topk_indexed,
+    )
+
+    d, q = _corpus_df(spark), _queries_df(spark)
+    path = str(tmp_path / "bm25")
+    bm25_index_ingest(d.filter(F.col("doc_id") <= 3), path, "b0")
+    # hand-craft the crash state: staging = a copy of tf/batch=b0 (the
+    # bin-pack of a single batch is content-identical), marker claiming
+    # it supersedes b0
+    shutil.copytree(f"{path}/tf/batch=b0", f"{path}/tf/_staging_compacted")
+    with open(f"{path}/_pending_compaction.json", "w") as f:
+        json.dump(
+            {"table": "tf", "batch_id": "compacted", "old": ["batch=b0"]}, f
+        )
+    bm25_index_ingest(d.filter(F.col("doc_id") > 3), path, "b1")
+    assert not os.path.exists(f"{path}/tf/_staging_compacted")
+    assert not os.path.exists(f"{path}/_pending_compaction.json")
+    assert os.path.exists(f"{path}/tf/batch=compacted")
+    assert not os.path.exists(f"{path}/tf/batch=b0")
+    assert _ranks(bm25_topk_indexed(spark, path, q)) == _ranks(
+        bm25_topk(d, q)
+    )
 
 
 def test_compaction_crash_recovery(spark, tmp_path):
