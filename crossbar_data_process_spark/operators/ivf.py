@@ -281,7 +281,13 @@ def _numpy_lloyds(x, nlist: int, iters: int) -> list[list[float]]:
 
     cents = x[:nlist].copy()
     for _ in range(iters):
-        assign = (x @ cents.T).argmax(axis=1)  # first-max, as argmax dot
+        # first-max, as argmax dot — row-chunked (r14): the full score
+        # matrix is N×nlist float64, which at the scale-1000 fit
+        # (153k sample × 19k lists) is ~23 GB of driver transient; the
+        # block keeps it ≤ ~2.5 GB. Every fit at or below 16384 sample
+        # rows (all registry/test fits) takes the identical single-GEMM
+        # path, so their centroids stay bit-for-bit unchanged.
+        assign = _chunked_argmax(x, cents)
         sums = np.zeros_like(cents)
         np.add.at(sums, assign, x)
         counts = np.bincount(assign, minlength=len(cents))
@@ -291,6 +297,24 @@ def _numpy_lloyds(x, nlist: int, iters: int) -> list[list[float]]:
         safe = np.where(norms > 0, norms, 1.0)
         cents[nonempty] = np.where((norms > 0)[:, None], m / safe[:, None], m)
     return [[float(v) for v in c] for c in cents]
+
+
+_FIT_BLOCK_ROWS = 16384
+
+
+def _chunked_argmax(x, cents):
+    """argmax(x @ cents.T, axis=1) in ``_FIT_BLOCK_ROWS`` row blocks —
+    bounded transient memory; a single GEMM (the historical path, so
+    bit-identical results) whenever the sample fits in one block."""
+    import numpy as np
+
+    if len(x) <= _FIT_BLOCK_ROWS:
+        return (x @ cents.T).argmax(axis=1)
+    out = np.empty(len(x), dtype=np.int64)
+    for lo in range(0, len(x), _FIT_BLOCK_ROWS):
+        hi = min(lo + _FIT_BLOCK_ROWS, len(x))
+        out[lo:hi] = (x[lo:hi] @ cents.T).argmax(axis=1)
+    return out
 
 
 def _diagnostics_from_sample(x, centroids: list[list[float]]) -> dict[str, float]:
@@ -312,10 +336,20 @@ def _diagnostics_from_sample(x, centroids: list[list[float]]) -> dict[str, float
             "rows (or sample_rows == 0); the gauge would be NaN"
         )
     c = np.array(centroids, dtype=np.float64)
-    scores = x @ c.T  # (n, nlist) cosines (both sides unit)
-    order = np.sort(scores, axis=1)
-    top1, top2 = order[:, -1], order[:, -2]
-    assign = scores.argmax(axis=1)
+    # row-chunked like _chunked_argmax (r14): the full (n, nlist) score
+    # matrix plus its sort is 2× ~23 GB at the scale-1000 fit; per-block
+    # top1/top2/argmax need only the block. Single-block inputs (all
+    # registry/test fits) follow the historical math exactly.
+    n = len(x)
+    top1 = np.empty(n)
+    top2 = np.empty(n)
+    assign = np.empty(n, dtype=np.int64)
+    for lo in range(0, n, _FIT_BLOCK_ROWS):
+        hi = min(lo + _FIT_BLOCK_ROWS, n)
+        scores = x[lo:hi] @ c.T  # (block, nlist) cosines (both unit)
+        order = np.sort(scores, axis=1)
+        top1[lo:hi], top2[lo:hi] = order[:, -1], order[:, -2]
+        assign[lo:hi] = scores.argmax(axis=1)
     share = np.bincount(assign, minlength=len(c)) / len(x)
     return {
         "mean_top1": float(top1.mean()),
@@ -421,11 +455,22 @@ def write_assigned_corpus(
     require_clustered: bool = False,
     two_level: "TwoLevelQuantizer | None" = None,
     assign_backend: str = "jvm",
+    stream_seed_batch_id: int | None = None,
 ) -> None:
     """The 100 TB silver layout: assign every vector to its list ONCE (a
     pure projection — no join) and write partitioned BY the cluster id.
     Probe-time reads then touch only the probed lists' directories (static
     or dynamic partition pruning) instead of scanning the corpus.
+
+    ``stream_seed_batch_id`` writes the STREAMED layout instead —
+    ``(cluster, __batch_id=<seed>)`` — so a streaming sink
+    (``ann_ingest.ivf_ingest_writer``) can keep appending batches after
+    this one-shot write (the sink refuses mixing streamed leaves into a
+    flat silver). Use a NEGATIVE seed id (the text index's ``-1``
+    convention): real streaming batch ids are ≥ 0, so the seed can never
+    collide with — or be excluded as — a replayed batch. This is the
+    write :func:`streaming.ann_ingest.refit_ivf_silver` lands its
+    re-assigned corpus with.
 
     ``quantize=True`` stores int8 codes + qscale instead of the float
     vector (similarity.quantize_embeddings): a 4x smaller silver table,
@@ -499,12 +544,39 @@ def write_assigned_corpus(
         )
 
         assigned = quantize_embeddings(assigned, vec_col=vec_col)
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        _CLUSTER_SHUFFLE_MIN_NLIST,
+    )
+
+    if len(centroids) >= _CLUSTER_SHUFFLE_MIN_NLIST:
+        # co-locate each cluster in ONE write task (r14): an unshuffled
+        # partitionBy write emits ~tasks×nlist files — the file-count
+        # wall; one corpus-sized shuffle caps it at ≤nlist
+        assigned = assigned.repartition(F.col("cluster"))
     # static per-write (writers.py:144 convention): a session-level
     # dynamic overwrite would leave stale cluster partitions from a prior
     # assignment alive under the fresh centroid stamp
-    assigned.write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("cluster").parquet(path)
+    if stream_seed_batch_id is not None:
+        if stream_seed_batch_id >= 0:
+            raise ValueError(
+                f"stream_seed_batch_id must be negative (got "
+                f"{stream_seed_batch_id}): streaming batch ids are ≥ 0, "
+                "and a colliding seed would be replay-excluded as if it "
+                "were that batch's own previous attempt"
+            )
+        from crossbar_data_process_spark.streaming.ingest import BATCH_COL
+
+        (
+            assigned.withColumn(BATCH_COL, F.lit(int(stream_seed_batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("cluster", BATCH_COL)
+            .parquet(path)
+        )
+    else:
+        assigned.write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cluster").parquet(path)
     # stamp the quantizer's identity next to the data (after the
     # overwrite, which wipes the dir): probes and auditors can verify
     # their centroid matrix against the one the silver was assigned

@@ -48,6 +48,10 @@ from crossbar_data_process_spark.streaming.ingest import (
 
 _CLUSTER_COL = "cluster"
 _CENTROID_META = "_centroid_meta.json"
+# nlist at/above which cluster-partitioned writes shuffle on the cluster
+# id first: tasks×nlist output files vs ≤nlist (see ivf_ingest_writer /
+# ivf.write_assigned_corpus); below it the shuffle only costs parallelism
+_CLUSTER_SHUFFLE_MIN_NLIST = 64
 
 
 def centroid_fingerprint(centroids: list[list[float]]) -> str:
@@ -474,9 +478,17 @@ def ivf_ingest_writer(
             )
         # cluster first => probe-time partition pruning; batch second =>
         # dynamic overwrite replaces exactly this batch's leaves on replay
+        to_write = assigned.withColumn(BATCH_COL, F.lit(int(batch_id)))
+        if len(centroids) >= _CLUSTER_SHUFFLE_MIN_NLIST:
+            # co-locate each cluster's rows in ONE write task (r14): an
+            # unshuffled partitionBy write emits ~tasks×nlist files —
+            # measured 128k files per 1M-row batch at nlist=4k, the
+            # file-count wall compaction exists to undo. One batch-sized
+            # shuffle caps it at ≤nlist files/batch. Below the threshold
+            # the shuffle would only cut write parallelism (nlist < cores).
+            to_write = to_write.repartition(F.col(_CLUSTER_COL))
         (
-            assigned.withColumn(BATCH_COL, F.lit(int(batch_id)))
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_CLUSTER_COL, BATCH_COL)
             .parquet(silver_dir)
@@ -996,4 +1008,213 @@ def cluster_size_stats(spark: SparkSession, silver_dir: str) -> dict:
         "p99": int(row["p99"] or 0),
         "max": int(row["max"] or 0),
         "imbalance": round(float(row["max"]) / mean, 2) if mean else 0.0,
+    }
+
+
+def drift_verdict(
+    spark: SparkSession,
+    metrics_dir: str,
+    nlist: int,
+    dim: int,
+    last_n_batches: int | None = None,
+) -> dict:
+    """Fold the sink's per-batch drift gauge into ONE maintenance verdict
+    (r13 VERDICT #5 — the detect half of detect→refit): the
+    vector-weighted mean_top1 over the (optionally last ``last_n_batches``)
+    landed metrics rows, pushed through the validated
+    :func:`operators.ivf.quantizer_regime` decision rule. ``"isotropic"``
+    means the INCOMING corpus no longer hugs the stamped centroids —
+    pruned-probe recall is silently decaying and the quantizer should be
+    refit (:func:`refit_ivf_silver`).
+
+    Cost shape: the metrics table has ONE row per micro-batch — the fold
+    is a metrics-sized aggregate, never corpus-sized; the recency window
+    is a single-partition rank over those same rows (a metrics table is
+    thousands of rows after years of batches).
+
+    Returns ``{"mean_top1", "min_top1", "n_vectors", "n_batches",
+    "regime"}``.
+    """
+    from crossbar_data_process_spark.operators.ivf import quantizer_regime
+
+    m = spark.read.parquet(metrics_dir)
+    if last_n_batches is not None:
+        from pyspark.sql import Window
+
+        m = (
+            m.withColumn(
+                "__rk",
+                F.dense_rank().over(Window.orderBy(F.col(BATCH_COL).desc())),
+            )
+            .filter(F.col("__rk") <= int(last_n_batches))
+            .drop("__rk")
+        )
+    row = m.agg(
+        (
+            F.sum(F.col("mean_top1") * F.col("n_vectors"))
+            / F.sum("n_vectors")
+        ).alias("mean_top1"),
+        F.min("min_top1").alias("min_top1"),
+        F.sum("n_vectors").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_batches"),
+    ).collect()[0]
+    if not row["n_batches"] or row["mean_top1"] is None:
+        raise ValueError(
+            f"drift_verdict: no usable metrics under {metrics_dir} — the "
+            "sink was built without metrics_dir, no batch has landed, or "
+            "every landed batch in the window was empty (n_vectors=0 "
+            "rows carry a NULL gauge)"
+        )
+    mean_top1 = float(row["mean_top1"])
+    return {
+        "mean_top1": mean_top1,
+        "min_top1": float(row["min_top1"]),
+        "n_vectors": int(row["n_vectors"]),
+        "n_batches": int(row["n_batches"]),
+        "regime": quantizer_regime({"mean_top1": mean_top1}, nlist, dim),
+    }
+
+
+def refit_ivf_silver(
+    spark: SparkSession,
+    silver_dir: str,
+    out_dir: str,
+    nlist: int,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_fit_rows: int | None = None,
+    assign_backend: str = "arrow",
+    two_level_min_nlist: int = 64,
+    require_clustered: bool = True,
+    seed_batch_id: int = -1,
+) -> dict:
+    """The maintenance path :func:`drift_verdict` points at (r13 VERDICT
+    #5): REFIT the quantizer on what actually landed, re-assign the
+    whole silver under the new centroids, and land it as a fresh streamed
+    silver the ingest sink can keep appending to.
+
+    Blue/green by construction: ``out_dir`` must differ from
+    ``silver_dir`` — the re-assignment READS the old silver lazily while
+    writing, so an in-place overwrite would consume its own deletes. The
+    caller flips probes/sinks to ``out_dir`` once this returns (and a new
+    sink factory MUST be built with the returned centroids — the old
+    factory's stamped-identity check refuses the new silver, which is the
+    guard working, not a bug).
+
+    Steps, each with its scale shape:
+
+    1. read the landed corpus (:func:`read_assigned_silver` — exactly-once
+       through compaction windows) and drop the stale ``cluster`` ids;
+    2. refit: ``ivf_fit_with_diagnostics`` (bounded md5-sample driver fit
+       — never corpus-sized) at the new ``nlist``; ``require_clustered``
+       gates on the refit regime so a corpus that has gone isotropic
+       refuses to ship a useless index instead of silently rebuilding one;
+    3. two-level wrap when ``nlist ≥ two_level_min_nlist`` (the
+       O(√nlist)-per-row assignment transport);
+    4. re-assign + write via ``write_assigned_corpus(...,
+       stream_seed_batch_id=seed_batch_id)`` — ONE corpus-sized pass, the
+       honest price of a refit; the silver lands under
+       ``(cluster, __batch_id=<seed>)`` with the NEW centroid fingerprint
+       and fit diagnostics stamped next to the data, and the negative
+       seed id can never collide with a replayed streaming batch;
+    5. verify the stamp round-trips (:func:`check_centroid_meta`) and the
+       row count is conserved.
+
+    int8 silvers (``quantize=True`` sinks) re-assign on the DEQUANTIZED
+    vectors and re-quantize on write — the stored codes are all the
+    silver has, stated honestly. PQ silvers are refused: codes carry no
+    vector to refit from (keep the float/int8 source corpus for that).
+
+    Returns ``{"rows", "nlist", "regime", "mean_top1", "old_fingerprint",
+    "new_fingerprint", "centroids", "two_level"}`` — feed ``centroids``
+    (and ``two_level``) to the next ``ivf_ingest_writer``.
+    """
+    import json
+
+    from crossbar_data_process_spark.operators.ivf import (
+        fit_two_level,
+        ivf_fit_with_diagnostics,
+        quantizer_regime,
+        write_assigned_corpus,
+    )
+
+    if out_dir.rstrip("/") == silver_dir.rstrip("/"):
+        raise ValueError(
+            "refit_ivf_silver writes blue/green: out_dir must differ from "
+            "silver_dir (the re-assignment reads the old silver lazily "
+            "while writing — an in-place overwrite would consume its own "
+            "deletes)"
+        )
+    old_fp = None
+    fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_CENTROID_META}")
+    if fs.exists(mpath):
+        old_fp = json.loads(
+            _hadoop_read_text(spark, f"{silver_dir}/{_CENTROID_META}")
+        )["fingerprint"]
+    src = read_assigned_silver(spark, silver_dir).drop(_CLUSTER_COL)
+    cols = set(src.columns)
+    quantized = False
+    if vec_col not in cols:
+        if {"qvec", "qscale"} <= cols:
+            from crossbar_data_process_spark.operators.similarity import (
+                dequantize,
+            )
+
+            src = src.withColumn(
+                vec_col, dequantize(F.col("qvec"), F.col("qscale"))
+            ).drop("qvec", "qscale")
+            quantized = True
+        else:
+            raise ValueError(
+                f"silver at {silver_dir} stores neither '{vec_col}' nor "
+                "int8 (qvec, qscale) — a PQ silver's codes carry no "
+                "vector to refit from; refit from the float/int8 source "
+                "corpus instead"
+            )
+    n_in = src.count()
+    if n_in == 0:
+        raise ValueError(f"silver at {silver_dir} has no rows to refit on")
+    centroids, diags = ivf_fit_with_diagnostics(
+        src,
+        dim=len(src.select(vec_col).head()[0]),
+        nlist=nlist,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        driver_fit_rows=max(driver_fit_rows or 0, 8 * nlist, 2048),
+    )
+    tl = fit_two_level(centroids) if nlist >= two_level_min_nlist else None
+    write_assigned_corpus(
+        src,
+        centroids,
+        out_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        quantize=quantized,
+        diagnostics=diags,
+        require_clustered=require_clustered,
+        two_level=tl,
+        assign_backend=assign_backend,
+        stream_seed_batch_id=seed_batch_id,
+    )
+    if not check_centroid_meta(spark, out_dir, centroids):
+        raise AssertionError(
+            f"refit silver at {out_dir} lost its centroid stamp"
+        )
+    n_out = read_assigned_silver(spark, out_dir).count()
+    if n_out != n_in:
+        raise AssertionError(
+            f"refit row-count mismatch: read {n_in} from {silver_dir}, "
+            f"landed {n_out} in {out_dir}"
+        )
+    return {
+        "rows": n_out,
+        "nlist": nlist,
+        "regime": quantizer_regime(diags, nlist, len(centroids[0])),
+        "mean_top1": diags["mean_top1"],
+        "old_fingerprint": old_fp,
+        "new_fingerprint": centroid_fingerprint(centroids),
+        "centroids": centroids,
+        "two_level": tl,
     }

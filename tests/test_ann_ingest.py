@@ -1073,3 +1073,128 @@ def test_arrow_assign_backend_silver_is_identical(
             .select("vec_id", "cluster").collect()
         }
         assert want == got and len(got) == clustered.count()
+
+
+def test_drift_refit_end_to_end(spark, clustered, centroids, tmp_path):
+    """The composed maintenance path (r13 VERDICT #5): stream a SHIFTED
+    batch → drift_verdict flags it → refit_ivf_silver refits on the
+    landed union, re-assigns, stamps the new identity → full-probe top-k
+    over the refit silver is bit-identical to brute force → a new sink
+    resumes appending onto the refit silver, and the OLD factory's
+    identity guard refuses it."""
+    import numpy as np
+
+    from crossbar_data_process_spark.operators.similarity import cosine_topk
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        check_centroid_meta,
+        drift_verdict,
+        refit_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(spark, centroids, silver, metrics_dir=metrics)
+    sink(clustered, 0)
+    v0 = drift_verdict(spark, metrics, nlist=8, dim=32)
+    assert v0["regime"] == "clustered", v0
+
+    # the SHIFT: 8 brand-new centers the stamped quantizer knows nothing
+    # about — incoming vectors stop hugging the old centroids
+    rng = np.random.default_rng(99)
+    new_centers = rng.normal(size=(8, 32)) * 4.0
+    rows = []
+    vid = 10_000
+    for c in new_centers:
+        for _ in range(50):
+            v = c + rng.normal(size=32) * 0.6
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    shifted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    sink(shifted, 1)
+    v1 = drift_verdict(spark, metrics, nlist=8, dim=32, last_n_batches=1)
+    assert v1["regime"] == "isotropic", v1  # drift DETECTED
+    assert v1["n_batches"] == 1 and v1["n_vectors"] == 400
+    # the all-time fold still sees mostly-clustered mass
+    vall = drift_verdict(spark, metrics, nlist=8, dim=32)
+    assert vall["n_batches"] == 2 and vall["n_vectors"] == 1200
+
+    # refit at the grown corpus's granularity (16 true clusters now)
+    silver2 = str(tmp_path / "silver2")
+    report = refit_ivf_silver(
+        spark, silver, silver2, nlist=16, iters=3, assign_backend="arrow"
+    )
+    assert report["rows"] == 1200
+    assert report["regime"] == "clustered", report
+    assert report["new_fingerprint"] != report["old_fingerprint"]
+    assert check_centroid_meta(spark, silver2, report["centroids"])
+    with pytest.raises(ValueError, match="different quantizer"):
+        check_centroid_meta(spark, silver2, centroids)  # old identity
+
+    # probe identity at full probes: the refit silver answers EXACTLY
+    # like brute force over the landed union
+    union = clustered.unionByName(shifted)
+    q = union.filter(F.col("vec_id") % 150 == 0)
+    want = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in cosine_topk(union, q, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in ivf_topk_assigned(
+            spark, silver2, q, report["centroids"], k=5, nprobe=16
+        ).collect()
+    }
+    assert got == want
+
+    # the stream RESUMES onto the refit silver: new factory (new
+    # centroids) appends; the old factory's stamped-identity guard
+    # refuses the new silver
+    with pytest.raises(ValueError, match="different quantizer"):
+        ivf_ingest_writer(spark, centroids, silver2)
+    sink2 = ivf_ingest_writer(spark, report["centroids"], silver2)
+    extra = spark.createDataFrame(
+        [(99_000, rows[0][1])], "vec_id long, embedding array<float>"
+    )
+    sink2(extra, 0)
+    assert read_assigned_silver(spark, silver2).count() == 1201
+
+
+def test_refit_refuses_in_place_and_seed_collisions(
+    spark, clustered, centroids, tmp_path
+):
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        refit_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver)
+    sink(clustered, 0)
+    with pytest.raises(ValueError, match="blue/green"):
+        refit_ivf_silver(spark, silver, silver + "/", nlist=8)
+    with pytest.raises(ValueError, match="must be negative"):
+        write_assigned_corpus(
+            clustered,
+            centroids,
+            str(tmp_path / "bad"),
+            stream_seed_batch_id=0,
+        )
+
+
+def test_refit_roundtrips_int8_silver(spark, clustered, centroids, tmp_path):
+    """An int8 (quantize=True) silver refits on the DEQUANTIZED vectors
+    and lands re-quantized — storage code preserved through maintenance."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        refit_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    sink = ivf_ingest_writer(spark, centroids, silver, quantize=True)
+    sink(clustered, 0)
+    report = refit_ivf_silver(
+        spark, silver, str(tmp_path / "silver2"), nlist=8, iters=2
+    )
+    assert report["rows"] == 800
+    out = read_assigned_silver(spark, str(tmp_path / "silver2"))
+    assert {"qvec", "qscale"} <= set(out.columns)  # still int8 storage
