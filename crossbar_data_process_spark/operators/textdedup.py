@@ -340,6 +340,7 @@ def minhash_lsh_pairs(
     bands: int = 6,
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
+    cap_mode: str = "drop",
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -364,7 +365,32 @@ def minhash_lsh_pairs(
     a self-join replicates the bucket's rows salt× on the other side,
     which multiplies the quadratic in-bucket pair work it was meant to
     spread; AQE skew splitting handles the residual imbalance.
+
+    ``cap_mode`` picks what happens to over-cap buckets (r13 VERDICT #4):
+
+    - ``"drop"`` (default — the registry-oracled semantics): members are
+      never compared; recall loss confined to mega-clusters, quantified
+      by :func:`lsh_cap_stats`;
+    - ``"anchor"``: each over-cap bucket contributes ``(min member,
+      other member)`` STAR pairs instead of its b(b−1)/2 all-pairs —
+      b−1 candidates per bucket, LINEAR in bucket size, each still
+      exact-Jaccard-verified. For dedup resolution
+      (:func:`resolve_neardups` keeps per-component min ids) a verified
+      star edge joins the member to the anchor's component, so a true
+      boilerplate cluster still collapses; what anchor mode can miss vs
+      uncapped is a member-to-member near-dup pair where NEITHER member
+      verifies against the anchor (survivor/recall deltas measured in
+      BASELINE.md's r14 LSH cap probe). Grid-sharding the all-pairs
+      work (the ``semantic_dedup`` ``shard_target`` precedent) was
+      REJECTED here: it preserves the pair set but also its Σb² cost —
+      one 10⁶-member boilerplate bucket is 5·10¹¹ verify pairs no matter
+      how evenly they shard; star linking is the form that bounds WORK,
+      not just stragglers.
     """
+    if cap_mode not in ("drop", "anchor"):
+        raise ValueError(
+            f"cap_mode must be 'drop' or 'anchor', got {cap_mode!r}"
+        )
     # ONE shingle pass feeds both the signature path and the exact-Jaccard
     # verify (r02 computed the index twice — a second full tokenize+shingle
     # scan of the corpus). GC-managed materialization, multi-consumer.
@@ -372,14 +398,31 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_index(idx, num_hashes)
     # GC-managed materialization — see the ngram_jaccard_pairs comment
     buckets = materialize(_band_buckets(sigs, num_hashes, bands))
+    anchor_pairs = None
     if max_bucket_size is not None:
         # one count per (band, key) over a window — same partitioning as
         # the self-join shuffle, so the cap costs no extra exchange shape
         wb = Window.partitionBy("band", "key")
+        sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        if cap_mode == "anchor":
+            # star edges for over-cap buckets: (bucket-min doc, member) —
+            # b−1 linear pairs ride the SAME (band, key) window shuffle
+            # (min over wb), then the same distinct + verify as bucket
+            # pairs; doc_a < doc_b holds by construction (anchor IS the
+            # min)
+            anchor_pairs = (
+                sized.withColumn("__anchor", F.min("doc").over(wb))
+                .filter(
+                    (F.col("__bsz") > max_bucket_size)
+                    & (F.col("doc") != F.col("__anchor"))
+                )
+                .select(
+                    F.col("__anchor").alias("doc_a"),
+                    F.col("doc").alias("doc_b"),
+                )
+            )
         buckets = (
-            buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+            sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
         )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -392,8 +435,10 @@ def minhash_lsh_pairs(
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
     )
+    if anchor_pairs is not None:
+        cand = cand.unionByName(anchor_pairs)
+    cand = cand.distinct()
     # exact verify: join the SAME materialized shingle index back on
     ia = idx.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("nsh").alias("na"))
     ib = idx.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"))

@@ -50,6 +50,7 @@ def curate_documents(
     redact_pii_output: bool = False,
     quantile_expectations: dict[str, tuple[float, "callable"]] | None = None,
     lsh_max_bucket_size: int | None = None,
+    lsh_cap_mode: str = "drop",
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
@@ -91,7 +92,9 @@ def curate_documents(
     curation is linear. Recall loss is confined to members of the
     dropped mega-buckets (boilerplate clusters by definition — handle
     those by exact-fingerprint dedup, which this pipeline already runs
-    first).
+    first). ``lsh_cap_mode="anchor"`` swaps the drop for star linking
+    (``minhash_lsh_pairs`` ``cap_mode`` — linear per-bucket work, recall
+    deltas measured in BASELINE.md's r14 LSH cap probe).
 
     All default off so the q55 oracle pipeline is unchanged."""
     from crossbar_data_process_spark.functions.text import (
@@ -181,6 +184,7 @@ def curate_documents(
         id_col=id_col,
         threshold=neardup_threshold,
         max_bucket_size=lsh_max_bucket_size,
+        cap_mode=lsh_cap_mode,
     )
     resolved = resolve_neardups(exact_survivors, pairs, id_col=id_col)
     out_text = F.col(text_col)

@@ -188,6 +188,50 @@ def test_max_bucket_size_drops_mega_buckets_only(spark):
     assert not any(a < 100 and b < 100 for a, b in cap)
 
 
+def test_cap_mode_anchor_star_links_mega_buckets(spark):
+    """cap_mode='anchor' (r14, VERDICT r13 #4): over-cap buckets emit
+    (min member, other member) star edges — linear per-bucket work — and
+    after resolve_neardups the survivor set equals the UNCAPPED truth on
+    a boilerplate cluster, where drop mode keeps every member."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        resolve_neardups,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(1, 21)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = _docs(spark, boiler + near)
+
+    anchored = minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket_size=10, cap_mode="anchor"
+    )
+    anc = {(r.doc_a, r.doc_b) for r in anchored.collect()}
+    assert (100, 101) in anc  # normal pair untouched
+    # star edges only: every boilerplate pair has the anchor (min id 1)
+    # on the left — 19 edges, not the 190 all-pairs
+    boiler_pairs = {(a, b) for a, b in anc if a < 100 and b < 100}
+    assert boiler_pairs == {(1, b) for b in range(2, 21)}
+    # end-to-end: anchor-mode survivors == uncapped truth; drop mode
+    # keeps the whole mega-cluster
+    def survivors(pairs):
+        return {r.doc_id for r in resolve_neardups(docs, pairs).collect()}
+
+    truth = survivors(minhash_lsh_pairs(docs, threshold=0.5))
+    assert survivors(anchored) == truth == {1, 100}
+    dropped = survivors(
+        minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    )
+    assert dropped == set(range(1, 21)) | {100}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cap_mode"):
+        minhash_lsh_pairs(docs, max_bucket_size=10, cap_mode="shard")
+
+
 def test_simhash_pairs_exact_vs_bruteforce(spark):
     """With max_hamming < bands the banded candidate generation is EXACT
     (pigeonhole), so the operator must equal brute-force all-pairs
