@@ -32,6 +32,15 @@ def get_spark(
     # real cluster size this to 2-3× total executor cores — AQE still
     # owns the final partition counts.
     shuffle_partitions = shuffle_partitions or max(cpus // 2, 8)
+    # ...but the LOW count must never cap a BIG shuffle: with only
+    # cpus/2 partitions, a 30M-row bucket self-join at 5M docs builds
+    # ~2M-row per-partition hash maps and dies with "not enough memory
+    # to build hash map" (measured, r14 scale-1000 probe — ShuffledHash
+    # builds cannot spill). initialPartitionNum makes AQE START
+    # fine-grained and coalesce DOWN by size, so small-scale stages
+    # still end at a handful of tasks (the 18% measurement stands)
+    # while corpus-scale shuffles keep maps bounded and all cores busy.
+    initial_partitions = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTS", max(4 * cpus, 4 * shuffle_partitions)))
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -39,12 +48,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 24g: in local mode the driver JVM IS every executor — 8g gave
+        # 32 task threads ~250 MB each, an order leaner than any real
+        # cluster core and the proximate OOM in the r14 scale-1000 probe;
+        # 24g ≈ 750 MB/thread, still conservative on the 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # some testdata generations ship events.ts as TIMESTAMP(NANOS), which

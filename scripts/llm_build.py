@@ -27,8 +27,8 @@ Per-stage walls come from forcing each stage with its own parquet write
 stages); later stages read the previous stage's silver, so each wall is
 attributable.
 
-Usage: python scripts/llm_build.py [--scale {1,10,100}] [--tokenize]
-[--out DIR]
+Usage: python scripts/llm_build.py [--scale {1,10,100,1000}] [--tokenize]
+[--out DIR]  (--scale 1000 = 5M docs, the r14 next-decade probe)
 Prints one JSON line: {"metric": "llm_build_runtime", "value": sec,
 "stages": {name: {"sec": s, "rows": n}}, "scale": S, ...}.
 """
@@ -479,6 +479,8 @@ def build(
 
 ZIPF_XL = "/tmp/llm_build_zipf_xl"  # 500k docs — the --scale 100 corpus
 N_XL_DOCS = 500_000
+ZIPF_XXL = "/tmp/llm_build_zipf_xxl"  # 5M docs — the --scale 1000 corpus
+N_XXL_DOCS = 5_000_000
 
 
 def _read_corpus_recipe(path: str) -> dict | None:
@@ -507,20 +509,33 @@ def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
     )
     probe = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(probe)
-    if scale == 100:
-        path = ZIPF_XL
+    if scale in (100, 1000):
+        path = ZIPF_XL if scale == 100 else ZIPF_XXL
+        n_gen = N_XL_DOCS if scale == 100 else N_XXL_DOCS
         # Reuse is keyed on a RECIPE SIDECAR, not bare file existence: a
         # partially written parquet from a crashed generator run, or a
         # corpus from an older recipe/seed, must never silently feed the
         # build and skew the recorded scale baselines (r12 ADVICE). The
         # generator writes into a temp dir and os.replace()s it into
         # place, so the sidecar only ever describes a complete corpus.
-        recipe = {"seed": 20260815, "n_docs": N_XL_DOCS, "gen": "zipf_texts"}
+        # rg65536: splittable row groups so the scan parallelizes — the
+        # default ~1M-row groups cap a 5M-doc file at ~5 tasks; both XL
+        # and XXL share the layout so the 100→1000 slope has no layout
+        # confound (regenerating XL under the new recipe is ~1 min)
+        recipe = {
+            "seed": 20260815,
+            "n_docs": n_gen,
+            "gen": "zipf_texts",
+            "layout": "rg65536",
+        }
         if _read_corpus_recipe(path) != recipe:
             tmp = f"{path}.tmp.{os.getpid()}"
             shutil.rmtree(tmp, ignore_errors=True)
             probe.write_zipf_documents(
-                tmp, probe.zipf_texts(N_XL_DOCS, seed=recipe["seed"]), N_XL_DOCS
+                tmp,
+                probe.zipf_texts(n_gen, seed=recipe["seed"]),
+                n_gen,
+                row_group_size=65536,
             )
             with open(f"{tmp}/_recipe.json", "w") as f:
                 json.dump(recipe, f, sort_keys=True)
@@ -538,7 +553,7 @@ def _load_zipf(spark: SparkSession, scale: int) -> DataFrame:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", type=int, choices=(1, 10, 100), default=1)
+    ap.add_argument("--scale", type=int, choices=(1, 10, 100, 1000), default=1)
     ap.add_argument(
         "--tokenize",
         action="store_true",

@@ -184,18 +184,41 @@ def zipf_texts(n_docs: int, seed: int = 20260814) -> list[str]:
     return texts
 
 
-def write_zipf_documents(path: str, texts: list[str], n: int) -> None:
+def write_zipf_documents(
+    path: str, texts: list[str], n: int, row_group_size: int | None = None
+) -> None:
+    """``row_group_size=None`` keeps the historical single-shot layout
+    (ZIPF_SMALL/BIG — sf1 slope comparability across rounds). A value
+    streams the table out in row-group-sized slices through one
+    ParquetWriter: bounded writer memory AND a splittable file — Spark
+    can only split parquet at row-group boundaries, so the default
+    ~1M-row groups cap a 5M-doc corpus scan at ~5 tasks on 32 cores
+    (the --scale 1000 corpus uses 65536)."""
     os.makedirs(path, exist_ok=True)
-    t = pa.table(
-        {
-            "doc_id": pa.array(range(n), pa.int64()),
-            "text": texts[:n],
-            "lang": ["en"] * n,
-            "source": ["zipf"] * n,
-            "n_chars": pa.array([len(x) for x in texts[:n]], pa.int64()),
-        }
-    )
-    papq.write_table(t, f"{path}/documents.parquet")
+
+    def _slice(lo: int, hi: int) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": texts[lo:hi],
+                "lang": ["en"] * (hi - lo),
+                "source": ["zipf"] * (hi - lo),
+                "n_chars": pa.array(
+                    [len(x) for x in texts[lo:hi]], pa.int64()
+                ),
+            }
+        )
+
+    if row_group_size is None:
+        papq.write_table(_slice(0, n), f"{path}/documents.parquet")
+        return
+    first = _slice(0, min(row_group_size, n))
+    with papq.ParquetWriter(
+        f"{path}/documents.parquet", first.schema
+    ) as writer:
+        writer.write_table(first)
+        for lo in range(row_group_size, n, row_group_size):
+            writer.write_table(_slice(lo, min(lo + row_group_size, n)))
 
 
 def _gen_zipf() -> None:
