@@ -76,7 +76,10 @@ BENCH_QUERIES = [
     "q21_doc_exact_dedup",
     "q25_ngram_jaccard",
     "q26b_simhash",
-    "q27_cosine_topk",
+    # r14: q27_cosine_topk's bench slot follows the fold to the streaming
+    # ANN ingest silver (2 sink batches + replay + full probe priced from
+    # day one — the q71 convention)
+    "q72_ann_streaming_ingest",
     "q28_events_hourly",
     "q41_sessionize",
     "q43_ddi_merge",
@@ -1571,7 +1574,12 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
 """
 
 
-@query("q27_cosine_topk", _COSINE_TOPK_ORACLE)
+# r14: q27_cosine_topk folded out of the registry → slot to
+# q72_ann_streaming_ingest (REGISTRY.md fold table). The brute-force
+# ranking stays registry-oracled TWICE over — q54 and q72 both probe at
+# nprobe == nlist against the SAME _COSINE_TOPK_ORACLE text — and the
+# operator itself keeps this oracle verbatim in
+# tests/test_operator_properties.py::test_cosine_topk_matches_oracle.
 def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
@@ -1629,6 +1637,59 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atexit.register(shutil.rmtree, silver, ignore_errors=True)
     write_assigned_corpus(e, cents, silver, diagnostics=diag)
+    out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ---------- STREAMING ANN ingest under the hash gate (r14, VERDICT r13
+# #6 — the q64/q54 tricks composed): two disjoint micro-batches land
+# through the production foreachBatch sink (`ann_ingest.ivf_ingest_writer`
+# — per-batch assignment projection, (cluster, __batch_id) dynamic
+# partition overwrite, centroid identity stamped and re-verified), batch 1
+# is then REPLAYED (the Structured Streaming recovery contract), and the
+# streamed silver is probed at nprobe == nlist. Full probes make the
+# candidate set the whole corpus, so the result is brute-force-exact and
+# _COSINE_TOPK_ORACLE applies VERBATIM (the q54 identity trick) — while a
+# sink that double-landed the replayed batch would duplicate neighbors
+# into distinct rnk rows and fail the hash, so exactly-once replay is
+# checked by the driver, not just pytest. Pruned-probe recall and the
+# drift→refit maintenance path stay pinned in tests/test_ann_ingest.py.
+@query("q72_ann_streaming_ingest", _COSINE_TOPK_ORACLE)
+def q72_ann_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ingest (2 disjoint micro-batches) → replay batch 1 → full-probe
+    top-k over the streamed silver. Fresh pid-scoped silver per
+    invocation (the q71 convention: a silver assigned under a previous
+    corpus' centroids would — correctly — trip the identity stamp)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_fit,
+        ivf_topk_assigned,
+    )
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        ivf_ingest_writer,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    dim = e.select(F.size("embedding")).first()[0]
+    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
+    silver = os.path.join(
+        tempfile.gettempdir(), f"ann_stream_silver_q72_{os.getpid()}"
+    )
+    shutil.rmtree(silver, ignore_errors=True)
+    atexit.register(shutil.rmtree, silver, ignore_errors=True)
+    sink = ivf_ingest_writer(spark, cents, silver)
+    b0 = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    b1 = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay — dynamic overwrite must replace, not append
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
@@ -3240,7 +3301,9 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r13 new surface first
+    # r14 new surface first
+    "q72_ann_streaming_ingest",
+    # r13 new surface
     "q71_bm25_indexed",
     # r12 new surfaces
     "q69_ivfpq_silver",

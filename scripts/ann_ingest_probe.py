@@ -77,6 +77,27 @@ def main() -> None:
         "m-byte PQ codes; per-batch wall must stay flat — encode is a "
         "batch-sized projection and nothing reads the accumulated silver",
     )
+    ap.add_argument(
+        "--nlist",
+        type=int,
+        default=16,
+        help="quantizer granularity; scale runs size it for E[cluster]"
+        "≈250 (1M-row batches → thousands of lists)",
+    )
+    ap.add_argument(
+        "--backend",
+        choices=("jvm", "arrow"),
+        default="jvm",
+        help="assignment backend inside the sink (r14, VERDICT r13 #2: "
+        "the arrow/BLAS path landed in r13 commit 84aeeec but was "
+        "unmeasured at ≥1M-row batches)",
+    )
+    ap.add_argument(
+        "--two-level",
+        action="store_true",
+        help="wrap the centroids in the O(√nlist)-per-row two-level "
+        "quantizer for sink-side assignment",
+    )
     args = ap.parse_args()
 
     shutil.rmtree(ROOT, ignore_errors=True)
@@ -84,7 +105,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     fit_corpus = gen_batch(spark, 0, args.batch_rows)
-    cents = ivf_fit(fit_corpus, dim=DIM, nlist=16, iters=2, driver_fit_rows=2048)
+    cents = ivf_fit(
+        fit_corpus,
+        dim=DIM,
+        nlist=args.nlist,
+        iters=2,
+        driver_fit_rows=max(2048, 8 * args.nlist),
+    )
+    tl = None
+    if args.two_level:
+        from crossbar_data_process_spark.operators.ivf import fit_two_level
+
+        tl = fit_two_level(cents)
     books = None
     if args.pq:
         from crossbar_data_process_spark.operators.pq import pq_fit
@@ -97,6 +129,8 @@ def main() -> None:
         metrics_dir=f"{ROOT}/metrics",
         dedup_threshold=args.dedup,
         pq_codebooks=books,
+        two_level=tl,
+        assign_backend=args.backend,
     )
 
     walls = []

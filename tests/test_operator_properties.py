@@ -518,3 +518,30 @@ def test_pair_normalize_matches_oracle(spark):
     )
     want = set(map(tuple, con.sql(_PAIR_NORMALIZE_ORACLE).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_cosine_topk_matches_oracle(spark):
+    """Brute-force cosine top-k (the former q27 registry row, folded out
+    in r14 for q72_ann_streaming_ingest — REGISTRY.md): the oracle lives
+    on here verbatim (_COSINE_TOPK_ORACLE) AND stays registry-shared by
+    q54/q72, whose nprobe == nlist probes are brute-force-identical."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _COSINE_TOPK_ORACLE,
+        q27_cosine_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rnk)
+        for r in q27_cosine_topk(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = set(map(tuple, con.sql(_COSINE_TOPK_ORACLE).fetchall()))
+    assert got == want and len(got) > 0

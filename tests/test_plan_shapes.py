@@ -184,7 +184,9 @@ _WORKLOAD_BOUNDS = {
     # the benchmark/eval set is a workload in the same sense: it must stay
     # fixed-size as the corpus grows or scale probes measure eval growth
     "q65_contamination": r'F\.col\("doc_id"\)\s*<\s*5000',
-    "q27_cosine_topk": r'F\.col\("vec_id"\)\s*<\s*10',
+    # r14: q27_cosine_topk folded out (REGISTRY.md) — its bound lives on
+    # in the property test; q72 carries the same 10-query carve
+    "q72_ann_streaming_ingest": r'F\.col\("vec_id"\)\s*<\s*10',
     "q54_ivf_topk": r'F\.col\("vec_id"\)\s*<\s*10',
     # r11: q39_ann_lsh folded out of the registry (REGISTRY.md) — its bound
     # lives on in the property test; q67 carries the same 10-query carve
