@@ -194,7 +194,6 @@ def ivf_ingest_writer(
     what arrived, not what survived).
     """
     from crossbar_data_process_spark.operators.ivf import (
-        _centroid_scores,
         _unit,
         checked_vec,
     )
@@ -391,6 +390,15 @@ def ivf_ingest_writer(
                     "storage options (quantize/pq_codebooks) or rebuild"
                 )
 
+    # nlist-row centroid lookup table for the drift gauge's broadcast
+    # join — built once at factory time, hyperparameter-sized
+    cent_df = None
+    if metrics_dir is not None:
+        cent_df = spark.createDataFrame(
+            [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+            "__mc int, __mcent array<double>",
+        )
+
     def _has_data() -> bool:
         return _silver_has_data(spark, silver_dir)
 
@@ -494,9 +502,29 @@ def ivf_ingest_writer(
             .parquet(silver_dir)
         )
         if metrics_dir is not None:
-            top1 = F.array_max(_centroid_scores(F.col("__u"), centroids))
+            # gauge = cosine to the ASSIGNED centroid. Mathematically the
+            # former array_max over ALL centroid scores (assignment IS
+            # that argmax, and `dot` is the same left-fold expression, so
+            # the value is bit-identical) — but O(dim) per row via a
+            # broadcast centroid lookup instead of the flat O(nlist·dim)
+            # interpreted-HOF walk, which the r14 1M-row probe measured
+            # as the sink bottleneck at nlist=4096 (the gauge was costing
+            # more than the assignment it monitors). Rides the SAME
+            # backend/two-level transport as assignment; the plan carries
+            # no nlist-sized literals.
+            from crossbar_data_process_spark.operators.ivf import (
+                assign_with_backend,
+            )
+            from crossbar_data_process_spark.operators.similarity import dot
+
+            massigned = assign_with_backend(
+                incoming, vec_col, centroids,
+                out_col="__mc", two_level=two_level, backend=assign_backend,
+            )
+            top1 = dot(F.col("__u"), F.col("__mcent"))
             metrics = (
-                _unit(incoming, vec_col, "__u")
+                _unit(massigned, vec_col, "__u")
+                .join(F.broadcast(cent_df), "__mc")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("n_vectors"),
                     F.avg(top1).alias("mean_top1"),
