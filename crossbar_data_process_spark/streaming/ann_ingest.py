@@ -502,14 +502,18 @@ def ivf_ingest_writer(
             .parquet(silver_dir)
         )
         if metrics_dir is not None:
-            # gauge = cosine to the ASSIGNED centroid. Mathematically the
-            # former array_max over ALL centroid scores (assignment IS
-            # that argmax, and `dot` is the same left-fold expression, so
-            # the value is bit-identical) — but O(dim) per row via a
-            # broadcast centroid lookup instead of the flat O(nlist·dim)
-            # interpreted-HOF walk, which the r14 1M-row probe measured
-            # as the sink bottleneck at nlist=4096 (the gauge was costing
-            # more than the assignment it monitors). Rides the SAME
+            # gauge = cosine to the ASSIGNED centroid — O(dim) per row
+            # via a broadcast centroid lookup instead of the former flat
+            # O(nlist·dim) interpreted-HOF walk over ALL centroids, which
+            # the r14 1M-row probe measured as the sink bottleneck at
+            # nlist=4096 (the gauge was costing more than the assignment
+            # it monitors). Under FLAT assignment the value is
+            # bit-identical to the old array_max (assignment IS that
+            # argmax and `dot` is the same fold expression); under
+            # two-level it is the cosine to what the silver ACTUALLY
+            # stored — ≤ the global max when pruning misses the nearest
+            # leaf, i.e. the gauge becomes (slightly conservatively) the
+            # quantity pruned-probe recall depends on. Rides the SAME
             # backend/two-level transport as assignment; the plan carries
             # no nlist-sized literals.
             from crossbar_data_process_spark.operators.ivf import (
