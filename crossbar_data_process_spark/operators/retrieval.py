@@ -429,7 +429,9 @@ def compact_bm25_index(
     silver — ``streaming.ingest.compact_batch_partitions`` is this
     function's gold-side twin). The rewrite reads and rewrites the whole
     tf table once — corpus-sized I/O, which is what a compaction IS; run
-    it at maintenance cadence, not per ingest. tf keeps its
+    it at maintenance cadence, not per ingest (``include_tf_dl=False``
+    restores the r13 metadata-only fold — vocabulary-/1-row-sized, cheap
+    enough for any cadence). tf keeps its
     ``term_bucket`` partitioning (the probe's static-pruning contract)
     with at most ``tf_files_per_bucket`` files per bucket — exactly one
     at the default of 1; above it, (bucket, doc-hash slice) pairs that

@@ -406,24 +406,22 @@ def minhash_lsh_pairs(
         sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(wb))
         if cap_mode == "anchor":
             # star edges for over-cap buckets: (bucket-min doc, member) —
-            # b−1 linear pairs ride the SAME (band, key) window shuffle
-            # (min over wb), then the same distinct + verify as bucket
-            # pairs; doc_a < doc_b holds by construction (anchor IS the
-            # min)
-            anchor_pairs = (
-                sized.withColumn("__anchor", F.min("doc").over(wb))
-                .filter(
-                    (F.col("__bsz") > max_bucket_size)
-                    & (F.col("doc") != F.col("__anchor"))
-                )
-                .select(
-                    F.col("__anchor").alias("doc_a"),
-                    F.col("doc").alias("doc_b"),
-                )
+            # b−1 linear pairs; doc_a < doc_b holds by construction
+            # (anchor IS the min). Both aux columns ride ONE window
+            # projection so the cap filter below and this branch consume
+            # the IDENTICAL window subtree — one (band, key) shuffle,
+            # reused exchange, not two (r14 review).
+            sized = sized.withColumn("__anchor", F.min("doc").over(wb))
+            anchor_pairs = sized.filter(
+                (F.col("__bsz") > max_bucket_size)
+                & (F.col("doc") != F.col("__anchor"))
+            ).select(
+                F.col("__anchor").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
             )
-        buckets = (
-            sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
-        )
+        buckets = sized.filter(
+            F.col("__bsz") <= max_bucket_size
+        ).select("doc", "band", "key")
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -1083,8 +1083,9 @@ def q61_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash gate — r13 (VERDICT r12 #4), the retrieval twin of q63's
 # dedup_index and the q69 silver-path precedent. The corpus is ingested
 # into the index in TWO doc-disjoint batches (doc_id parity — per-batch
-# work is batch-sized, the existing index is never read), the df/stats
-# tables are COMPACTED (staging-dir + pending-marker protocol), and the
+# work is batch-sized, the existing index is never read), the FULL index
+# is COMPACTED (df/stats folds plus — r14 — the tf/dl bin-pack rewrite,
+# all under the staging-dir + pending-marker protocol), and the
 # probe runs against the persisted silver: qterms partition-prune the tf
 # scan on the term_bucket column, df(term) = Σ per-batch partials,
 # avgdl = Σ total_dl / Σ n_docs. Everything BM25 needs is additive over

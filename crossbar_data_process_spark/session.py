@@ -18,6 +18,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(24g, 25% of physical RAM, floor 4g) — see the driver.memory
+    comment below. Falls back to 4g when /proc/meminfo is unreadable
+    (non-Linux), where the old too-small default is at least safe."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(4, min(24, total_gb // 4))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "crossbar-data-process-spark",
     master: str | None = None,
@@ -57,11 +72,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # 24g: in local mode the driver JVM IS every executor — 8g gave
-        # 32 task threads ~250 MB each, an order leaner than any real
-        # cluster core and the proximate OOM in the r14 scale-1000 probe;
-        # 24g ≈ 750 MB/thread, still conservative on the 128 GiB box
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # in local mode the driver JVM IS every executor — the old 8g
+        # gave 32 task threads ~250 MB each, an order leaner than any
+        # real cluster core and the proximate OOM in the r14 scale-1000
+        # probe. Default = min(24g, 25% of physical RAM, floor 4g) so a
+        # 16 GiB contributor box never launches an OOM-killer-bait -Xmx
+        # (r14 review); SPARK_GRAFT_DRIVER_MEM overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # some testdata generations ship events.ts as TIMESTAMP(NANOS), which

@@ -15,16 +15,23 @@ layout unchanged (it selects id/vector/cluster and never reads the batch
 column).
 
 Drift gauge (scale-correct monitoring): ``mean_top1`` — the mean cosine
-between a batch's unit vectors and their nearest centroid — is computed
-as a pure Column aggregation (``avg(array_max(scores))``, one
-whole-stage-codegen pass over the batch, NO collect, no sample), so it
-costs one batch-sized agg job and works at any batch size. It is the
-same statistic ``operators/ivf.ivf_fit_diagnostics`` computes driver-side
-at fit time, so the fit-time value is the baseline: when a later batch's
-mean_top1 falls toward the isotropic floor (``quantizer_regime``), the
-corpus has drifted and the quantizer should be refit. Metrics land in a
-1-row-per-batch parquet table, batch-partitioned for the same replay
-safety.
+between a batch's unit vectors and their ASSIGNED centroid — costs one
+batch-sized agg job at any batch size (NO collect, no sample) through
+whichever transport the sink assigns with: flat JVM keeps the single
+``avg(array_max(scores))`` Column pass (for flat assignment the max IS
+the assigned centroid's cosine), while arrow/two-level sinks re-assign
+through the same O(√nlist)/BLAS transport and dot against a broadcast
+centroid lookup (r14 — the flat walk was the measured sink bottleneck at
+nlist=4096). Under flat assignment the value equals the nearest-centroid
+cosine ``operators/ivf.ivf_fit_diagnostics`` computes driver-side at fit
+time, so the fit-time value is the baseline; under two-level it is the
+cosine to what the silver actually stored (≤ the global max when pruning
+misses the nearest leaf — conservatively, the quantity pruned-probe
+recall depends on). When a later batch's mean_top1 falls toward the
+isotropic floor (``quantizer_regime``), the corpus has drifted and the
+quantizer should be refit (``drift_verdict`` → ``refit_ivf_silver``).
+Metrics land in a 1-row-per-batch parquet table, batch-partitioned for
+the same replay safety.
 
 Versus the reference: no counterpart (pure pandas, no vectors, no
 streaming) — engine charter (SURVEY.md §7; "similarity search ... as the
@@ -194,6 +201,7 @@ def ivf_ingest_writer(
     what arrived, not what survived).
     """
     from crossbar_data_process_spark.operators.ivf import (
+        _centroid_scores,
         _unit,
         checked_vec,
     )
@@ -502,38 +510,49 @@ def ivf_ingest_writer(
             .parquet(silver_dir)
         )
         if metrics_dir is not None:
-            # gauge = cosine to the ASSIGNED centroid — O(dim) per row
-            # via a broadcast centroid lookup instead of the former flat
-            # O(nlist·dim) interpreted-HOF walk over ALL centroids, which
-            # the r14 1M-row probe measured as the sink bottleneck at
-            # nlist=4096 (the gauge was costing more than the assignment
-            # it monitors). Under FLAT assignment the value is
-            # bit-identical to the old array_max (assignment IS that
-            # argmax and `dot` is the same fold expression); under
-            # two-level it is the cosine to what the silver ACTUALLY
-            # stored — ≤ the global max when pruning misses the nearest
-            # leaf, i.e. the gauge becomes (slightly conservatively) the
-            # quantity pruned-probe recall depends on. Rides the SAME
-            # backend/two-level transport as assignment; the plan carries
-            # no nlist-sized literals.
-            from crossbar_data_process_spark.operators.ivf import (
-                assign_with_backend,
-            )
-            from crossbar_data_process_spark.operators.similarity import dot
-
-            massigned = assign_with_backend(
-                incoming, vec_col, centroids,
-                out_col="__mc", two_level=two_level, backend=assign_backend,
-            )
-            top1 = dot(F.col("__u"), F.col("__mcent"))
-            metrics = (
-                _unit(massigned, vec_col, "__u")
-                .join(F.broadcast(cent_df), "__mc")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_vectors"),
-                    F.avg(top1).alias("mean_top1"),
-                    F.min(top1).alias("min_top1"),
+            # gauge = cosine to the ASSIGNED centroid, computed by the
+            # cheapest form each transport allows (r14 review: the first
+            # rewrite re-ran assignment even on the flat-JVM path, where
+            # the old single array_max walk was already optimal):
+            # - flat JVM: ONE O(nlist·dim) scores walk + array_max — for
+            #   flat assignment the max IS the assigned centroid's
+            #   cosine, bit-identical to re-assigning, with no extra
+            #   join. This is the registry/test shape (small nlist).
+            # - arrow or two-level: re-assign through the SAME transport
+            #   as the silver (O(√nlist) or BLAS — the r14 1M-row probe
+            #   measured the flat walk as the sink bottleneck at
+            #   nlist=4096) and dot against a broadcast centroid lookup,
+            #   O(dim) per row, no nlist-sized literals in the plan.
+            #   Under two-level the gauge is the cosine to what the
+            #   silver ACTUALLY stored — ≤ the global max when pruning
+            #   misses the nearest leaf, i.e. (slightly conservatively)
+            #   the quantity pruned-probe recall depends on.
+            if assign_backend == "jvm" and two_level is None:
+                top1 = F.array_max(
+                    _centroid_scores(F.col("__u"), centroids)
                 )
+                gauged = _unit(incoming, vec_col, "__u")
+            else:
+                from crossbar_data_process_spark.operators.ivf import (
+                    assign_with_backend,
+                )
+                from crossbar_data_process_spark.operators.similarity import (
+                    dot,
+                )
+
+                massigned = assign_with_backend(
+                    incoming, vec_col, centroids,
+                    out_col="__mc", two_level=two_level,
+                    backend=assign_backend,
+                )
+                top1 = dot(F.col("__u"), F.col("__mcent"))
+                gauged = _unit(massigned, vec_col, "__u").join(
+                    F.broadcast(cent_df), "__mc"
+                )
+            metrics = gauged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.avg(top1).alias("mean_top1"),
+                F.min(top1).alias("min_top1"),
             )
             _write_batch_partition(metrics, metrics_dir, batch_id)
 
@@ -1115,7 +1134,8 @@ def refit_ivf_silver(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    driver_fit_rows: int | None = None,
+    driver_fit_rows: int | None = None,  # None → max(8·nlist, 2048);
+    # an explicit value is honored as-given (the caller's driver bound)
     assign_backend: str = "arrow",
     two_level_min_nlist: int = 64,
     require_clustered: bool = True,
@@ -1207,6 +1227,14 @@ def refit_ivf_silver(
     n_in = src.count()
     if n_in == 0:
         raise ValueError(f"silver at {silver_dir} has no rows to refit on")
+    # an EXPLICIT driver_fit_rows is honored as-given (it is the caller's
+    # driver-memory bound, same contract as ivf_fit itself — r14 review);
+    # only the None default gets the 8-samples-per-centroid floor
+    fit_rows = (
+        driver_fit_rows
+        if driver_fit_rows is not None
+        else max(8 * nlist, 2048)
+    )
     centroids, diags = ivf_fit_with_diagnostics(
         src,
         dim=len(src.select(vec_col).head()[0]),
@@ -1214,7 +1242,7 @@ def refit_ivf_silver(
         iters=iters,
         id_col=id_col,
         vec_col=vec_col,
-        driver_fit_rows=max(driver_fit_rows or 0, 8 * nlist, 2048),
+        driver_fit_rows=fit_rows,
     )
     tl = fit_two_level(centroids) if nlist >= two_level_min_nlist else None
     write_assigned_corpus(

@@ -154,9 +154,7 @@ def run_skew(spark, n: int, hot: int = 36, backend: str = "jvm") -> dict:
     )
     # stats computed on the SAME backend the probe row is labeled with
     # (r13 ADVICE: a --backend jvm row used to carry arrow-computed stats)
-    stats = cluster_cap_stats(
-        corpus, cents, assign_backend="jvm" if backend == "jvm" else "arrow"
-    ).collect()[0]
+    stats = cluster_cap_stats(corpus, cents, assign_backend=backend).collect()[0]
     out = {
         "n": n,
         "nlist": ncenters,
