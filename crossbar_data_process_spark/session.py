@@ -19,18 +19,36 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem() -> str:
-    """min(24g, 25% of physical RAM, floor 4g) — see the driver.memory
-    comment below. Falls back to 4g when /proc/meminfo is unreadable
-    (non-Linux), where the old too-small default is at least safe."""
+    """min(24g, 25% of available RAM, floor 4g) — see the driver.memory
+    comment below. "Available" is the smaller of host MemTotal and the
+    cgroup memory limit (r14 review: a container capped at 8 GiB on a
+    128 GiB host must not launch a -Xmx24g JVM — the host figure alone
+    is OOM-killer bait in exactly the case the heuristic exists for).
+    Falls back to 4g on any read/parse failure (non-Linux, odd formats),
+    where the old too-small default is at least safe."""
+    total_gb = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith("MemTotal:"):
                     total_gb = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(4, min(24, total_gb // 4))}g"
-    except OSError:
-        pass
-    return "4g"
+                    break
+        for limit_file in (
+            "/sys/fs/cgroup/memory.max",  # cgroup v2
+            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+        ):
+            if os.path.exists(limit_file):
+                raw = open(limit_file).read().strip()
+                if raw.isdigit():  # "max" / huge sentinel = unlimited
+                    limit_gb = int(raw) // (1024**3)
+                    if 0 < limit_gb < (total_gb or limit_gb + 1):
+                        total_gb = limit_gb
+                break
+    except Exception:
+        return "4g"
+    if total_gb is None:
+        return "4g"
+    return f"{max(4, min(24, total_gb // 4))}g"
 
 
 def get_spark(
@@ -80,7 +98,10 @@ def get_spark(
         # (r14 review); SPARK_GRAFT_DRIVER_MEM overrides.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+            # helper only runs when the env override is absent — the env
+            # var must stay a working escape hatch even if the heuristic
+            # ever breaks (r14 review)
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -399,9 +399,13 @@ def ivf_ingest_writer(
                 )
 
     # nlist-row centroid lookup table for the drift gauge's broadcast
-    # join — built once at factory time, hyperparameter-sized
+    # join — built once at factory time, hyperparameter-sized. Only the
+    # arrow/two-level gauge branch reads it; the flat-JVM gauge keeps
+    # the single array_max walk (r14 review: don't hold dead state)
     cent_df = None
-    if metrics_dir is not None:
+    if metrics_dir is not None and not (
+        assign_backend == "jvm" and two_level is None
+    ):
         cent_df = spark.createDataFrame(
             [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
             "__mc int, __mcent array<double>",
@@ -533,9 +537,9 @@ def ivf_ingest_writer(
                 )
                 gauged = _unit(incoming, vec_col, "__u")
             else:
-                from crossbar_data_process_spark.operators.ivf import (
-                    assign_with_backend,
-                )
+                # assign_with_backend is already bound by the main
+                # assignment import above — the gauge must stay on the
+                # same dispatch (r14 review)
                 from crossbar_data_process_spark.operators.similarity import (
                     dot,
                 )

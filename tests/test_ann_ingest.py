@@ -1198,3 +1198,35 @@ def test_refit_roundtrips_int8_silver(spark, clustered, centroids, tmp_path):
     assert report["rows"] == 800
     out = read_assigned_silver(spark, str(tmp_path / "silver2"))
     assert {"qvec", "qscale"} <= set(out.columns)  # still int8 storage
+
+
+def test_drift_gauge_arrow_branch_matches_flat_jvm(
+    spark, clustered, centroids, tmp_path
+):
+    """The gauge's two dispatch branches must agree: an arrow-backend
+    sink (re-assign + broadcast centroid dot) and the flat-JVM sink
+    (single array_max walk) compute the SAME per-batch metrics on a
+    flat quantizer — arrow flat assignment is pinned identical to jvm,
+    and for flat assignment the max cosine IS the assigned centroid's
+    (r14 review: the arrow branch was otherwise test-dead)."""
+    import math
+
+    vals = {}
+    for backend in ("jvm", "arrow"):
+        metrics = str(tmp_path / f"metrics_{backend}")
+        sink = ivf_ingest_writer(
+            spark,
+            centroids,
+            str(tmp_path / f"silver_{backend}"),
+            metrics_dir=metrics,
+            assign_backend=backend,
+        )
+        sink(clustered, 0)
+        vals[backend] = spark.read.parquet(metrics).collect()[0]
+    assert vals["jvm"]["n_vectors"] == vals["arrow"]["n_vectors"] == 800
+    assert math.isclose(
+        vals["jvm"]["mean_top1"], vals["arrow"]["mean_top1"], rel_tol=1e-12
+    )
+    assert math.isclose(
+        vals["jvm"]["min_top1"], vals["arrow"]["min_top1"], rel_tol=1e-12
+    )
