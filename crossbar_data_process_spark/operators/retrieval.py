@@ -526,6 +526,27 @@ def compact_bm25_index(
                 src.repartition(dl_target_files).write.mode(
                     "overwrite"
                 ).parquet(staging)
+        # re-list AFTER the staging write (r14 ADVICE): the tf/dl rewrite
+        # is corpus-sized, so a batch ingested during that (long) window
+        # would be read into the fold AND survive as its own batch dir
+        # (not in `old`) — double-counted mass after recovery. The df/
+        # stats race pre-existed but its window was vocab-sized; with the
+        # window now wide, abort cleanly instead: delete staging, skip
+        # the marker, leave every landed batch intact for the next run.
+        now = {
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("batch=")
+        }
+        if now != set(old):
+            _, sp = _fs_and_path(spark, staging)
+            fs.delete(sp, True)
+            raise RuntimeError(
+                f"bm25 compaction aborted: '{table}' batch set changed "
+                f"during the fold (was {sorted(old)}, now {sorted(now)}) — "
+                "a concurrent ingest landed; staging discarded, no data "
+                "touched; re-run compaction"
+            )
         _hadoop_write_text(
             spark,
             f"{path}/{_BM25_PENDING}",

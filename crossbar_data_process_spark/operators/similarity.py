@@ -366,6 +366,7 @@ def _pairs_arrow_grouped(
     threshold: float,
     id_type,
     two_sided: bool,
+    cross_pairs: bool = False,
 ) -> DataFrame:
     """The pair stage as a grouped BLAS kernel (r13): each grid cell
     (cluster[, __ga, __gb]) scores every cross pair in ONE numpy matmul
@@ -393,11 +394,22 @@ def _pairs_arrow_grouped(
     like try_divide's NULLs; the ``id <`` order filter applies inside the
     kernel. The only divergence surface is sub-ulp dot-product summation
     order — byte-identical pair sets on every test corpus
-    (tests/test_semantic_dedup.py, incl. a planted half-boundary case)."""
+    (tests/test_semantic_dedup.py, incl. a planted half-boundary case).
+
+    ``cross_pairs=True`` (r15, the dedup-sink flag kernel): the two sides
+    are DIFFERENT populations (side 0 = silver/corpus, side 1 = incoming
+    batch) and every (left, right) pair is a candidate — the ``id <``
+    order filter is dropped (comparing a silver id against a batch id
+    orders nothing; the sharded grid already lands each cross pair in
+    exactly one cell). Requires ``two_sided=True``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if cross_pairs and not two_sided:
+        raise ValueError(
+            "cross_pairs scoring needs a side-tagged union (two_sided=True)"
+        )
     out_schema = StructType(
         [
             StructField("vec_a", id_type, True),
@@ -461,11 +473,9 @@ def _pairs_arrow_grouped(
             # pre-filter on the RAW scores with a half-ulp guard band
             # (rounding moves a value by ≤ 5e-7), so the exact-rounding
             # work below touches only near-threshold survivors
-            pre = (
-                np.isfinite(s)
-                & (s >= threshold - 1e-6)
-                & (ids_a[sl][:, None] < ids_b[None, :])
-            )
+            pre = np.isfinite(s) & (s >= threshold - 1e-6)
+            if not cross_pairs:
+                pre &= ids_a[sl][:, None] < ids_b[None, :]
             ia, ib = np.nonzero(pre)
             vals = s[ia, ib]
             # HALF_UP at 6 dp: vectorized floor-form for the bulk, exact
@@ -510,6 +520,7 @@ def neighbor_pairs_ivf(
     two_level=None,
     assign_backend: str = "jvm",
     pair_backend: str = "jvm",
+    cap_stats_sink: dict | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
     Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
@@ -565,6 +576,13 @@ def neighbor_pairs_ivf(
     Cross-cluster near-dups (borderline vectors quantized apart) are the
     recall trade vs the LSH multiprobe variant — measured in
     tests/test_semantic_dedup.py.
+
+    ``cap_stats_sink`` (VERDICT r14 #2 — gauges as side-products): pass a
+    dict and the :func:`cluster_cap_stats` numbers are filled EAGERLY
+    from the population table this pair stage already computes over its
+    checkpointed assignment — no corpus re-assignment. Values identical
+    to the standalone form by construction (shared
+    ``_cluster_cap_totals``; assignment is deterministic).
     """
     from crossbar_data_process_spark.operators.ivf import assign_with_backend
 
@@ -603,10 +621,25 @@ def neighbor_pairs_ivf(
         )
     )
     need_sizes = max_cluster_size is not None or shard_target is not None
-    if need_sizes:
+    if need_sizes or cap_stats_sink is not None:
         sizes = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("__csz")
         )
+    if cap_stats_sink is not None:
+        # side-product gauge (VERDICT r14 #2): the cap report from the
+        # SAME population table the levers below consume — one aggregate
+        # over the checkpointed assignment, not the standalone gauge's
+        # full re-assignment of the corpus
+        cap_stats_sink.update(
+            _cluster_cap_totals(
+                sizes.select("cluster", F.col("__csz").alias("csz")),
+                max_cluster_size,
+                shard_target,
+            )
+            .collect()[0]
+            .asDict()
+        )
+    if need_sizes:
         assigned = assigned.join(F.broadcast(sizes), "cluster")
         if max_cluster_size is not None:
             assigned = assigned.filter(F.col("__csz") <= max_cluster_size)
@@ -712,7 +745,14 @@ def cluster_cap_stats(
     (cluster) groupBy, one 1-row aggregate — cheap next to the pair join
     it reports on. Callers who already hold the assigned frame can pass
     it as ``vectors`` with ``vec_col`` untouched (assignment is
-    deterministic, so recomputing yields the identical partition)."""
+    deterministic, so recomputing yields the identical partition).
+
+    At pipeline scale prefer the SIDE-PRODUCT form (VERDICT r14 #2):
+    ``semantic_dedup(..., cap_stats_sink=d)`` /
+    ``neighbor_pairs_ivf(..., cap_stats_sink=d)`` fill the same numbers
+    from the population table the pass already computes — this standalone
+    function re-assigns the whole corpus, which at 5M docs cost as much
+    as the dedup it reported on."""
     from crossbar_data_process_spark.operators.ivf import assign_with_backend
 
     # the shared dispatch (r13 review) — this report previously skipped
@@ -727,6 +767,18 @@ def cluster_cap_stats(
         backend=assign_backend,
     ).select("cluster")
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    return _cluster_cap_totals(sizes, max_cluster_size, shard_target)
+
+
+def _cluster_cap_totals(
+    sizes: DataFrame,
+    max_cluster_size: int | None,
+    shard_target: int | None,
+) -> DataFrame:
+    """The `no silent caps` aggregate over an already-computed
+    (cluster, csz) population table — shared by the standalone re-run
+    form (:func:`cluster_cap_stats`) and the side-product form inside
+    :func:`neighbor_pairs_ivf`, so the two can never drift."""
     dropped = (
         (F.col("csz") > max_cluster_size)
         if max_cluster_size is not None
@@ -763,6 +815,7 @@ def semantic_dedup(
     two_level=None,
     assign_backend: str = "jvm",
     pair_backend: str = "jvm",
+    cap_stats_sink: dict | None = None,
 ) -> DataFrame:
     """SemDeDup end-to-end: k-means-bucketed cosine pairs →
     connected components → one surviving representative per semantic
@@ -776,7 +829,9 @@ def semantic_dedup(
     component resolution touches only pair-involved ids
     (``resolve_neardups``'s contract). At 100 TB this is one silver of
     assignments + a per-cluster self-join — the corpus is shuffled once,
-    on the cluster id."""
+    on the cluster id. ``cap_stats_sink`` threads to
+    :func:`neighbor_pairs_ivf` — the skew report as a side-product of
+    the pass instead of a standalone re-assignment (VERDICT r14 #2)."""
     from crossbar_data_process_spark.operators.textdedup import (
         resolve_neardups,
     )
@@ -792,6 +847,7 @@ def semantic_dedup(
         two_level=two_level,
         assign_backend=assign_backend,
         pair_backend=pair_backend,
+        cap_stats_sink=cap_stats_sink,
     )
     return resolve_neardups(
         vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"

@@ -294,10 +294,26 @@ def lsh_cap_stats(
 
     Cost: the signature/bucket build is the same linear scan the pair
     stage runs, plus one (band, key) groupBy and one small join against
-    the over-cap bucket list (bounded by the number of mega-buckets)."""
+    the over-cap bucket list (bounded by the number of mega-buckets).
+
+    At pipeline scale prefer the SIDE-PRODUCT form (VERDICT r14 #2):
+    ``minhash_lsh_pairs(..., cap_stats_sink=d)`` fills the same numbers
+    from the bucket table the pair stage already materialized — this
+    standalone function re-runs the signature pipeline, which at 5M docs
+    cost as much as the curation it reported on."""
     idx = _shingle_index(docs, text_col, id_col, n)
     sigs = _signatures_from_index(idx, num_hashes)
     buckets = materialize(_band_buckets(sigs, num_hashes, bands))
+    return _lsh_cap_totals(buckets, max_bucket_size)
+
+
+def _lsh_cap_totals(
+    buckets: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """The `no silent caps` aggregate over an already-built (doc, band,
+    key) bucket table — shared by the standalone re-run form
+    (:func:`lsh_cap_stats`) and the side-product form inside
+    :func:`minhash_lsh_pairs`, so the two can never drift."""
     sizes = buckets.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("bsz")
     )
@@ -341,6 +357,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     max_bucket_size: int | None = None,
     cap_mode: str = "drop",
+    cap_stats_sink: dict | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates, verified with exact Jaccard.
 
@@ -386,7 +403,16 @@ def minhash_lsh_pairs(
       one 10⁶-member boilerplate bucket is 5·10¹¹ verify pairs no matter
       how evenly they shard; star linking is the form that bounds WORK,
       not just stragglers.
-    """
+
+    ``cap_stats_sink`` (VERDICT r14 #2 — gauges as side-products): pass a
+    dict and the `no silent caps` numbers (:func:`lsh_cap_stats` columns)
+    are filled EAGERLY from the bucket table this pair stage already
+    materialized — one aggregate over checkpoint blocks, instead of the
+    standalone gauge's full signature-pipeline re-run (which at 5M docs
+    cost as much as the curation it reported on). Values are identical to
+    the standalone form over the same input by construction (shared
+    ``_lsh_cap_totals`` over the same deterministic bucket build; pinned
+    in tests/test_textdedup_caps.py)."""
     if cap_mode not in ("drop", "anchor"):
         raise ValueError(
             f"cap_mode must be 'drop' or 'anchor', got {cap_mode!r}"
@@ -398,6 +424,10 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_index(idx, num_hashes)
     # GC-managed materialization — see the ngram_jaccard_pairs comment
     buckets = materialize(_band_buckets(sigs, num_hashes, bands))
+    if cap_stats_sink is not None:
+        cap_stats_sink.update(
+            _lsh_cap_totals(buckets, max_bucket_size).collect()[0].asDict()
+        )
     anchor_pairs = None
     if max_bucket_size is not None:
         # one count per (band, key) over a window — same partitioning as

@@ -51,6 +51,7 @@ def curate_documents(
     quantile_expectations: dict[str, tuple[float, "callable"]] | None = None,
     lsh_max_bucket_size: int | None = None,
     lsh_cap_mode: str = "drop",
+    lsh_cap_stats_sink: dict | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: one row per SURVIVING document with its
     profile and `cluster_size` (how many near-identical docs it stands
@@ -95,6 +96,13 @@ def curate_documents(
     first). ``lsh_cap_mode="anchor"`` swaps the drop for star linking
     (``minhash_lsh_pairs`` ``cap_mode`` — linear per-bucket work, recall
     deltas measured in BASELINE.md's r14 LSH cap probe).
+
+    ``lsh_cap_stats_sink`` (VERDICT r14 #2): pass a dict and the
+    `no silent caps` numbers are filled as a SIDE-PRODUCT of the near-dup
+    stage's own bucket build — exact (what the LSH stage actually saw:
+    the post-gate, post-exact-dedup stream) and free of the standalone
+    gauge's signature-pipeline re-run. This supersedes estimating over
+    the curated output at pipeline scale (``scripts/llm_build.py``).
 
     All default off so the q55 oracle pipeline is unchanged."""
     from crossbar_data_process_spark.functions.text import (
@@ -185,6 +193,7 @@ def curate_documents(
         threshold=neardup_threshold,
         max_bucket_size=lsh_max_bucket_size,
         cap_mode=lsh_cap_mode,
+        cap_stats_sink=lsh_cap_stats_sink,
     )
     resolved = resolve_neardups(exact_survivors, pairs, id_col=id_col)
     out_text = F.col(text_col)

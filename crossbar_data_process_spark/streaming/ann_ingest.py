@@ -143,6 +143,7 @@ def ivf_ingest_writer(
     pq_residual_centers: list[list[float]] | None = None,
     two_level=None,
     assign_backend: str = "jvm",
+    pair_backend: str = "jvm",
 ):
     """``foreachBatch`` factory. Per (batch_df, batch_id):
 
@@ -199,6 +200,16 @@ def ivf_ingest_writer(
     structure at a cosine threshold below exactness). The drift
     metrics still describe the FULL incoming batch (monitoring sees
     what arrived, not what survived).
+
+    ``pair_backend="arrow"`` (r15) moves BOTH dedup stages off the
+    interpreted expression engine: the within-batch ``semantic_dedup``
+    scores through ``similarity._pairs_arrow_grouped`` and the
+    cross-silver flag through its ``cross_pairs`` form — one numpy
+    matmul per (cluster, shard) cell instead of one interpreted JVM dot
+    per candidate (measured 183–201 s → plain-sink-class per 200k-row
+    batch; flags byte-identical, pinned). ``assign_backend`` keeps
+    governing the WRITE-side assignment; the registry/hash-gated default
+    stays ``"jvm"`` on both.
     """
     from crossbar_data_process_spark.operators.ivf import (
         _centroid_scores,
@@ -222,6 +233,10 @@ def ivf_ingest_writer(
     if assign_backend not in ("jvm", "arrow"):
         raise ValueError(
             f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
+        )
+    if pair_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"pair_backend must be 'jvm' or 'arrow', got {pair_backend!r}"
         )
 
     if pq_codebooks is not None:
@@ -428,6 +443,8 @@ def ivf_ingest_writer(
                 id_col=id_col,
                 vec_col=vec_col,
                 two_level=two_level,
+                assign_backend=pair_backend,
+                pair_backend=pair_backend,
             ).select(id_col)
             batch_df = batch_df.join(survivors, id_col, "left_semi")
             if _has_data():
@@ -441,6 +458,8 @@ def ivf_ingest_writer(
                     vec_col=vec_col,
                     exclude_batch_id=int(batch_id),
                     quantized=quantize,
+                    pair_backend=pair_backend,
+                    two_level=two_level,
                 ).select(id_col)
                 batch_df = batch_df.join(flags, id_col, "left_anti")
         # length/NULL-check at the partition-key source (r11 ADVICE): a
@@ -935,6 +954,9 @@ def flag_semantic_dups(
     vec_col: str = "embedding",
     exclude_batch_id: int | None = None,
     quantized: bool = False,
+    pair_backend: str = "jvm",
+    two_level=None,
+    silver_shard_target: int = 4096,
 ) -> DataFrame:
     """Check an embedding batch against the landed IVF silver — the
     vector twin of ``textdedup.flag_against_index``: one row per
@@ -962,10 +984,41 @@ def flag_semantic_dups(
     qscale never enters (the ``ivf_topk_assigned`` contract); only the
     m/254-per-component rounding moves near-``threshold`` cosines, so
     set the threshold with that band in mind.
+
+    ``pair_backend="arrow"`` (r15, VERDICT r14 #1) swaps the arithmetic
+    engine, not the shape: the per-candidate JVM dot is an interpreted
+    HOF eval (HOFs never codegen) and at production geometry the flag
+    paid Σ_c silver_c·batch_c ≈ 100M+ interpreted dots per batch —
+    measured 183–201 s at 200k-row batches vs the plain sink's 25 s.
+    The arrow path scores each (cluster, silver-shard) cell as ONE numpy
+    matmul via the side-tagged :func:`similarity._pairs_arrow_grouped`
+    transport (``cross_pairs=True`` — batch ⊕ silver cells, no id-order
+    filter). Candidacy, divisors (JVM-computed norms carried verbatim),
+    rounding (exact ``F.round`` HALF_UP parity) and the witness agg are
+    unchanged — flags byte-identical to the JVM path (pinned in
+    tests/test_ann_ingest.py incl. zero-vector and int8 silvers). The
+    silver scan is pruned to the batch's clusters by a STATIC partition
+    filter (the probed cluster set is collected — ≤ nlist ints, the same
+    hyperparameter-sized driver bound as the centroid matrix itself);
+    cell memory is bounded by hashing each over-target silver cluster
+    into ⌈pop/``silver_shard_target``⌉ shards and fanning the (smaller)
+    batch side across them — every cross pair lands in exactly one cell,
+    replication ≈ candidates/target rows, linear and paid only by
+    over-target clusters.
+
+    ``two_level`` (the sink's quantizer, threaded from
+    ``ivf_ingest_writer``) makes the batch probe use the SAME assignment
+    transport the silver was written under — probing the flat argmax
+    cluster for a vector the two-level writer filed elsewhere would miss
+    its duplicates.
     """
-    from crossbar_data_process_spark.operators.ivf import ivf_assign
+    from crossbar_data_process_spark.operators.ivf import assign_with_backend
     from crossbar_data_process_spark.operators.similarity import dot, norm
 
+    if pair_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"pair_backend must be 'jvm' or 'arrow', got {pair_backend!r}"
+        )
     check_centroid_meta(spark, silver_dir, centroids)
     # norms are precomputed ONCE per vector on each side and carried as
     # scalars into the join — cosine() would recompute BOTH array norms
@@ -974,20 +1027,111 @@ def flag_semantic_dups(
     # on neighbor_pairs_ivf's pair stage, r10 ADVICE). Same try_divide
     # zero-norm semantics and 1e-6 rounding as cosine(), so scores are
     # value-identical on every nonzero-norm pair.
+    sv_col = "qvec" if quantized else vec_col
     silver = read_assigned_silver(
         spark, silver_dir, exclude_batch_id=exclude_batch_id
     ).select(
         F.col(id_col).alias("matched_vec"),
-        F.col("qvec" if quantized else vec_col).alias("sv"),
-        norm(F.col("qvec" if quantized else vec_col)).alias("__sn"),
+        F.col(sv_col).alias("sv"),
+        norm(F.col(sv_col)).alias("__sn"),
         F.col(_CLUSTER_COL).cast("int").alias(_CLUSTER_COL),
     )
-    probes = batch_df.select(
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("bv"),
-        norm(F.col(vec_col)).alias("__bn"),
-        ivf_assign(F.col(vec_col), centroids).alias(_CLUSTER_COL),
+    # batch assignment through THE dispatch (assign_with_backend): the
+    # probe must use the same transport the silver was written under
+    # (two_level threaded from the sink), and the arrow branch also
+    # retires the batch-side interpreted O(nlist·dim) argmax walk
+    probes = assign_with_backend(
+        batch_df.select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("bv"),
+            norm(F.col(vec_col)).alias("__bn"),
+        ),
+        "bv",
+        centroids,
+        out_col=_CLUSTER_COL,
+        two_level=two_level,
+        backend=pair_backend,
     )
+    if pair_backend == "arrow":
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        from crossbar_data_process_spark.operators.materialize import (
+            materialize,
+        )
+        from crossbar_data_process_spark.operators.similarity import (
+            _pairs_arrow_grouped,
+        )
+
+        id_type = batch_df.schema[id_col].dataType
+        # assignment feeds the cluster-set collect AND the union side —
+        # materialize so the Arrow projection runs once per batch
+        probes = materialize(probes)
+        bcl = [
+            r[0] for r in probes.select(_CLUSTER_COL).distinct().collect()
+        ]
+        if not bcl:
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(id_col, id_type),
+                        StructField("matched_vec", id_type),
+                        StructField("cosine", DoubleType()),
+                    ]
+                ),
+            )
+        # STATIC partition filter — the probed cluster set is ≤ nlist
+        # ints (hyperparameter-sized, same driver bound as the centroid
+        # matrix), so pruning never rides on runtime DPP
+        silver_p = silver.filter(F.col(_CLUSTER_COL).isin(bcl))
+        sizes = silver_p.groupBy(_CLUSTER_COL).agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        shards = F.greatest(
+            F.lit(1), F.ceil(F.col("__csz") / silver_shard_target)
+        ).cast("int")
+        # silver side: each row in ONE hash shard of its cluster; batch
+        # side: fanned across all of that cluster's shards — every
+        # (silver, batch) cross pair meets in exactly one (cluster, __ga)
+        # cell, silver rows per cell ≤ ~silver_shard_target
+        a_side = (
+            silver_p.join(F.broadcast(sizes), _CLUSTER_COL)
+            .select(
+                F.col(_CLUSTER_COL),
+                F.pmod(
+                    F.xxhash64(F.col("matched_vec"), F.lit(41)), shards
+                )
+                .cast("int")
+                .alias("__ga"),
+                F.col("matched_vec").alias("id"),
+                F.col("sv").cast("array<double>").alias("v"),
+                F.col("__sn").alias("n"),
+                F.lit(0).alias("__side"),
+            )
+        )
+        b_side = (
+            probes.join(F.broadcast(sizes), _CLUSTER_COL)
+            .select(
+                F.col(_CLUSTER_COL),
+                F.explode(F.sequence(F.lit(0), shards - 1)).alias("__ga"),
+                F.col("__bid").alias("id"),
+                F.col("bv").cast("array<double>").alias("v"),
+                F.col("__bn").alias("n"),
+                F.lit(1).alias("__side"),
+            )
+        )
+        matches = _pairs_arrow_grouped(
+            a_side.unionByName(b_side),
+            [_CLUSTER_COL, "__ga"],
+            threshold,
+            id_type,
+            two_sided=True,
+            cross_pairs=True,
+        )
+        return matches.groupBy(F.col("vec_b").alias(id_col)).agg(
+            F.min("vec_a").alias("matched_vec"),
+            F.min_by("cosine", "vec_a").alias("cosine"),
+        )
     matches = (
         silver.join(F.broadcast(probes), _CLUSTER_COL)
         .withColumn(
@@ -1092,7 +1236,12 @@ def drift_verdict(
     """
     from crossbar_data_process_spark.operators.ivf import quantizer_regime
 
-    m = spark.read.parquet(metrics_dir)
+    # empty micro-batches land a metrics row with n_vectors=0 and a NULL
+    # gauge — drop them BEFORE the recency window (r14 ADVICE): otherwise
+    # last_n_batches=1 right after an empty batch raises 'no usable
+    # metrics' instead of folding the most recent real gauge, and
+    # n_batches counts rows that carry no signal.
+    m = spark.read.parquet(metrics_dir).filter(F.col("n_vectors") > 0)
     if last_n_batches is not None:
         from pyspark.sql import Window
 
@@ -1195,12 +1344,30 @@ def refit_ivf_silver(
         write_assigned_corpus,
     )
 
-    if out_dir.rstrip("/") == silver_dir.rstrip("/"):
+    # blue/green guard on the QUALIFIED locations, not the raw strings
+    # (r14 ADVICE): file:///tmp/s vs /tmp/s, scheme/authority-qualified
+    # vs bare, and '.' segments all name the same directory — a textual
+    # compare lets them through and write_assigned_corpus's overwrite
+    # then wipes the source silver the lazy re-assignment still reads.
+    # makeQualified resolves scheme/authority/working-dir and normalizes
+    # segments; for local paths realpath additionally collapses symlinks.
+    fs_out, p_out = _fs_and_path(spark, out_dir)
+    fs_src, p_src = _fs_and_path(spark, silver_dir)
+    q_out = fs_out.makeQualified(p_out).toUri()
+    q_src = fs_src.makeQualified(p_src).toUri()
+    same = str(q_out) == str(q_src)
+    if not same and q_out.getScheme() == "file" and q_src.getScheme() == "file":
+        import os
+
+        same = os.path.realpath(q_out.getPath()) == os.path.realpath(
+            q_src.getPath()
+        )
+    if same:
         raise ValueError(
             "refit_ivf_silver writes blue/green: out_dir must differ from "
             "silver_dir (the re-assignment reads the old silver lazily "
             "while writing — an in-place overwrite would consume its own "
-            "deletes)"
+            f"deletes); both resolve to {q_src}"
         )
     old_fp = None
     fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_CENTROID_META}")

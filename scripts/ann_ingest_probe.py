@@ -93,6 +93,15 @@ def main() -> None:
         "unmeasured at ≥1M-row batches)",
     )
     ap.add_argument(
+        "--pair-backend",
+        choices=("jvm", "arrow"),
+        default="jvm",
+        help="arithmetic backend for the dedup-mode scoring (r15, "
+        "VERDICT r14 #1): 'arrow' scores the within-batch pairs AND the "
+        "cross-silver flag as grouped BLAS matmuls instead of one "
+        "interpreted JVM dot per candidate",
+    )
+    ap.add_argument(
         "--two-level",
         action="store_true",
         help="wrap the centroids in the O(√nlist)-per-row two-level "
@@ -131,6 +140,7 @@ def main() -> None:
         pq_codebooks=books,
         two_level=tl,
         assign_backend=args.backend,
+        pair_backend=args.pair_backend,
     )
 
     walls = []

@@ -187,7 +187,6 @@ def build(
         source_mix_by_tokens,
     )
     from crossbar_data_process_spark.operators.similarity import (
-        cluster_cap_stats,
         semantic_dedup,
     )
     from crossbar_data_process_spark.plans.llm_curation import curate_documents
@@ -212,6 +211,8 @@ def build(
         & (F.col("doc_id") < benchmark_cap)
     ).select("text")
 
+    lsh_caps: dict = {}
+
     def _curate():
         curated = curate_documents(
             docs,
@@ -226,6 +227,11 @@ def build(
             # measured 94% of candidates from 59 buckets at 50k docs and
             # a >79 GB spill death at 500k (BASELINE.md r12)
             lsh_max_bucket_size=64,
+            # side-product gauge (VERDICT r14 #2): the cap report comes
+            # from the bucket table the LSH stage itself materializes —
+            # EXACT (what the stage saw) and free of the old standalone
+            # re-run, which at 5M docs cost ~as much as the stage
+            lsh_cap_stats_sink=lsh_caps,
         )
         # keep the source label with the survivors (curate's projection is
         # its documented 6-column contract)
@@ -238,18 +244,15 @@ def build(
     curated = spark.read.parquet(f"{out}/curated")
 
     # `no silent caps` (VERDICT r12 #3): say how much mass the LSH
-    # mega-bucket cap excluded from near-dup pair generation. Measured
-    # over the curated SILVER (members of dropped buckets were never
-    # deduped, so they survive into it — a faithful estimate that reuses
-    # the persisted stage output instead of re-running the gate).
-    from crossbar_data_process_spark.operators.textdedup import lsh_cap_stats
-
-    _caps = lsh_cap_stats(curated, max_bucket_size=64).collect()[0]
+    # mega-bucket cap excluded from near-dup pair generation — filled by
+    # the side-product sink above, so these are the EXACT bucket numbers
+    # of the pass itself (the r14 form estimated over the curated silver
+    # AND re-ran the whole signature pipeline to do it)
     stages["curate"]["lsh_cap"] = {
         "max_bucket_size": 64,
-        "est_dropped_buckets": int(_caps.n_dropped_buckets),
-        "est_dropped_memberships": int(_caps.n_dropped_memberships),
-        "est_docs_affected": int(_caps.n_docs_affected),
+        "n_dropped_buckets": int(lsh_caps["n_dropped_buckets"]),
+        "n_dropped_memberships": int(lsh_caps["n_dropped_memberships"]),
+        "n_docs_affected": int(lsh_caps["n_docs_affected"]),
     }
 
     # -- stage 2: semantic dedup — feature-hash embeddings, IVF-bucketed
@@ -290,6 +293,11 @@ def build(
         # matmuls — the scale-run posture (this is a scale script, not a
         # hash-gated registry query). Measured: 500k-vector SemDeDup
         # 217 s → 9 s, slope 5.77 → 1.16 per 10× (BASELINE r13)
+        # `no silent caps` as a SIDE-PRODUCT (VERDICT r14 #2): the skew
+        # report comes from the population table the pair stage already
+        # computes over its checkpointed assignment — the r14 form
+        # re-assigned the whole corpus a second time just to report
+        cstats: dict = {}
         survivors = semantic_dedup(
             embedded,
             cents,
@@ -298,26 +306,20 @@ def build(
             two_level=tl,
             assign_backend="arrow",
             pair_backend="arrow",
+            cap_stats_sink=cstats,
         )
         curated.join(survivors.select("doc_id"), "doc_id", "left_semi").write.mode(
             "overwrite"
         ).parquet(f"{out}/semantic")
-        # `no silent caps`: the pair stage's skew posture, quantified —
-        # sharded clusters are split (no recall loss), dropped would be
-        # excluded (none by default; exclusion cap off)
-        cstats = cluster_cap_stats(
-            embedded, cents, id_col="doc_id", two_level=tl,
-            assign_backend="arrow",
-        ).collect()[0]
         stages.setdefault("_semantic_caps", {}).update(
             {
                 "nlist": nl,
                 "two_level": tl is not None,
-                "max_cluster": int(cstats.max_cluster),
-                "n_sharded_clusters": int(cstats.n_sharded_clusters),
-                "n_sharded_docs": int(cstats.n_sharded_docs),
-                "n_dropped_clusters": int(cstats.n_dropped_clusters),
-                "n_dropped_docs": int(cstats.n_dropped_docs),
+                "max_cluster": int(cstats["max_cluster"]),
+                "n_sharded_clusters": int(cstats["n_sharded_clusters"]),
+                "n_sharded_docs": int(cstats["n_sharded_docs"]),
+                "n_dropped_clusters": int(cstats["n_dropped_clusters"]),
+                "n_dropped_docs": int(cstats["n_dropped_docs"]),
             }
         )
         return spark.read.parquet(f"{out}/semantic").count()

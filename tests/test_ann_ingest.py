@@ -1230,3 +1230,153 @@ def test_drift_gauge_arrow_branch_matches_flat_jvm(
     assert math.isclose(
         vals["jvm"]["min_top1"], vals["arrow"]["min_top1"], rel_tol=1e-12
     )
+
+
+def test_flag_arrow_backend_byte_identical_to_jvm(
+    spark, clustered, centroids, tmp_path
+):
+    """VERDICT r14 #1: the Arrow cross-pair kernel must reproduce the JVM
+    flag EXACTLY — same flagged ids, same witnesses, byte-identical
+    cosines — on a float silver AND an int8 silver, with zero vectors on
+    both sides (dropped by both engines: try_divide NULL vs non-finite
+    mask) and with the silver-shard grid forced on (tiny target)."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        flag_semantic_dups,
+    )
+
+    base = {r.vec_id: r.embedding for r in clustered.limit(3).collect()}
+    (id0, v0), (id1, v1) = list(base.items())[:2]
+    batch = spark.createDataFrame(
+        [
+            (9000, [float(x) for x in v0]),                 # exact copy
+            (9001, [float(x) + 0.001 for x in v1]),         # near-dup
+            (9002, [float((i * 37) % 11 - 5) for i in range(32)]),  # novel
+            (9003, [0.0] * 32),                             # zero vector
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    for quant in (False, True):
+        silver = str(tmp_path / f"silver_q{quant}")
+        sink = ivf_ingest_writer(spark, centroids, silver, quantize=quant)
+        sink(clustered, 0)
+        # a zero SILVER vector too — its norm is 0 on the corpus side
+        sink(
+            spark.createDataFrame(
+                [(8999, [0.0] * 32)], "vec_id long, embedding array<float>"
+            ),
+            1,
+        )
+        out = {}
+        for backend in ("jvm", "arrow"):
+            out[backend] = sorted(
+                (r.vec_id, r.matched_vec, r.cosine)
+                for r in flag_semantic_dups(
+                    spark,
+                    silver,
+                    batch,
+                    centroids,
+                    threshold=0.995,
+                    quantized=quant,
+                    pair_backend=backend,
+                    silver_shard_target=37,  # force multi-shard cells
+                ).collect()
+            )
+        assert out["jvm"] == out["arrow"], (quant, out)
+        assert {t[0] for t in out["jvm"]} == {9000, 9001}
+    # replay safety parity: excluding the only batches empties the view
+    none = flag_semantic_dups(
+        spark,
+        str(tmp_path / "silver_qFalse"),
+        batch.limit(0),
+        centroids,
+        threshold=0.995,
+        pair_backend="arrow",
+    )
+    assert none.count() == 0
+    assert set(none.columns) == {"vec_id", "matched_vec", "cosine"}
+
+
+def test_dedup_ingest_arrow_pair_backend_silver_identical(
+    spark, clustered, centroids, tmp_path
+):
+    """The dedup-mode sink with pair_backend='arrow' (within-batch
+    semantic_dedup AND the cross-silver flag on the matmul kernel) lands
+    the exact same silver as the JVM default — ids, clusters, vectors."""
+    sv0 = clustered.limit(1).collect()[0].embedding
+    b0 = clustered.filter(F.col("vec_id") < 700)
+    b1 = spark.createDataFrame(
+        [
+            (20_000, [float(x) for x in sv0]),  # cross-batch re-ingest
+            (20_001, [float((i * 37) % 11 - 5) for i in range(32)]),  # novel
+            (20_002, [float((i * 37) % 11 - 5) for i in range(32)]),  # within-batch dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    landed = {}
+    for backend in ("jvm", "arrow"):
+        silver = str(tmp_path / f"silver_{backend}")
+        sink = ivf_ingest_writer(
+            spark,
+            centroids,
+            silver,
+            dedup_threshold=0.999,
+            pair_backend=backend,
+        )
+        sink(b0, 0)
+        sink(b1, 1)
+        landed[backend] = sorted(
+            (r.vec_id, r.cluster, tuple(r.embedding))
+            for r in read_assigned_silver(spark, silver).collect()
+        )
+    assert landed["jvm"] == landed["arrow"]
+    ids = {t[0] for t in landed["jvm"]}
+    assert 20_001 in ids and 20_000 not in ids and 20_002 not in ids
+
+
+def test_refit_blue_green_guard_resolves_spellings(
+    spark, clustered, centroids, tmp_path
+):
+    """r14 ADVICE: equivalent spellings of the silver dir (scheme-
+    qualified, '.' segments, symlinks) must trip the in-place guard —
+    a textual compare would let write_assigned_corpus wipe the source
+    silver the lazy re-assignment still reads."""
+    import os
+
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        refit_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver)(clustered, 0)
+    link = str(tmp_path / "link")
+    os.symlink(silver, link)
+    for spelling in (f"file:{silver}", f"{tmp_path}/./silver", link):
+        with pytest.raises(ValueError, match="blue/green"):
+            refit_ivf_silver(spark, silver, spelling, nlist=8)
+    # and a genuinely different dir still passes the guard
+    report = refit_ivf_silver(
+        spark, silver, str(tmp_path / "green"), nlist=8, iters=2
+    )
+    assert report["rows"] == 800
+
+
+def test_drift_verdict_ignores_empty_batches(
+    spark, clustered, centroids, tmp_path
+):
+    """r14 ADVICE: an empty micro-batch lands a metrics row with
+    n_vectors=0 and a NULL gauge — the recency window must skip it
+    (last_n_batches=1 right after an empty batch folds the most recent
+    REAL gauge) and n_batches must count only gauge-carrying rows."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        drift_verdict,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(spark, centroids, silver, metrics_dir=metrics)
+    sink(clustered, 0)
+    sink(clustered.filter(F.col("vec_id") < 0), 1)  # empty batch
+    assert spark.read.parquet(metrics).count() == 2
+    v = drift_verdict(spark, metrics, nlist=8, dim=32, last_n_batches=1)
+    assert v["n_batches"] == 1 and v["n_vectors"] == 800
+    assert v["mean_top1"] > 0.0

@@ -455,3 +455,40 @@ def test_lsh_cap_stats_quantifies_dropped_mass(spark):
     assert capped.n_dropped_buckets == 6
     assert capped.n_dropped_memberships == 120
     assert capped.n_docs_affected == 20
+
+
+def test_lsh_cap_side_product_matches_standalone(spark):
+    """VERDICT r14 #2: minhash_lsh_pairs(..., cap_stats_sink=d) must fill
+    the EXACT numbers the standalone lsh_cap_stats re-run reports over
+    the same input — and the pair set must be untouched by the sink."""
+    from crossbar_data_process_spark.operators.textdedup import (
+        lsh_cap_stats,
+        minhash_lsh_pairs,
+    )
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(1, 21)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    docs = _docs(spark, boiler + near)
+    standalone = lsh_cap_stats(docs, max_bucket_size=10).collect()[0].asDict()
+    sink: dict = {}
+    with_sink = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, max_bucket_size=10, cap_stats_sink=sink
+        ).collect()
+    }
+    assert sink == standalone
+    without = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, max_bucket_size=10).collect()
+    }
+    assert with_sink == without
+    # cap off: zeros, and the sink still reports the bucket landscape
+    sink_off: dict = {}
+    minhash_lsh_pairs(docs, cap_stats_sink=sink_off).count()
+    assert sink_off["n_dropped_buckets"] == 0
+    assert sink_off["max_bucket"] >= 20

@@ -774,3 +774,62 @@ def test_ingest_is_batch_sized(spark, tmp_path):
     for t in ("tf", "df", "dl", "stats"):
         assert os.path.exists(f"{path}/{t}/batch=b1")
         os.rename(f"{path}/{t}/__hidden", f"{path}/{t}/batch=b0")
+
+
+def test_compaction_aborts_when_batch_lands_mid_fold(
+    spark, tmp_path, monkeypatch
+):
+    """r14 ADVICE: the tf/dl rewrite made the fold window corpus-sized —
+    a batch ingested DURING the fold would be read into the staging copy
+    and also survive as its own dir (absent from the superseded list),
+    double-counting its mass after the swap. The re-list check must
+    abort: staging discarded, marker never written, every landed batch
+    (including the concurrent one) intact and correctly ranked."""
+    import os
+
+    import pytest
+
+    import crossbar_data_process_spark.operators.retrieval as retrieval
+    from crossbar_data_process_spark.operators.retrieval import (
+        bm25_index_ingest,
+        bm25_topk_indexed,
+        compact_bm25_index,
+    )
+
+    d, q = _corpus_df(spark), _queries_df(spark)
+    path = str(tmp_path / "bm25")
+    bm25_index_ingest(d.filter(F.col("doc_id") <= 3), path, "b0")
+    bm25_index_ingest(
+        d.filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 5)), path, "b1"
+    )
+    late = d.filter(F.col("doc_id") > 5)
+
+    real_materialize = retrieval.materialize
+    fired = {"done": False}
+
+    def landing_materialize(df):
+        # a concurrent writer lands a batch while the df fold is reading
+        if not fired["done"]:
+            fired["done"] = True
+            bm25_index_ingest(late, path, "b_concurrent")
+        return real_materialize(df)
+
+    monkeypatch.setattr(retrieval, "materialize", landing_materialize)
+    with pytest.raises(RuntimeError, match="batch set changed"):
+        compact_bm25_index(spark, path)
+    monkeypatch.setattr(retrieval, "materialize", real_materialize)
+    # nothing lost, nothing staged, marker never written
+    assert not os.path.exists(f"{path}/_pending_compaction.json")
+    assert not any(
+        name.startswith("_staging") for name in os.listdir(f"{path}/df")
+    )
+    for b in ("batch=b0", "batch=b1", "batch=b_concurrent"):
+        assert os.path.exists(f"{path}/df/{b}")
+    assert _ranks(bm25_topk_indexed(spark, path, q)) == _ranks(
+        bm25_topk(d, q)
+    )
+    # and the re-run (quiet window) compacts cleanly
+    compact_bm25_index(spark, path)
+    assert _ranks(bm25_topk_indexed(spark, path, q)) == _ranks(
+        bm25_topk(d, q)
+    )

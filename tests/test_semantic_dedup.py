@@ -304,3 +304,40 @@ def test_arrow_kernel_rounding_matches_spark_round_on_half_boundaries(spark):
         ).collect()
     }
     assert jvm == arrow and len(jvm) >= len(planted)
+
+
+def test_cluster_cap_side_product_matches_standalone(spark, corpus, cents):
+    """VERDICT r14 #2: semantic_dedup(..., cap_stats_sink=d) must fill
+    the EXACT numbers the standalone cluster_cap_stats re-assignment
+    reports, and the survivor set must be untouched by the sink — with
+    and without the shard grid."""
+    from crossbar_data_process_spark.operators.similarity import (
+        cluster_cap_stats,
+        semantic_dedup,
+    )
+
+    for shard_target in (2000, 3):
+        standalone = (
+            cluster_cap_stats(corpus, cents, shard_target=shard_target)
+            .collect()[0]
+            .asDict()
+        )
+        sink: dict = {}
+        with_sink = {
+            (r.vec_id, r.cluster_size)
+            for r in semantic_dedup(
+                corpus,
+                cents,
+                threshold=0.999,
+                shard_target=shard_target,
+                cap_stats_sink=sink,
+            ).collect()
+        }
+        assert sink == standalone, shard_target
+        without = {
+            (r.vec_id, r.cluster_size)
+            for r in semantic_dedup(
+                corpus, cents, threshold=0.999, shard_target=shard_target
+            ).collect()
+        }
+        assert with_sink == without, shard_target
