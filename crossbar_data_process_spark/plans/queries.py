@@ -85,7 +85,10 @@ BENCH_QUERIES = [
     "q43_ddi_merge",
     # r03 additions: the new named surfaces, benchmarked from day one
     "q52_kg_paths",
-    "q53_neardup_resolve",
+    # r15: q53_neardup_resolve's bench slot follows the fold to the
+    # streaming semantic-dedup ingest (2 dedup-sink batches + replay +
+    # full probe priced from day one — the q71/q72 convention)
+    "q73_semantic_dedup_ingest",
     # r04 additions
     "q54_ivf_topk",
     "q55_curation_funnel",
@@ -1276,7 +1279,14 @@ def q26_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-id representative (carrying the member count) or passes through with
 # cluster_size 1. Mirrors dedup_exact's survivors shape; the reference's
 # every dedup returns surviving rows (edge_data/ppi.py:142).
-@query("q53_neardup_resolve", _neardup_resolve_oracle())
+# r15: q53_neardup_resolve folded out of the registry → slot to
+# q73_semantic_dedup_ingest (REGISTRY.md fold table). The recursive
+# min-label component walk it oracled stays registry-checked THREE ways —
+# q55_curation_funnel and q64_streaming_ingest carry the identical
+# text-side walk composed in their oracles, and q73 now runs the SAME walk
+# over embedding pairs — and the former standalone oracle lives on
+# verbatim in tests/test_operator_properties.py::
+# test_neardup_resolve_matches_oracle.
 def q53_neardup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crossbar_data_process_spark.operators.textdedup import resolve_neardups
 
@@ -1691,6 +1701,139 @@ def q72_ann_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(b0, 0)
     sink(b1, 1)
     sink(b1, 1)  # replay — dynamic overwrite must replace, not append
+    out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+# ---------- streaming SEMANTIC-DEDUP ingest under the hash gate (r15,
+# VERDICT r14 #4 — the q64/q72 tricks composed for the dedup-mode sink,
+# the engine's production semantic-ingest path). Two micro-batches land
+# through `ivf_ingest_writer(dedup_threshold=τ)`; batch 1 carries planted
+# EXACT copies — of batch-0 residents (the cross-silver flag must drop
+# them against the landed silver), of its own residents (within-batch
+# `semantic_dedup` must collapse them to the min-id original), and a
+# double-copy pair whose within-batch survivor must STILL be flagged
+# cross-silver — then batch 1 is replayed (`exclude_batch_id` recovery
+# contract) and the landed silver is probed at nprobe == nlist.
+#
+# Why the oracle needs no quantizer: candidacy inside the sink is
+# same-cluster only, but at τ = 0.999 every ≥τ pair in this corpus is a
+# planted IDENTICAL copy (max natural pairwise cosine measured 0.60 at
+# sf0.1) and identical vectors assign identically (same scores, same
+# argmax/tie-break), so same-cluster candidacy ≡ full candidacy and the
+# SQL replay below — full-cross cosine pairs at τ per batch, the q53-form
+# recursive min-label walk (the fold's coverage moving in), min-id
+# survivors, cross-silver flag, then the q54-form full-probe window —
+# reproduces the sink bit-for-bit. A sink that misses a within-batch dup,
+# misses a cross-batch dup, drops an original, or double-lands the replay
+# each perturbs the survivor corpus and fails the hash.
+def _semantic_dedup_ingest_oracle(tau: float = 0.999) -> str:
+    cos_ab = _cosine_sql("a.embedding", "b.embedding")
+    cos_cross = _cosine_sql("y.embedding", "x.embedding")
+    cos_probe = _cosine_sql("qv", "c.embedding")
+
+    def _batch_dedup(tag: str, src: str) -> str:
+        """Within-batch semantic dedup in SQL: cosine pairs at τ →
+        recursive min-label components → min-id survivor per component +
+        singleton pass-through (operators.similarity.semantic_dedup)."""
+        return f"""p{tag} AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb FROM {src} a JOIN {src} b
+    ON a.vec_id < b.vec_id AND {cos_ab} >= {tau}),
+sym{tag} AS (SELECT va AS x, vb AS y FROM p{tag}
+             UNION SELECT vb, va FROM p{tag}),
+n{tag} AS (SELECT DISTINCT x AS id FROM sym{tag}),
+walk{tag}(id, r) AS (
+  SELECT id, id FROM n{tag}
+  UNION
+  SELECT w.id, s.y FROM walk{tag} w JOIN sym{tag} s ON w.r = s.x),
+s{tag} AS (
+  SELECT MIN(id) AS vec_id
+  FROM (SELECT id, MIN(r) AS component FROM walk{tag} GROUP BY id)
+  GROUP BY component
+  UNION ALL
+  SELECT vec_id FROM {src}
+  WHERE vec_id NOT IN (SELECT id FROM n{tag}))"""
+
+    return f"""
+WITH RECURSIVE
+b0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+b1 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id < 2),
+{_batch_dedup("0", "b0")},
+{_batch_dedup("1", "b1")},
+silver0 AS (
+  SELECT e.vec_id, e.embedding FROM b0 e JOIN s0 ON e.vec_id = s0.vec_id),
+surv1 AS (
+  SELECT e.vec_id, e.embedding FROM b1 e JOIN s1 ON e.vec_id = s1.vec_id),
+flagged AS (
+  SELECT DISTINCT y.vec_id
+  FROM surv1 y JOIN silver0 x ON {cos_cross} >= {tau}),
+corpus AS (
+  SELECT vec_id, embedding FROM silver0
+  UNION ALL
+  SELECT vec_id, embedding FROM surv1
+  WHERE vec_id NOT IN (SELECT vec_id FROM flagged)),
+q AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, {cos_probe} AS cosine
+  FROM q JOIN corpus c ON c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+@query("q73_semantic_dedup_ingest", _semantic_dedup_ingest_oracle())
+def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup-mode ingest: batch 0 (evens) → batch 1 (odds + planted exact
+    copies) → replay batch 1 → full-probe top-k over the landed silver.
+    The workload is constant-bounded (vec_id < 10 — _WORKLOAD_BOUNDS);
+    the plants are query-synthesized from that same carve, so the corpus
+    stays the driver's table plus a fixed-size planted set."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from crossbar_data_process_spark.operators.ivf import (
+        ivf_fit,
+        ivf_topk_assigned,
+    )
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        ivf_ingest_writer,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10)
+    dim = e.select(F.size("embedding")).first()[0]
+    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
+    silver = os.path.join(
+        tempfile.gettempdir(), f"ann_dedup_silver_q73_{os.getpid()}"
+    )
+    shutil.rmtree(silver, ignore_errors=True)
+    atexit.register(shutil.rmtree, silver, ignore_errors=True)
+    sink = ivf_ingest_writer(spark, cents, silver, dedup_threshold=0.999)
+    plants = (
+        q.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") < 2).select(
+                (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    b0 = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    b1 = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1).unionByName(plants)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay — exclude_batch_id keeps the flag exactly-once
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
@@ -3302,7 +3445,9 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r14 new surface first
+    # r15 new surface first
+    "q73_semantic_dedup_ingest",
+    # r14 new surface
     "q72_ann_streaming_ingest",
     # r13 new surface
     "q71_bm25_indexed",
@@ -3336,7 +3481,6 @@ _FRONT = [
     "q55_curation_funnel",
     "q05_membership_filters",
     "q12_median_middle",
-    "q53_neardup_resolve",
     "q22_doc_profile",
     "q45_set_ops_attach",
 ]

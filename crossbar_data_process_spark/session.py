@@ -51,11 +51,46 @@ def _default_driver_mem() -> str:
     return f"{max(4, min(24, total_gb // 4))}g"
 
 
+def _input_parquet_bytes() -> int | None:
+    """Total parquet bytes under the bench/driver input dir
+    (``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1) — the
+    input-size signal for the AQE scale margin below (VERDICT r14 #6:
+    the session already reads the cgroup memory limit; reading the input
+    size is the same trick). None when the dir is absent/unreadable —
+    callers treat unknown as 'keep the protective margin'."""
+    root = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        total = 0
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        return total or None
+    except OSError:
+        return None
+
+
+def _initial_partitions(
+    cpus: int, shuffle_partitions: int, input_bytes: int | None
+) -> int:
+    """The AQE starting grain: ceil(input_bytes / 2 MiB), floored at
+    ``shuffle_partitions`` and capped at the protective 4×cpus margin;
+    unknown input keeps the full margin (see the rationale comment at the
+    call site in :func:`get_spark`)."""
+    cap = max(4 * cpus, 4 * shuffle_partitions)
+    if input_bytes is None:
+        return cap
+    return min(
+        cap, max(shuffle_partitions, -(-input_bytes // (2 * 1024 * 1024)))
+    )
+
+
 def get_spark(
     app_name: str = "crossbar-data-process-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    input_bytes: int | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
@@ -70,10 +105,32 @@ def get_spark(
     # ~2M-row per-partition hash maps and dies with "not enough memory
     # to build hash map" (measured, r14 scale-1000 probe — ShuffledHash
     # builds cannot spill). initialPartitionNum makes AQE START
-    # fine-grained and coalesce DOWN by size, so small-scale stages
-    # still end at a handful of tasks (the 18% measurement stands)
-    # while corpus-scale shuffles keep maps bounded and all cores busy.
-    initial_partitions = int(os.environ.get("SPARK_GRAFT_INITIAL_PARTS", max(4 * cpus, 4 * shuffle_partitions)))
+    # fine-grained and coalesce DOWN by size, so corpus-scale shuffles
+    # keep maps bounded and all cores busy.
+    #
+    # r15 (VERDICT r14 #6): the margin is sized from the INPUT instead of
+    # being unconditionally 4×cpus — the flat 4×cpus default cost a
+    # measured ~4-5% at sf0.1 (AQE coalesces, but planning/stat overhead
+    # per initial partition is real) protecting a scale the benchmark
+    # never reaches. Rule: ceil(input_bytes / 2 MiB) initial partitions —
+    # i.e. ~16 MiB of shuffle per partition at the ~8× input→shuffle
+    # amplification the LSH bucket/pair stages exhibit (the r14 wall:
+    # 1.78 GB of 5M-doc corpus → a 30M-row bucket self-join whose
+    # ShuffledHash build maps must stay well under the ~2M-row measured
+    # death) — floored at shuffle_partitions (the r13 small-scale shape,
+    # 18% measurement) and capped at the old protective margin. Unknown
+    # input (no SF dir, e.g. a probe generating /tmp corpora) keeps the
+    # full margin; scale scripts pass `input_bytes` (or the env override)
+    # for corpora the SF dir can't see.
+    env_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTS")
+    if env_parts is not None:
+        initial_partitions = int(env_parts)
+    else:
+        initial_partitions = _initial_partitions(
+            cpus,
+            shuffle_partitions,
+            input_bytes if input_bytes is not None else _input_parquet_bytes(),
+        )
 
     b = (
         SparkSession.builder.appName(app_name)

@@ -110,7 +110,12 @@ def main() -> None:
     args = ap.parse_args()
 
     shutil.rmtree(ROOT, ignore_errors=True)
-    spark = get_spark(app_name="ann_ingest_probe")
+    # input-sized AQE margin (session.py, r15): the generated batches are
+    # invisible to the SF-dir signal — declare their float64 vector bytes
+    spark = get_spark(
+        app_name="ann_ingest_probe",
+        input_bytes=args.batches * args.batch_rows * DIM * 8,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     fit_corpus = gen_batch(spark, 0, args.batch_rows)

@@ -570,7 +570,15 @@ def main() -> None:
 
     from crossbar_data_process_spark import get_spark
 
-    spark = get_spark()
+    # the AQE scale margin is input-sized (session.py, r15): tell the
+    # session how big the /tmp zipf corpus WILL be (the SF-dir signal
+    # can't see it) — ~360 parquet bytes/doc measured on the shared
+    # recipe (178 MB / 500k, 1.78 GB / 5M); the margin's only job is
+    # order-of-magnitude
+    n_docs = {1: 5_000, 10: 50_000, 100: N_XL_DOCS, 1000: N_XXL_DOCS}[
+        args.scale
+    ]
+    spark = get_spark(input_bytes=n_docs * 360)
     spark.sparkContext.setLogLevel("ERROR")
     docs = _load_zipf(spark, args.scale)
     report = build(spark, docs, out, tokenize=args.tokenize)

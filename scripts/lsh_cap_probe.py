@@ -92,7 +92,9 @@ def main() -> None:
         resolve_neardups,
     )
 
-    spark = get_spark()
+    # input-sized AQE margin (session.py, r15): the zipf corpus is
+    # invisible to the SF-dir signal — ~360 parquet bytes/doc measured
+    spark = get_spark(input_bytes=args.n * 360)
     spark.sparkContext.setLogLevel("ERROR")
     docs = _corpus(spark, args.n)
 

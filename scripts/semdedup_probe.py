@@ -204,7 +204,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="semdedup_probe")
+    # input-sized AQE margin (session.py, r15): generated vectors are
+    # invisible to the SF-dir signal — declare their float64 bytes
+    spark = get_spark(
+        app_name="semdedup_probe",
+        input_bytes=args.small * args.factor * DIM * 8,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if args.skew:
         res = run_skew(

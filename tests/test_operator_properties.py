@@ -438,8 +438,10 @@ def test_connected_components_matches_oracle(spark):
     """Connected components over region-cliques (the former q31 registry
     row, folded out in r11 for q68_quantile_rollup — REGISTRY.md): the
     former DuckDB oracle lives on here verbatim. The iterative min-label
-    component family stays registry-oracled via q53_neardup_resolve's
-    recursive component walk over the LSH pair graph."""
+    component family stays registry-oracled via the recursive component
+    walks composed in q55/q64 (text LSH pair graph) and q73 (embedding
+    pairs); the standalone q53 form is pinned below in
+    test_neardup_resolve_matches_oracle (folded out r15)."""
     import duckdb
 
     from crossbar_data_process_spark.plans.queries import (
@@ -544,4 +546,33 @@ def test_cosine_topk_matches_oracle(spark):
         f"read_parquet('{sf}/embeddings.parquet')"
     )
     want = set(map(tuple, con.sql(_COSINE_TOPK_ORACLE).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_neardup_resolve_matches_oracle(spark):
+    """Near-dup resolution (the former q53 registry row, folded out in
+    r15 for q73_semantic_dedup_ingest — REGISTRY.md): the recursive
+    min-label component oracle lives on here verbatim
+    (_neardup_resolve_oracle), and the walk itself stays registry-oracled
+    THREE ways — composed in q55/q64's text oracles and in q73's
+    embedding-pair oracle."""
+    import duckdb
+
+    from crossbar_data_process_spark.plans.queries import (
+        _neardup_resolve_oracle,
+        q53_neardup_resolve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = _spark()
+    got = {
+        (r.doc_id, r.cluster_size)
+        for r in q53_neardup_resolve(s, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = set(map(tuple, con.sql(_neardup_resolve_oracle()).fetchall()))
     assert got == want and len(got) > 0

@@ -138,11 +138,17 @@ def test_no_cartesian_in_any_declared_query(spark, name):
 # (q55: 33 jobs/82 stages, q53: 27/65, q63: 16/30) with ~1.5x headroom —
 # a reuse regression at least doubles the shared-subtree stages.
 def _executed_jobs_stages(spark, name: str) -> tuple[int, int]:
+    # folded-out queries (q53, r15) keep their executed-work pin: the
+    # function survives in plans.queries un-registered, so fall back to
+    # the module attribute when the name left the 50-slot registry
+    import crossbar_data_process_spark.plans.queries as _q
+
+    fn = QUERIES.get(name) or getattr(_q, name)
     sc = spark.sparkContext
     group = f"workpin-{name}"
     sc.setJobGroup(group, name)
     try:
-        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        fn(spark, "/root/testdata/sf0.001").count()
     finally:
         sc.setJobGroup(None, None)
     tracker = sc.statusTracker()
@@ -187,6 +193,9 @@ _WORKLOAD_BOUNDS = {
     # r14: q27_cosine_topk folded out (REGISTRY.md) — its bound lives on
     # in the property test; q72 carries the same 10-query carve
     "q72_ann_streaming_ingest": r'F\.col\("vec_id"\)\s*<\s*10',
+    # r15: the dedup-mode sink row — same 10-query carve; its plants are
+    # synthesized FROM the carve, so the planted set is fixed-size too
+    "q73_semantic_dedup_ingest": r'F\.col\("vec_id"\)\s*<\s*10',
     "q54_ivf_topk": r'F\.col\("vec_id"\)\s*<\s*10',
     # r11: q39_ann_lsh folded out of the registry (REGISTRY.md) — its bound
     # lives on in the property test; q67 carries the same 10-query carve
