@@ -540,7 +540,15 @@ def compact_bm25_index(
         }
         if now != set(old):
             _, sp = _fs_and_path(spark, staging)
-            fs.delete(sp, True)
+            # checked delete (the r13 Hadoop rule this function already
+            # applies below): a false return would leave a corpus-sized
+            # _staging dir invisible behind an 'aborted cleanly' message
+            if fs.exists(sp) and not fs.delete(sp, True):
+                raise IOError(
+                    f"bm25 compaction abort: batch set changed during the "
+                    f"'{table}' fold AND the staging dir could not be "
+                    f"deleted — remove {staging} by hand, then re-run"
+                )
             raise RuntimeError(
                 f"bm25 compaction aborted: '{table}' batch set changed "
                 f"during the fold (was {sorted(old)}, now {sorted(now)}) — "

@@ -412,7 +412,8 @@ def minhash_lsh_pairs(
     cost as much as the curation it reported on). Values are identical to
     the standalone form over the same input by construction (shared
     ``_lsh_cap_totals`` over the same deterministic bucket build; pinned
-    in tests/test_textdedup_caps.py)."""
+    in tests/test_neardup_resolution.py::
+    test_lsh_cap_side_product_matches_standalone)."""
     if cap_mode not in ("drop", "anchor"):
         raise ValueError(
             f"cap_mode must be 'drop' or 'anchor', got {cap_mode!r}"

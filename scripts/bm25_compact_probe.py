@@ -68,7 +68,12 @@ def main() -> None:
     )
 
     shutil.rmtree(ROOT, ignore_errors=True)
-    spark = get_spark(app_name="bm25_compact_probe")
+    # input-sized AQE margin (session.py, r15): generated docs are
+    # invisible to the SF-dir signal (~400 text bytes/doc)
+    spark = get_spark(
+        app_name="bm25_compact_probe",
+        input_bytes=args.batches * args.batch_rows * 400,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     out: dict = {

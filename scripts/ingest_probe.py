@@ -117,7 +117,12 @@ def main() -> None:
     shutil.rmtree(ROOT, ignore_errors=True)
     index_dir, gold_dir = f"{ROOT}/index", f"{ROOT}/gold"
 
-    spark = get_spark(app_name="ingest_probe")
+    # input-sized AQE margin (session.py, r15): generated docs are
+    # invisible to the SF-dir signal (~400 text bytes/doc)
+    spark = get_spark(
+        app_name="ingest_probe",
+        input_bytes=(args.seed_rows + args.batches * args.batch_rows) * 400,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     gen = _Gen()

@@ -253,7 +253,10 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="pq-probe")
+    # input-sized AQE margin (session.py, r15): generated vectors are
+    # invisible to the SF-dir signal (~1M rows at the residual study /
+    # the 10x encode ladder)
+    spark = get_spark(app_name="pq-probe", input_bytes=1_000_000 * DIM * 8)
     spark.sparkContext.setLogLevel("ERROR")
     if args.residual:
         residual_recall(spark)

@@ -66,7 +66,8 @@ TEXT_QUERIES = {
     "q21_doc_exact_dedup",
     "q25_ngram_jaccard",
     "q26b_simhash",
-    "q53_neardup_resolve",
+    # r15: q53 folded out of BENCH_QUERIES (REGISTRY.md) — its successor
+    # q73 reads embeddings, so it stays on the replica path
     "q55_curation_funnel",
     "q58_pack_documents",
     "q59_segment_dedup",
@@ -255,7 +256,17 @@ def main() -> None:
         _gen()
     if not os.path.exists(f"{ZIPF_BIG}/documents.parquet"):
         _gen_zipf()
-    spark = get_spark(app_name="sf1-probe")
+    # input-sized AQE margin (session.py, r15): this session processes
+    # the 10× replica, not the sf0.1 dir the SF-dir signal would see —
+    # declare the replica's actual parquet bytes so the protective
+    # initial-partition grain scales with what the probe really reads
+    replica_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _dirs, fns in os.walk(DST)
+        for fn in fns
+        if fn.endswith(".parquet")
+    )
+    spark = get_spark(app_name="sf1-probe", input_bytes=replica_bytes)
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["q01_pricing_summary"](spark, SRC).limit(1).collect()  # warm
     QUERIES["q21_doc_exact_dedup"](spark, ZIPF_SMALL).limit(1).collect()  # warm
