@@ -1814,13 +1814,33 @@ def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < 10)
     dim = e.select(F.size("embedding")).first()[0]
-    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
+    # nlist scales with the corpus (the SemDeDup E[cluster] ≈ 250 posture
+    # — the sink's within-batch pair stage is Σ cluster², so a PINNED
+    # nlist would make this row quadratic in corpus size on scale
+    # probes). Safe under the hash: the oracle is quantizer-free (see
+    # above) — nlist moves candidacy, and every ≥τ pair co-clusters at
+    # ANY nlist because the plants are identical vectors.
+    n = e.count()
+    nl = max(8, n // 250)
+    cents = ivf_fit(
+        e, dim=dim, nlist=nl, iters=2, driver_fit_rows=max(2048, 8 * nl)
+    )
     silver = os.path.join(
         tempfile.gettempdir(), f"ann_dedup_silver_q73_{os.getpid()}"
     )
     shutil.rmtree(silver, ignore_errors=True)
     atexit.register(shutil.rmtree, silver, ignore_errors=True)
-    sink = ivf_ingest_writer(spark, cents, silver, dedup_threshold=0.999)
+    # pair_backend="arrow": this row gates the PRODUCTION dedup-mode
+    # sink, whose production arithmetic is the r15 Arrow pair kernel —
+    # registering it here puts that kernel under the driver's hash gate
+    # (inverting the keep-JVM-defaults registry convention FOR THIS ROW;
+    # REGISTRY.md records why). Byte-identity with the JVM engine is
+    # separately pinned (tests/test_ann_ingest.py, test_semantic_dedup),
+    # and the interpreted JVM within-batch path scales as the measured
+    # r12 curve (~21 s at 10k rows), which would be the row's sf1 wall.
+    sink = ivf_ingest_writer(
+        spark, cents, silver, dedup_threshold=0.999, pair_backend="arrow"
+    )
     plants = (
         q.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
         .unionByName(
@@ -1834,7 +1854,7 @@ def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(b0, 0)
     sink(b1, 1)
     sink(b1, 1)  # replay — exclude_batch_id keeps the flag exactly-once
-    out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
+    out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=nl)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )

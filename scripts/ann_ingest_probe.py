@@ -102,6 +102,15 @@ def main() -> None:
         "interpreted JVM dot per candidate",
     )
     ap.add_argument(
+        "--refit-nlist",
+        type=int,
+        default=None,
+        help="after the batches land, refit the silver to THIS nlist "
+        "(blue/green) and ingest one more batch on the refitted silver "
+        "— measures the cluster-population lever the dedup-mode cost "
+        "statement points at instead of asserting it",
+    )
+    ap.add_argument(
         "--two-level",
         action="store_true",
         help="wrap the centroids in the O(√nlist)-per-row two-level "
@@ -161,9 +170,67 @@ def main() -> None:
         f"\nflatness: mean(batches 1-3) {early:.2f}s vs mean(last 3) "
         f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
     )
+    if args.refit_nlist:
+        _refit_phase(spark, args, tl)
     if args.compact:
         _compaction_phase(spark, cents, args.batches, books)
     spark.stop()
+
+
+def _refit_phase(spark, args, tl) -> None:
+    """--refit-nlist M (r15, the cluster-population posture EXERCISED):
+    after the batches land, the dedup-mode cost statement says per-batch
+    wall grows with cluster populations at fixed nlist and the lever is
+    a REFIT to a larger quantizer — this leg measures the loop instead
+    of asserting it: cluster stats → blue/green refit at M lists →
+    a fresh sink on the refitted silver → one more batch, with the
+    per-batch wall before/after printed side by side."""
+    from crossbar_data_process_spark.operators.ivf import fit_two_level
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        cluster_size_stats,
+        ivf_ingest_writer,
+        refit_ivf_silver,
+    )
+
+    pre = cluster_size_stats(spark, f"{ROOT}/silver")
+    t0 = time.perf_counter()
+    rep = refit_ivf_silver(
+        spark,
+        f"{ROOT}/silver",
+        f"{ROOT}/silver_refit",
+        nlist=args.refit_nlist,
+        iters=2,
+        require_clustered=False,  # synthetic hash vectors are isotropic
+    )
+    t_refit = time.perf_counter() - t0
+    tl2 = (
+        fit_two_level(rep["centroids"])
+        if args.two_level and args.refit_nlist >= 64
+        else None
+    )
+    post = cluster_size_stats(spark, f"{ROOT}/silver_refit")
+    sink2 = ivf_ingest_writer(
+        spark,
+        rep["centroids"],
+        f"{ROOT}/silver_refit",
+        metrics_dir=f"{ROOT}/metrics_refit",
+        dedup_threshold=args.dedup,
+        two_level=tl2,
+        assign_backend=args.backend,
+        pair_backend=args.pair_backend,
+    )
+    bdf = gen_batch(spark, args.batches * args.batch_rows, args.batch_rows)
+    t0 = time.perf_counter()
+    sink2(bdf, args.batches)
+    t_batch = time.perf_counter() - t0
+    print(
+        f"\nrefit leg: nlist {args.nlist} -> {args.refit_nlist} "
+        f"({rep['rows']} rows re-assigned in {t_refit:.2f}s)\n"
+        f"  mean cluster pop {pre['mean']:.0f} -> {post['mean']:.0f}  "
+        f"(max {pre['max']} -> {post['max']})\n"
+        f"  next {args.batch_rows}-row batch on the refitted silver: "
+        f"{t_batch:.2f}s"
+    )
 
 
 def _silver_files(silver: str) -> tuple[int, int]:
