@@ -164,6 +164,7 @@ def ivf_fit(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     driver_fit_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means coarse quantizer. Returns unit centroids (driver
     list, bounded by nlist). Seeds = the ``nlist`` vectors with the
@@ -180,16 +181,25 @@ def ivf_fit(
     is the same md5 order, so seeds match the distributed path exactly;
     iterations follow the same argmax-first tie-break and empty-cluster
     rule. At 100 TB this is the intended quantizer-training shape — the
-    corpus-sized work (assignment) stays distributed either way."""
+    corpus-sized work (assignment) stays distributed either way.
+
+    ``n_rows``: the caller's already-known row count of ``vectors`` —
+    saves the sample path's own count scan (a caller that just sized
+    nlist from a count would otherwise scan the corpus twice, r15
+    review). Ignored under ``sample_fraction`` (the sampled frame's
+    count differs from the input's)."""
     train = vectors
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=42)
+        n_rows = None
     train = _unit(train, vec_col, "__u").select(
         F.col(id_col).alias("__id"), "__u"
     )
 
     if driver_fit_rows is not None:
-        x = _collect_unit_sample(train, max(driver_fit_rows, nlist))
+        x = _collect_unit_sample(
+            train, max(driver_fit_rows, nlist), total=n_rows
+        )
         return _numpy_lloyds(x, nlist, iters)
 
     train = materialize(train)  # consumed once per iteration
@@ -221,7 +231,7 @@ def ivf_fit(
     return centroids
 
 
-def _md5_smallest(train: DataFrame, n: int) -> list:
+def _md5_smallest(train: DataFrame, n: int, total: int | None = None) -> list:
     """The ``n`` md5(id)-smallest ``__u`` rows of a prepped ``(__id, __u)``
     frame — the fit paths' shared deterministic sample.
 
@@ -239,7 +249,8 @@ def _md5_smallest(train: DataFrame, n: int) -> list:
     ~impossible at 4×, but the guard makes it a slow path instead of a
     wrong answer), fall back to the unfiltered plan."""
     k = F.md5(F.col("__id").cast("string"))
-    total = train.count()
+    if total is None:
+        total = train.count()
     if total > 4 * n:
         frac = (4.0 * n) / total
         # 8-hex-digit prefix threshold; +1 so tiny fractions never round
@@ -252,15 +263,18 @@ def _md5_smallest(train: DataFrame, n: int) -> list:
     return train.orderBy(k).limit(n).select("__u").collect()
 
 
-def _collect_unit_sample(train: DataFrame, n: int):
+def _collect_unit_sample(train: DataFrame, n: int, total: int | None = None):
     """ONE bounded collect job: the ``n`` md5-smallest unit vectors of a
     prepped ``(__id, __u)`` frame as an (n, dim) float64 matrix — driver
     memory is n×dim doubles, a hyperparameter, never data-sized. The
-    md5 order matches the distributed fit path's seeding exactly."""
+    md5 order matches the distributed fit path's seeding exactly.
+    ``total``: the caller's known row count, saving the sample's own
+    count scan."""
     import numpy as np
 
     return np.array(
-        [r["__u"] for r in _md5_smallest(train, n)], dtype=np.float64
+        [r["__u"] for r in _md5_smallest(train, n, total=total)],
+        dtype=np.float64,
     )
 
 

@@ -1822,8 +1822,15 @@ def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ANY nlist because the plants are identical vectors.
     n = e.count()
     nl = max(8, n // 250)
+    # n_rows=n: the fit's sample path would otherwise re-count the frame
+    # this query just counted to size nlist (r15 review pass 2)
     cents = ivf_fit(
-        e, dim=dim, nlist=nl, iters=2, driver_fit_rows=max(2048, 8 * nl)
+        e,
+        dim=dim,
+        nlist=nl,
+        iters=2,
+        driver_fit_rows=max(2048, 8 * nl),
+        n_rows=n,
     )
     silver = os.path.join(
         tempfile.gettempdir(), f"ann_dedup_silver_q73_{os.getpid()}"

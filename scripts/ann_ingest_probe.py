@@ -171,13 +171,13 @@ def main() -> None:
         f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
     )
     if args.refit_nlist:
-        _refit_phase(spark, args, tl)
+        _refit_phase(spark, args)
     if args.compact:
         _compaction_phase(spark, cents, args.batches, books)
     spark.stop()
 
 
-def _refit_phase(spark, args, tl) -> None:
+def _refit_phase(spark, args) -> None:
     """--refit-nlist M (r15, the cluster-population posture EXERCISED):
     after the batches land, the dedup-mode cost statement says per-batch
     wall grows with cluster populations at fixed nlist and the lever is
@@ -185,7 +185,6 @@ def _refit_phase(spark, args, tl) -> None:
     of asserting it: cluster stats → blue/green refit at M lists →
     a fresh sink on the refitted silver → one more batch, with the
     per-batch wall before/after printed side by side."""
-    from crossbar_data_process_spark.operators.ivf import fit_two_level
     from crossbar_data_process_spark.streaming.ann_ingest import (
         cluster_size_stats,
         ivf_ingest_writer,
@@ -203,19 +202,20 @@ def _refit_phase(spark, args, tl) -> None:
         require_clustered=False,  # synthetic hash vectors are isotropic
     )
     t_refit = time.perf_counter() - t0
-    tl2 = (
-        fit_two_level(rep["centroids"])
-        if args.two_level and args.refit_nlist >= 64
-        else None
-    )
     post = cluster_size_stats(spark, f"{ROOT}/silver_refit")
+    # the refit contract: the NEXT sink takes the returned centroids AND
+    # the returned two_level — refit_ivf_silver re-assigned the silver
+    # two-level whenever refit_nlist ≥ its threshold, so pairing the
+    # refitted silver with a flat sink would file a batch vector in a
+    # different cluster than its landed twin and silently miss dups
+    # (review pass 2)
     sink2 = ivf_ingest_writer(
         spark,
         rep["centroids"],
         f"{ROOT}/silver_refit",
         metrics_dir=f"{ROOT}/metrics_refit",
         dedup_threshold=args.dedup,
-        two_level=tl2,
+        two_level=rep["two_level"],
         assign_backend=args.backend,
         pair_backend=args.pair_backend,
     )

@@ -177,19 +177,17 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    # input-sized AQE margin (session.py, r15): generated vectors are
-    # invisible to the SF-dir signal — declare the largest probe corpus
-    all_sizes = [
-        int(s)
-        for s in (args.flat_sizes + "," + args.two_sizes).split(",")
-        if s
-    ]
-    spark = get_spark(
-        app_name="ivf_assign_probe", input_bytes=max(all_sizes) * DIM * 8
-    )
-    spark.sparkContext.setLogLevel("ERROR")
     flat_sizes = [int(s) for s in args.flat_sizes.split(",") if s]
     two_sizes = [int(s) for s in args.two_sizes.split(",") if s]
+    # input-sized AQE margin (session.py, r15): generated vectors are
+    # invisible to the SF-dir signal — declare the largest probe corpus
+    # (default=0 keeps the both-ladders-empty invocation working, where
+    # the margin is moot anyway — review pass 2)
+    spark = get_spark(
+        app_name="ivf_assign_probe",
+        input_bytes=max(flat_sizes + two_sizes, default=0) * DIM * 8,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for n in sorted(set(flat_sizes) | set(two_sizes)):
         rows.append(
