@@ -198,8 +198,11 @@ def ivf_ingest_writer(
     batch-sized because exact-fp and LSH probes touch only COLLIDING
     index rows; a vector near-dup check has no sparse collision
     structure at a cosine threshold below exactness). The drift
-    metrics still describe the FULL incoming batch (monitoring sees
-    what arrived, not what survived).
+    metrics describe the FULL incoming batch, and in dedup mode the
+    row additionally carries ``n_landed`` (rows the batch actually
+    wrote, read back batch-pruned — r15) so the drop rate
+    ``1 − n_landed/n_vectors`` is monitorable without re-running
+    anything.
 
     ``pair_backend="arrow"`` (r15) moves BOTH dedup stages off the
     interpreted expression engine: the within-batch ``semantic_dedup``
@@ -577,6 +580,29 @@ def ivf_ingest_writer(
                 F.avg(top1).alias("mean_top1"),
                 F.min(top1).alias("min_top1"),
             )
+            if dedup_threshold is not None:
+                # dedup mode: monitoring must see what SURVIVED, not
+                # just what arrived (r15 — this was the docstring's
+                # stated blind spot): n_landed = the rows this batch
+                # actually wrote, read back batch-pruned from the leaves
+                # the write just committed (no recompute of the dedup
+                # pipeline; the silver listing is already paid each
+                # batch by the cross-silver flag). drop rate =
+                # 1 − n_landed/n_vectors, the alerting signal for a
+                # dup-storm or a threshold misconfiguration.
+                # _has_data guard: an all-dropped (or empty) FIRST batch
+                # leaves a dataless silver parquet can't infer a schema
+                # from — that's legitimately n_landed = 0
+                n_landed = (
+                    spark.read.parquet(silver_dir)
+                    .filter(F.col(BATCH_COL) == int(batch_id))
+                    .count()
+                    if _has_data()
+                    else 0
+                )
+                metrics = metrics.withColumn(
+                    "n_landed", F.lit(int(n_landed)).cast("long")
+                )
             _write_batch_partition(metrics, metrics_dir, batch_id)
 
     return _sink

@@ -16,6 +16,7 @@ from crossbar_data_process_spark.operators.ivf import (
     write_assigned_corpus,
 )
 from crossbar_data_process_spark.streaming.ann_ingest import (
+    BATCH_COL,
     ivf_ingest_writer,
     read_assigned_silver,
 )
@@ -1380,3 +1381,52 @@ def test_drift_verdict_ignores_empty_batches(
     v = drift_verdict(spark, metrics, nlist=8, dim=32, last_n_batches=1)
     assert v["n_batches"] == 1 and v["n_vectors"] == 800
     assert v["mean_top1"] > 0.0
+
+
+def test_dedup_metrics_carry_n_landed(spark, clustered, centroids, tmp_path):
+    """r15: in dedup mode the per-batch metrics row must say what
+    SURVIVED, not just what arrived — n_landed = rows actually written,
+    so drop rate is monitorable. Plain sinks keep the 3-column row."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        drift_verdict,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(
+        spark,
+        centroids,
+        silver,
+        metrics_dir=metrics,
+        dedup_threshold=0.999,
+    )
+    seed = clustered.filter(F.col("vec_id") < 700)
+    sink(seed, 0)
+    sv0 = seed.limit(1).collect()[0].embedding
+    batch = spark.createDataFrame(
+        [
+            (30_000, [float(x) for x in sv0]),   # cross-batch re-ingest
+            (30_001, [float(x) + 1.5 for x in sv0]),  # novel
+            (30_002, [float(x) + 1.5 for x in sv0]),  # within-batch dup
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    sink(batch, 1)
+    rows = {
+        r[BATCH_COL]: r for r in spark.read.parquet(metrics).collect()
+    }
+    assert rows[0]["n_vectors"] == 700 and rows[0]["n_landed"] == 700
+    assert rows[1]["n_vectors"] == 3 and rows[1]["n_landed"] == 1
+    # the verdict fold still reads the extended rows
+    v = drift_verdict(spark, metrics, nlist=8, dim=32)
+    assert v["n_vectors"] == 703
+    # plain sink: 3-column row, no n_landed
+    psink = ivf_ingest_writer(
+        spark,
+        centroids,
+        str(tmp_path / "plain"),
+        metrics_dir=str(tmp_path / "pmetrics"),
+    )
+    psink(seed, 0)
+    pcols = set(spark.read.parquet(str(tmp_path / "pmetrics")).columns)
+    assert "n_landed" not in pcols
