@@ -153,7 +153,9 @@ def ivf_ingest_writer(
        dynamic partition overwrite (replay-safe append to the probed
        layout);
     3. if ``metrics_dir`` is given, write one metrics row for the batch:
-       (n_vectors, mean_top1, min_top1) — the distributed drift gauge.
+       (n_vectors, mean_top1, min_top1) — the distributed drift gauge —
+       plus ``n_landed`` (rows actually written, observed on the write
+       job) when ``dedup_threshold`` is set.
 
     ``quantize=True`` stores int8 codes + qscale (4× smaller silver),
     matching ``write_assigned_corpus(..., quantize=True)``; assignment
@@ -529,6 +531,22 @@ def ivf_ingest_writer(
             # shuffle caps it at ≤nlist files/batch. Below the threshold
             # the shuffle would only cut write parallelism (nlist < cores).
             to_write = to_write.repartition(F.col(_CLUSTER_COL))
+        landed_obs = None
+        if metrics_dir is not None and dedup_threshold is not None:
+            # n_landed rides the write itself as an Observation (review
+            # pass 3 — the compact_ivf_silver r10 lesson: a separate
+            # count() re-lists and re-scans the growing silver every
+            # batch, a silver-sized metadata walk in exactly the
+            # file-count-dominated regime this gauge monitors). Dynamic
+            # overwrite makes rows-written == the batch's landed
+            # partition, replay included, so the observed count IS
+            # n_landed for zero extra jobs.
+            from pyspark.sql import Observation
+
+            landed_obs = Observation()
+            to_write = to_write.observe(
+                landed_obs, F.count(F.lit(1)).alias("rows")
+            )
         (
             to_write.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -580,28 +598,20 @@ def ivf_ingest_writer(
                 F.avg(top1).alias("mean_top1"),
                 F.min(top1).alias("min_top1"),
             )
-            if dedup_threshold is not None:
+            if landed_obs is not None:
                 # dedup mode: monitoring must see what SURVIVED, not
                 # just what arrived (r15 — this was the docstring's
                 # stated blind spot): n_landed = the rows this batch
-                # actually wrote, read back batch-pruned from the leaves
-                # the write just committed (no recompute of the dedup
-                # pipeline; the silver listing is already paid each
-                # batch by the cross-silver flag). drop rate =
-                # 1 − n_landed/n_vectors, the alerting signal for a
-                # dup-storm or a threshold misconfiguration.
-                # _has_data guard: an all-dropped (or empty) FIRST batch
-                # leaves a dataless silver parquet can't infer a schema
-                # from — that's legitimately n_landed = 0
-                n_landed = (
-                    spark.read.parquet(silver_dir)
-                    .filter(F.col(BATCH_COL) == int(batch_id))
-                    .count()
-                    if _has_data()
-                    else 0
-                )
+                # actually wrote, observed on the write job above. Drop
+                # rate = 1 − n_landed/n_vectors, the alerting signal for
+                # a dup-storm or a threshold misconfiguration. NOTE for
+                # readers of PRE-r15 metrics dirs resumed under this
+                # writer: old rows lack the column — select n_landed
+                # with .option("mergeSchema", "true") so parquet doesn't
+                # sample an old file's 3-column schema for the whole dir.
                 metrics = metrics.withColumn(
-                    "n_landed", F.lit(int(n_landed)).cast("long")
+                    "n_landed",
+                    F.lit(int(landed_obs.get["rows"])).cast("long"),
                 )
             _write_batch_partition(metrics, metrics_dir, batch_id)
 

@@ -1412,11 +1412,13 @@ def test_dedup_metrics_carry_n_landed(spark, clustered, centroids, tmp_path):
         "vec_id long, embedding array<float>",
     )
     sink(batch, 1)
+    sink(seed.filter(F.col("vec_id") < 0), 2)  # empty batch: lands 0
     rows = {
         r[BATCH_COL]: r for r in spark.read.parquet(metrics).collect()
     }
     assert rows[0]["n_vectors"] == 700 and rows[0]["n_landed"] == 700
     assert rows[1]["n_vectors"] == 3 and rows[1]["n_landed"] == 1
+    assert rows[2]["n_vectors"] == 0 and rows[2]["n_landed"] == 0
     # the verdict fold still reads the extended rows
     v = drift_verdict(spark, metrics, nlist=8, dim=32)
     assert v["n_vectors"] == 703
