@@ -155,6 +155,64 @@ def _unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     )
 
 
+# The E[cluster] ≈ 250 sizing posture (codified r16, VERDICT r15 #2 —
+# one definition instead of BASELINE prose + per-caller copies of
+# `max(8, n // 250)`). Why 250: the dense stages are Σ_c |cluster_c|²
+# (within-cluster pair scoring) and O(per-row assignment cost · nlist)
+# — a few hundred rows per list keeps pair cells matmul-sized while the
+# two-level transport keeps assignment O(√nlist). Both ends of the dial
+# are MEASURED failures, not taste: undershoot leaves mega-clusters
+# whose pair stage is quadratic (r12: top cluster 34× the median carried
+# 66% of 813M pairs at 500k docs); overshoot buys nothing after clusters
+# are already matmul-sized and pays the file-count/shuffle floor — the
+# r15 5M-row probe's refit to nlist=16384 at a 3M silver cut candidate
+# volume 4× yet DOUBLED the next batch wall (BASELINE.md r15).
+_TARGET_CLUSTER_ROWS = 250
+
+
+def suggest_nlist(
+    n_rows: int,
+    target_cluster_rows: int = _TARGET_CLUSTER_ROWS,
+    floor: int = 8,
+) -> int:
+    """The quantizer granularity the E[cluster] ≈ ``target_cluster_rows``
+    posture prescribes for an ``n_rows`` corpus: ``n_rows //
+    target_cluster_rows``, floored (k-means below ~8 lists is just a
+    partition, and the fit sample's 8-per-centroid rule needs somewhere
+    to stand). Callers that size nlist themselves should stay within
+    ~4× of this or expect the measured overshoot wall (see
+    ``_TARGET_CLUSTER_ROWS`` above); :func:`refit_ivf_silver` warns."""
+    if target_cluster_rows <= 0:
+        raise ValueError(
+            f"target_cluster_rows must be positive, got {target_cluster_rows}"
+        )
+    return max(floor, int(n_rows) // int(target_cluster_rows))
+
+
+def warn_nlist_overshoot(nlist: int, n_rows: int, where: str) -> None:
+    """One warning when a caller's explicit ``nlist`` overshoots the
+    posture by >4× — i.e. E[cluster] < ~62 rows: past that point extra
+    lists stop cutting dense work (cells are already tiny) and start
+    costing real wall in files, tasks, and shuffle floor (the r15 5M
+    probe's honest negative: refit to 16384 lists at a 3M silver doubled
+    the next batch wall). A warning, not an error: skew-heavy corpora
+    can legitimately want finer grain, and the caller may know that."""
+    suggested = suggest_nlist(n_rows)
+    if nlist > 4 * suggested:
+        import warnings
+
+        warnings.warn(
+            f"{where}: nlist={nlist} overshoots the E[cluster]≈"
+            f"{_TARGET_CLUSTER_ROWS} posture for {n_rows} rows "
+            f"(suggest_nlist → {suggested}) by more than 4×. Measured at "
+            "5M rows: candidate volume shrinks but per-batch wall "
+            "DOUBLES on the file-count/shuffle floor (BASELINE.md r15). "
+            "Size with suggest_nlist() unless the cluster-size skew "
+            "stats say otherwise.",
+            stacklevel=3,
+        )
+
+
 def ivf_fit(
     vectors: DataFrame,
     dim: int,

@@ -552,8 +552,11 @@ def compact_bm25_index(
             raise RuntimeError(
                 f"bm25 compaction aborted: '{table}' batch set changed "
                 f"during the fold (was {sorted(old)}, now {sorted(now)}) — "
-                "a concurrent ingest landed; staging discarded, no data "
-                "touched; re-run compaction"
+                f"a concurrent ingest landed; staging discarded, no "
+                f"'{table}' data touched. Tables folded EARLIER in this "
+                "run may already be compacted — a consistent state (each "
+                "table folds additively on its own), not a no-op; re-run "
+                "compaction"
             )
         _hadoop_write_text(
             spark,

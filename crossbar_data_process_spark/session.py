@@ -51,14 +51,18 @@ def _default_driver_mem() -> str:
     return f"{max(4, min(24, total_gb // 4))}g"
 
 
-def _input_parquet_bytes() -> int | None:
-    """Total parquet bytes under the bench/driver input dir
-    (``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1) — the
-    input-size signal for the AQE scale margin below (VERDICT r14 #6:
-    the session already reads the cgroup memory limit; reading the input
-    size is the same trick). None when the dir is absent/unreadable —
-    callers treat unknown as 'keep the protective margin'."""
-    root = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _input_parquet_bytes(root: str | None = None) -> int | None:
+    """Total parquet bytes under ``root`` — the input-size signal for the
+    AQE scale margin below (VERDICT r14 #6: the session already reads
+    the cgroup memory limit; reading the input size is the same trick).
+    ``root=None`` falls back to the bench/driver convention
+    (``$SPARK_GRAFT_SF_DIR``, default /root/testdata/sf0.1); entry
+    points that know their real data dir pass it (VERDICT r15 #4 — a
+    session built for sf0.01 must not size its grain from sf0.1's
+    bytes just because the env is unset). None when the dir is
+    absent/unreadable — callers treat unknown as 'keep the protective
+    margin'."""
+    root = root or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         total = 0
         for dirpath, _dirs, files in os.walk(root):
@@ -91,6 +95,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     input_bytes: int | None = None,
+    input_dir: str | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
@@ -122,6 +127,14 @@ def get_spark(
     # input (no SF dir, e.g. a probe generating /tmp corpora) keeps the
     # full margin; scale scripts pass `input_bytes` (or the env override)
     # for corpora the SF dir can't see.
+    #
+    # r16 (VERDICT r15 #4): entry points that know their real data dir
+    # pass `input_dir` so the signal follows the data the session will
+    # ACTUALLY read — with only the env-dir fallback, a sf0.01
+    # correctness session on an unset env sized its grain from sf0.1's
+    # bytes (~91 initial parts instead of ~8; harmless under AQE
+    # coalescing, but the signal was wrong). Precedence: explicit
+    # bytes > explicit dir > env dir > default dir.
     env_parts = os.environ.get("SPARK_GRAFT_INITIAL_PARTS")
     if env_parts is not None:
         initial_partitions = int(env_parts)
@@ -129,7 +142,9 @@ def get_spark(
         initial_partitions = _initial_partitions(
             cpus,
             shuffle_partitions,
-            input_bytes if input_bytes is not None else _input_parquet_bytes(),
+            input_bytes
+            if input_bytes is not None
+            else _input_parquet_bytes(input_dir),
         )
 
     b = (

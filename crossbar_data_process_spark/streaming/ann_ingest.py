@@ -212,9 +212,12 @@ def ivf_ingest_writer(
     cross-silver flag through its ``cross_pairs`` form — one numpy
     matmul per (cluster, shard) cell instead of one interpreted JVM dot
     per candidate (measured 183–201 s → plain-sink-class per 200k-row
-    batch; flags byte-identical, pinned). ``assign_backend`` keeps
-    governing the WRITE-side assignment; the registry/hash-gated default
-    stays ``"jvm"`` on both.
+    batch; flags byte-identical, pinned). ``assign_backend`` governs
+    the ASSIGNMENT arithmetic everywhere a batch vector is filed into a
+    cluster — the write-side landing AND (r16, the r15 ADVICE) the
+    cross-silver flag's probe side, so candidacy matches the silver's
+    filing by construction rather than by the cross-backend argmax pins
+    alone; ``pair_backend`` governs pair SCORING only.
     """
     from crossbar_data_process_spark.operators.ivf import (
         _centroid_scores,
@@ -448,7 +451,12 @@ def ivf_ingest_writer(
                 id_col=id_col,
                 vec_col=vec_col,
                 two_level=two_level,
-                assign_backend=pair_backend,
+                # one engine files every batch vector into a cluster
+                # (r16): within-batch candidacy is self-consistent under
+                # any single engine, but the survivors LAND under
+                # assign_backend — keep the whole sink on one filing
+                # arithmetic so the contract reads the same everywhere
+                assign_backend=assign_backend,
                 pair_backend=pair_backend,
             ).select(id_col)
             batch_df = batch_df.join(survivors, id_col, "left_semi")
@@ -465,6 +473,11 @@ def ivf_ingest_writer(
                     quantized=quantize,
                     pair_backend=pair_backend,
                     two_level=two_level,
+                    # the silver's write-side engine (r16, the r15
+                    # ADVICE): probe-side candidacy must file each batch
+                    # vector where THIS sink's writer filed its landed
+                    # twin, whatever engine scores the pairs
+                    assign_backend=assign_backend,
                 ).select(id_col)
                 batch_df = batch_df.join(flags, id_col, "left_anti")
         # length/NULL-check at the partition-key source (r11 ADVICE): a
@@ -604,10 +617,11 @@ def ivf_ingest_writer(
                 # stated blind spot): n_landed = the rows this batch
                 # actually wrote, observed on the write job above. Drop
                 # rate = 1 − n_landed/n_vectors, the alerting signal for
-                # a dup-storm or a threshold misconfiguration. NOTE for
-                # readers of PRE-r15 metrics dirs resumed under this
-                # writer: old rows lack the column — select n_landed
-                # with .option("mergeSchema", "true") so parquet doesn't
+                # a dup-storm or a threshold misconfiguration, folded
+                # into a threshold verdict by dedup_rate_verdict (r16).
+                # PRE-r15 metrics rows lack the column — which is why
+                # read_ingest_metrics (the one sanctioned reader of this
+                # dir) always merges footers instead of letting parquet
                 # sample an old file's 3-column schema for the whole dir.
                 metrics = metrics.withColumn(
                     "n_landed",
@@ -993,6 +1007,7 @@ def flag_semantic_dups(
     pair_backend: str = "jvm",
     two_level=None,
     silver_shard_target: int = 4096,
+    assign_backend: str | None = None,
 ) -> DataFrame:
     """Check an embedding batch against the landed IVF silver — the
     vector twin of ``textdedup.flag_against_index``: one row per
@@ -1047,6 +1062,15 @@ def flag_semantic_dups(
     transport the silver was written under — probing the flat argmax
     cluster for a vector the two-level writer filed elsewhere would miss
     its duplicates.
+
+    ``assign_backend`` (r16, the r15 ADVICE): the ARITHMETIC ENGINE of
+    the probe's cluster assignment, threaded from the sink so it matches
+    the engine the silver was LANDED under — same-cluster candidacy is
+    correct by construction instead of resting on the cross-backend
+    argmax byte-identity pins (which stay, as the second line of
+    defense: tests/test_ivf_ann.py). ``None`` keeps the pre-r16
+    behavior (assignment rides ``pair_backend``) for direct callers;
+    ``ivf_ingest_writer`` always threads its own.
     """
     from crossbar_data_process_spark.operators.ivf import assign_with_backend
     from crossbar_data_process_spark.operators.similarity import dot, norm
@@ -1054,6 +1078,12 @@ def flag_semantic_dups(
     if pair_backend not in ("jvm", "arrow"):
         raise ValueError(
             f"pair_backend must be 'jvm' or 'arrow', got {pair_backend!r}"
+        )
+    if assign_backend is None:
+        assign_backend = pair_backend
+    if assign_backend not in ("jvm", "arrow"):
+        raise ValueError(
+            f"assign_backend must be 'jvm' or 'arrow', got {assign_backend!r}"
         )
     check_centroid_meta(spark, silver_dir, centroids)
     # norms are precomputed ONCE per vector on each side and carried as
@@ -1073,9 +1103,9 @@ def flag_semantic_dups(
         F.col(_CLUSTER_COL).cast("int").alias(_CLUSTER_COL),
     )
     # batch assignment through THE dispatch (assign_with_backend): the
-    # probe must use the same transport the silver was written under
-    # (two_level threaded from the sink), and the arrow branch also
-    # retires the batch-side interpreted O(nlist·dim) argmax walk
+    # probe must use the same transport (two_level) AND the same
+    # arithmetic engine (assign_backend) the silver was written under —
+    # a vector filed in cluster c by the writer must probe cluster c
     probes = assign_with_backend(
         batch_df.select(
             F.col(id_col).alias("__bid"),
@@ -1086,7 +1116,7 @@ def flag_semantic_dups(
         centroids,
         out_col=_CLUSTER_COL,
         two_level=two_level,
-        backend=pair_backend,
+        backend=assign_backend,
     )
     if pair_backend == "arrow":
         from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1246,6 +1276,39 @@ def cluster_size_stats(spark: SparkSession, silver_dir: str) -> dict:
     }
 
 
+def read_ingest_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """THE reader for a sink's per-batch metrics dir (r16, the r15
+    ADVICE): always ``mergeSchema=true``. The metrics schema grew a
+    column in r15 (``n_landed``, dedup mode only), so a dir resumed
+    across that boundary — or a sink switched between plain and dedup
+    mode — holds mixed 3-/4-column files, and plain
+    ``spark.read.parquet`` may SAMPLE an old file's footer for the whole
+    dir and silently drop ``n_landed``. Merging footers is metrics-sized
+    (one row per micro-batch), so the safety costs nothing that matters;
+    rows from batches without the column read as NULL, which every
+    consumer here filters on explicitly."""
+    return spark.read.option("mergeSchema", "true").parquet(metrics_dir)
+
+
+def _recent_metrics(m: DataFrame, last_n_batches: int | None) -> DataFrame:
+    """The verdicts' shared recency window: the last ``last_n_batches``
+    batch ids of an already-filtered metrics frame (a metrics table is
+    one row per micro-batch — the rank is metrics-sized, never
+    corpus-sized)."""
+    if last_n_batches is None:
+        return m
+    from pyspark.sql import Window
+
+    return (
+        m.withColumn(
+            "__rk",
+            F.dense_rank().over(Window.orderBy(F.col(BATCH_COL).desc())),
+        )
+        .filter(F.col("__rk") <= int(last_n_batches))
+        .drop("__rk")
+    )
+
+
 def drift_verdict(
     spark: SparkSession,
     metrics_dir: str,
@@ -1277,18 +1340,12 @@ def drift_verdict(
     # last_n_batches=1 right after an empty batch raises 'no usable
     # metrics' instead of folding the most recent real gauge, and
     # n_batches counts rows that carry no signal.
-    m = spark.read.parquet(metrics_dir).filter(F.col("n_vectors") > 0)
-    if last_n_batches is not None:
-        from pyspark.sql import Window
-
-        m = (
-            m.withColumn(
-                "__rk",
-                F.dense_rank().over(Window.orderBy(F.col(BATCH_COL).desc())),
-            )
-            .filter(F.col("__rk") <= int(last_n_batches))
-            .drop("__rk")
-        )
+    m = _recent_metrics(
+        read_ingest_metrics(spark, metrics_dir).filter(
+            F.col("n_vectors") > 0
+        ),
+        last_n_batches,
+    )
     row = m.agg(
         (
             F.sum(F.col("mean_top1") * F.col("n_vectors"))
@@ -1315,11 +1372,87 @@ def drift_verdict(
     }
 
 
+def dedup_rate_verdict(
+    spark: SparkSession,
+    metrics_dir: str,
+    max_drop_rate: float = 0.5,
+    last_n_batches: int | None = None,
+) -> dict:
+    """Fold the dedup-mode sink's ``n_landed`` gauge into ONE threshold
+    verdict (r16, VERDICT r15 #1 — the gauge landed in r15 but had no
+    consumer: the loop was gauge → human; this closes it to gauge →
+    verdict, the same shape :func:`drift_verdict` gives ``mean_top1``).
+    Silent over-dropping is the dedup sink's stated blind spot: a
+    threshold misconfiguration (τ set below the corpus' natural cosine
+    range) or an upstream dup-storm both flag nearly everything, the
+    silver quietly stops growing, and nothing fails. The drop rate over
+    a recency window makes that a tripwire instead of a forensic find.
+
+    drop_rate = 1 − Σ n_landed / Σ n_vectors over the (optionally last
+    ``last_n_batches``) DEDUP-MODE metrics rows — vector-weighted like
+    the drift fold, so one big dropped batch is not averaged away by
+    tiny clean ones. Rows without the gauge are excluded BEFORE the
+    recency window, same as the drift path's empty-batch rule: empty
+    batches (n_vectors=0) carry no signal, and plain-mode rows
+    (``n_landed`` NULL — a pre-r15 dir resumed under a dedup sink, or a
+    sink switched between modes; :func:`read_ingest_metrics` merges the
+    mixed footers) measure nothing about dropping.
+
+    Cost shape: metrics-sized — one row per micro-batch, never
+    corpus-sized; the window is the same single-partition rank over
+    those rows as ``drift_verdict``.
+
+    ``verdict`` is ``"over_dropping"`` when drop_rate > ``max_drop_rate``
+    (default 0.5 — an ingest where LESS THAN HALF of arriving vectors
+    survive is either a dup-storm or a broken τ; real corpora re-ingest
+    some mass, so a tighter default would page on healthy replays),
+    else ``"ok"``. Returns ``{"drop_rate", "n_landed", "n_vectors",
+    "n_batches", "max_drop_rate", "verdict"}``.
+    """
+    m = read_ingest_metrics(spark, metrics_dir)
+    if "n_landed" not in m.columns:
+        # merged footers carry the union of columns — absent means NO
+        # file ever had the gauge (a purely plain-mode dir), which the
+        # filter below could not distinguish from an analysis typo
+        raise ValueError(
+            f"dedup_rate_verdict: metrics under {metrics_dir} carry no "
+            "n_landed column — the sink was never built with "
+            "dedup_threshold, so there is no drop rate to fold"
+        )
+    m = _recent_metrics(
+        m.filter((F.col("n_vectors") > 0) & F.col("n_landed").isNotNull()),
+        last_n_batches,
+    )
+    row = m.agg(
+        F.sum("n_landed").alias("n_landed"),
+        F.sum("n_vectors").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_batches"),
+    ).collect()[0]
+    if not row["n_batches"]:
+        raise ValueError(
+            f"dedup_rate_verdict: no usable metrics under {metrics_dir} — "
+            "the sink was built without metrics_dir or dedup_threshold, "
+            "no batch has landed, or every batch in the window was empty "
+            "or plain-mode (rows without n_landed carry no drop signal)"
+        )
+    n_landed = int(row["n_landed"])
+    n_vectors = int(row["n_vectors"])
+    drop_rate = 1.0 - n_landed / n_vectors
+    return {
+        "drop_rate": drop_rate,
+        "n_landed": n_landed,
+        "n_vectors": n_vectors,
+        "n_batches": int(row["n_batches"]),
+        "max_drop_rate": float(max_drop_rate),
+        "verdict": "over_dropping" if drop_rate > max_drop_rate else "ok",
+    }
+
+
 def refit_ivf_silver(
     spark: SparkSession,
     silver_dir: str,
     out_dir: str,
-    nlist: int,
+    nlist: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1334,6 +1467,11 @@ def refit_ivf_silver(
     #5): REFIT the quantizer on what actually landed, re-assign the
     whole silver under the new centroids, and land it as a fresh streamed
     silver the ingest sink can keep appending to.
+
+    ``nlist=None`` (r16 default) sizes the new quantizer from the landed
+    row count via :func:`operators.ivf.suggest_nlist` (E[cluster]≈250 —
+    the posture the r15 5M-row probe measured both ends of); an explicit
+    value is honored, with a warning past 4× the suggestion.
 
     Blue/green by construction: ``out_dir`` must differ from
     ``silver_dir`` — the re-assignment READS the old silver lazily while
@@ -1434,6 +1572,20 @@ def refit_ivf_silver(
     n_in = src.count()
     if n_in == 0:
         raise ValueError(f"silver at {silver_dir} has no rows to refit on")
+    # nlist sizing (r16, VERDICT r15 #2): None → the codified
+    # E[cluster]≈250 posture over what actually landed — the refit is
+    # exactly the moment the corpus size is known and the granularity
+    # should follow it; an explicit nlist is honored but warned on >4×
+    # overshoot (the r15 5M probe's measured wall-doubling negative).
+    from crossbar_data_process_spark.operators.ivf import (
+        suggest_nlist,
+        warn_nlist_overshoot,
+    )
+
+    if nlist is None:
+        nlist = suggest_nlist(n_in)
+    else:
+        warn_nlist_overshoot(nlist, n_in, "refit_ivf_silver")
     # an EXPLICIT driver_fit_rows is honored as-given (it is the caller's
     # driver-memory bound, same contract as ivf_fit itself — r14 review);
     # only the None default gets the 8-samples-per-centroid floor

@@ -108,7 +108,9 @@ def main() -> None:
         help="after the batches land, refit the silver to THIS nlist "
         "(blue/green) and ingest one more batch on the refitted silver "
         "— measures the cluster-population lever the dedup-mode cost "
-        "statement points at instead of asserting it",
+        "statement points at instead of asserting it. 0 = size from "
+        "the landed rows via suggest_nlist (the E[cluster]~250 posture, "
+        "r16); explicit overshoots >4x warn via refit_ivf_silver",
     )
     ap.add_argument(
         "--two-level",
@@ -170,7 +172,22 @@ def main() -> None:
         f"\nflatness: mean(batches 1-3) {early:.2f}s vs mean(last 3) "
         f"{late:.2f}s  ratio {late / early:.2f}  (silver grew to {total} vectors)"
     )
-    if args.refit_nlist:
+    if args.dedup is not None:
+        # the operational loop's detect half (r16, VERDICT r15 #1): the
+        # drop-rate verdict over the run's own metrics — a dup-storm or a
+        # broken τ trips "over_dropping" here instead of only showing up
+        # as a silver that quietly stopped growing. Metrics-sized fold.
+        from crossbar_data_process_spark.streaming.ann_ingest import (
+            dedup_rate_verdict,
+        )
+
+        v = dedup_rate_verdict(spark, f"{ROOT}/metrics", last_n_batches=5)
+        print(
+            f"dedup drop-rate verdict (last 5 batches): {v['verdict']}  "
+            f"rate {v['drop_rate']:.4f}  "
+            f"({v['n_landed']}/{v['n_vectors']} landed)"
+        )
+    if args.refit_nlist is not None:
         _refit_phase(spark, args)
     if args.compact:
         _compaction_phase(spark, cents, args.batches, books)
@@ -197,7 +214,10 @@ def _refit_phase(spark, args) -> None:
         spark,
         f"{ROOT}/silver",
         f"{ROOT}/silver_refit",
-        nlist=args.refit_nlist,
+        # 0 → None → suggest_nlist over the landed rows (the codified
+        # E[cluster]≈250 posture, r16); explicit values warn on >4×
+        # overshoot inside refit_ivf_silver
+        nlist=args.refit_nlist or None,
         iters=2,
         require_clustered=False,  # synthetic hash vectors are isotropic
     )
@@ -224,7 +244,7 @@ def _refit_phase(spark, args) -> None:
     sink2(bdf, args.batches)
     t_batch = time.perf_counter() - t0
     print(
-        f"\nrefit leg: nlist {args.nlist} -> {args.refit_nlist} "
+        f"\nrefit leg: nlist {args.nlist} -> {rep['nlist']} "
         f"({rep['rows']} rows re-assigned in {t_refit:.2f}s)\n"
         f"  mean cluster pop {pre['mean']:.0f} -> {post['mean']:.0f}  "
         f"(max {pre['max']} -> {post['max']})\n"

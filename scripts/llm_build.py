@@ -260,16 +260,25 @@ def build(
     # nlist scales with the corpus (the SemDeDup posture: constant
     # expected cluster size).
     def _semantic():
+        from crossbar_data_process_spark.operators.ivf import (
+            suggest_nlist,
+            warn_nlist_overshoot,
+        )
+
         n = curated.count()
-        # nlist scales to hold E[cluster] ≈ 250: the pair stage is
-        # Σ cluster², so quantizer granularity is THE cost lever — and
-        # under skew (measured r12 at 500k: top cluster 34× the median,
-        # 36 hot clusters carrying 66% of 813M pairs) it is also the
-        # straggler lever, since the cluster-keyed join can't split a
-        # cluster across tasks. The fit sample scales with nlist
-        # (k-means needs ≥ several samples per centroid or the seeds ARE
-        # the fit).
-        nl = nlist if nlist is not None else max(8, n // 250)
+        # nlist scales to hold E[cluster] ≈ 250 via THE codified posture
+        # (r16, suggest_nlist): the pair stage is Σ cluster², so
+        # quantizer granularity is THE cost lever — and under skew
+        # (measured r12 at 500k: top cluster 34× the median, 36 hot
+        # clusters carrying 66% of 813M pairs) it is also the straggler
+        # lever, since the cluster-keyed join can't split a cluster
+        # across tasks. The fit sample scales with nlist (k-means needs
+        # ≥ several samples per centroid or the seeds ARE the fit). An
+        # explicit nlist is honored but warned past 4× the posture (the
+        # r15 5M probe's measured wall-doubling overshoot).
+        if nlist is not None:
+            warn_nlist_overshoot(nlist, n, "llm_build semantic stage")
+        nl = nlist if nlist is not None else suggest_nlist(n)
         # materialize the embedding ONCE: the 64-bucket feature-hash
         # expression is a large codegen unit, and fit/assign/pair stages
         # would each re-evaluate (and re-JIT) it otherwise — measured

@@ -15,7 +15,15 @@ SF_DIR_MID = os.environ.get("SPARK_GRAFT_TEST_SF_MID", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # size the AQE margin from the data this session actually reads
+    # (r16, VERDICT r15 #4): the parity run reads SPARK_GRAFT_PARITY_SF
+    # (sf0.01 at the driver's gate), everything else the sf0.001 test
+    # tables — not the env-default sf0.1 the old signal walked
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        input_dir=os.environ.get("SPARK_GRAFT_PARITY_SF", SF_DIR),
+    )
     yield s
     s.stop()
 

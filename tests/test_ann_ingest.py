@@ -1432,3 +1432,216 @@ def test_dedup_metrics_carry_n_landed(spark, clustered, centroids, tmp_path):
     psink(seed, 0)
     pcols = set(spark.read.parquet(str(tmp_path / "pmetrics")).columns)
     assert "n_landed" not in pcols
+
+
+def test_dedup_rate_verdict_trips_on_a_dup_storm(
+    spark, clustered, centroids, tmp_path
+):
+    """r16, VERDICT r15 #1: the n_landed gauge gets a consumer — a batch
+    of planted all-dups must trip the drop-rate verdict over the recency
+    window; a normal batch must not; a plain-mode dir (no n_landed) must
+    raise instead of inventing a rate."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        dedup_rate_verdict,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(
+        spark,
+        centroids,
+        silver,
+        metrics_dir=metrics,
+        dedup_threshold=0.999,
+    )
+    seed = clustered.filter(F.col("vec_id") < 700)
+    sink(seed, 0)  # batch 0: all novel, drop rate 0
+    v0 = dedup_rate_verdict(spark, metrics)
+    assert v0["verdict"] == "ok" and v0["drop_rate"] == 0.0
+    # batch 1: every vector is an exact re-ingest of a landed resident —
+    # the dup-storm the verdict exists to catch
+    storm = seed.limit(50).select(
+        (F.col("vec_id") + 40_000).alias("vec_id"), "embedding"
+    )
+    sink(storm, 1)
+    sink(seed.filter(F.col("vec_id") < 0), 2)  # empty batch: no signal
+    v1 = dedup_rate_verdict(spark, metrics, last_n_batches=1)
+    assert v1["verdict"] == "over_dropping"
+    assert v1["drop_rate"] == 1.0 and v1["n_landed"] == 0
+    assert v1["n_batches"] == 1  # the empty batch was excluded, storm kept
+    # the full-window fold dilutes the storm below the default threshold
+    vall = dedup_rate_verdict(spark, metrics)
+    assert vall["verdict"] == "ok" and vall["n_vectors"] == 750
+    assert vall["n_landed"] == 700 and vall["n_batches"] == 2
+    # plain-mode dir: no n_landed anywhere -> loud, not a made-up rate
+    psilver, pmetrics = str(tmp_path / "ps"), str(tmp_path / "pm")
+    ivf_ingest_writer(
+        spark, centroids, psilver, metrics_dir=pmetrics
+    )(seed, 0)
+    with pytest.raises(ValueError, match="n_landed"):
+        dedup_rate_verdict(spark, pmetrics)
+
+
+def test_metrics_reader_merges_mixed_mode_schemas(
+    spark, clustered, centroids, tmp_path
+):
+    """r15 ADVICE: a metrics dir holding pre-r15/plain-mode 3-column rows
+    NEXT TO dedup-mode 4-column rows must read with n_landed intact —
+    plain spark.read.parquet may sample an old footer and silently drop
+    the column; read_ingest_metrics merges footers, and both verdicts
+    keep working over the mixed dir."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        dedup_rate_verdict,
+        drift_verdict,
+        read_ingest_metrics,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    seed = clustered.filter(F.col("vec_id") < 700)
+    # batch 0 lands through a PLAIN sink (3-column metrics row) ...
+    ivf_ingest_writer(spark, centroids, silver, metrics_dir=metrics)(
+        seed, 0
+    )
+    # ... then the same silver+metrics dir is resumed under a DEDUP sink
+    # (4-column rows) — the mode switch the r15 comment only documented
+    dsink = ivf_ingest_writer(
+        spark,
+        centroids,
+        silver,
+        metrics_dir=metrics,
+        dedup_threshold=0.999,
+    )
+    batch = seed.limit(10).select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+    )
+    dsink(batch, 1)  # all 10 are re-ingests of landed residents
+    m = read_ingest_metrics(spark, metrics)
+    assert "n_landed" in m.columns
+    rows = {r[BATCH_COL]: r for r in m.collect()}
+    assert rows[0]["n_landed"] is None  # plain-mode row reads as NULL
+    assert rows[1]["n_landed"] == 0 and rows[1]["n_vectors"] == 10
+    # drift fold spans both rows; drop fold sees only the dedup row
+    assert drift_verdict(spark, metrics, nlist=8, dim=32)["n_vectors"] == 710
+    v = dedup_rate_verdict(spark, metrics)
+    assert v["n_batches"] == 1 and v["verdict"] == "over_dropping"
+
+
+def test_flag_probe_assignment_follows_the_silver_backend(
+    spark, clustered, centroids, tmp_path
+):
+    """r15 ADVICE: the flag's probe-side cluster assignment must run on
+    the engine the silver was LANDED under (assign_backend), with
+    pair_backend scoring only — the registered q73 mix (jvm write-side,
+    arrow pair-side) must flag byte-identically to the full-jvm path,
+    and the mixed-config SINK must land the same silver."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        flag_semantic_dups,
+    )
+
+    sv = clustered.limit(2).collect()
+    batch = spark.createDataFrame(
+        [
+            (9100, [float(x) for x in sv[0].embedding]),  # exact copy
+            (9101, [float(x) + 2.5 for x in sv[1].embedding]),  # novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver, assign_backend="jvm")(
+        clustered, 0
+    )
+    flags = {}
+    for ab, pb in (("jvm", "jvm"), ("jvm", "arrow"), (None, "jvm")):
+        flags[(ab, pb)] = sorted(
+            (r.vec_id, r.matched_vec, r.cosine)
+            for r in flag_semantic_dups(
+                spark,
+                silver,
+                batch,
+                centroids,
+                threshold=0.995,
+                pair_backend=pb,
+                assign_backend=ab,
+            ).collect()
+        )
+    assert flags[("jvm", "arrow")] == flags[("jvm", "jvm")]
+    assert flags[(None, "jvm")] == flags[("jvm", "jvm")]
+    assert {t[0] for t in flags[("jvm", "jvm")]} == {9100}
+    # end-to-end: the mixed sink (the q73 registration) lands the same
+    # survivor silver as full-jvm
+    landed = {}
+    for tag, ab, pb in (("jj", "jvm", "jvm"), ("ja", "jvm", "arrow")):
+        sdir = str(tmp_path / f"silver_{tag}")
+        sink = ivf_ingest_writer(
+            spark,
+            centroids,
+            sdir,
+            dedup_threshold=0.999,
+            assign_backend=ab,
+            pair_backend=pb,
+        )
+        sink(clustered.filter(F.col("vec_id") < 700), 0)
+        sink(batch, 1)
+        landed[tag] = sorted(
+            (r.vec_id, r.cluster)
+            for r in read_assigned_silver(spark, sdir).collect()
+        )
+    assert landed["jj"] == landed["ja"]
+
+
+def test_suggest_nlist_posture_and_refit_sizing(
+    spark, clustered, centroids, tmp_path
+):
+    """r16, VERDICT r15 #2: ONE definition of the E[cluster]≈250 posture —
+    suggest_nlist pins the arithmetic, refit_ivf_silver(nlist=None) sizes
+    from what actually landed, and an explicit >4× overshoot warns with
+    the measured 5M-probe negative instead of silently paying it."""
+    import warnings
+
+    from crossbar_data_process_spark.operators.ivf import suggest_nlist
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        refit_ivf_silver,
+    )
+
+    assert suggest_nlist(0) == 8  # floor
+    assert suggest_nlist(2_000) == 8  # 2000//250 = 8 — exactly the floor
+    assert suggest_nlist(1_000_000) == 4_000
+    assert suggest_nlist(5_000_000) == 20_000
+    assert suggest_nlist(1_000_000, target_cluster_rows=500) == 2_000
+    with pytest.raises(ValueError, match="target_cluster_rows"):
+        suggest_nlist(100, target_cluster_rows=0)
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver)(clustered, 0)
+    # None → sized from the landed 800 rows (suggest: floor 8), silently
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rep = refit_ivf_silver(
+            spark,
+            silver,
+            str(tmp_path / "green"),
+            iters=1,
+            require_clustered=False,
+        )
+    assert rep["nlist"] == suggest_nlist(800) == 8
+    # explicit 64 lists over 800 rows = E[cluster] 12.5 — an 8× overshoot
+    with pytest.warns(UserWarning, match="overshoots"):
+        refit_ivf_silver(
+            spark,
+            silver,
+            str(tmp_path / "green2"),
+            nlist=64,
+            iters=1,
+            require_clustered=False,
+        )
+    # within 4×: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        refit_ivf_silver(
+            spark,
+            silver,
+            str(tmp_path / "green3"),
+            nlist=16,
+            iters=1,
+            require_clustered=False,
+        )

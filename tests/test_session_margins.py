@@ -41,3 +41,17 @@ def test_input_parquet_bytes_reads_sf_dir(tmp_path, monkeypatch):
     assert _input_parquet_bytes() == 1500
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", str(tmp_path / "missing"))
     assert _input_parquet_bytes() is None
+
+
+def test_input_bytes_follow_the_passed_dir():
+    """r16, VERDICT r15 #4: the AQE-margin signal must follow the
+    session's REAL input dir when the entry point knows it — sf0.001's
+    bytes size a sf0.001 session to the shuffle-partition floor, not to
+    sf0.1's ~91-part grain (the env-default walk)."""
+    small = _input_parquet_bytes("/root/testdata/sf0.001")
+    big = _input_parquet_bytes("/root/testdata/sf0.1")
+    assert small is not None and big is not None and small < big
+    # at test geometry (8 shuffle partitions) the small dir floors out
+    assert _initial_partitions(32, 8, small) == 8
+    # absent dir -> None -> protective margin
+    assert _input_parquet_bytes("/no/such/dir") is None
