@@ -189,21 +189,30 @@ def suggest_nlist(
     return max(floor, int(n_rows) // int(target_cluster_rows))
 
 
-def warn_nlist_overshoot(nlist: int, n_rows: int, where: str) -> None:
+def warn_nlist_overshoot(
+    nlist: int,
+    n_rows: int,
+    where: str,
+    target_cluster_rows: int = _TARGET_CLUSTER_ROWS,
+) -> None:
     """One warning when a caller's explicit ``nlist`` overshoots the
-    posture by >4× — i.e. E[cluster] < ~62 rows: past that point extra
-    lists stop cutting dense work (cells are already tiny) and start
-    costing real wall in files, tasks, and shuffle floor (the r15 5M
-    probe's honest negative: refit to 16384 lists at a 3M silver doubled
-    the next batch wall). A warning, not an error: skew-heavy corpora
-    can legitimately want finer grain, and the caller may know that."""
-    suggested = suggest_nlist(n_rows)
+    posture by >4× — i.e. E[cluster] < ~62 rows at the default target:
+    past that point extra lists stop cutting dense work (cells are
+    already tiny) and start costing real wall in files, tasks, and
+    shuffle floor (the r15 5M probe's honest negative: refit to 16384
+    lists at a 3M silver doubled the next batch wall). A warning, not an
+    error: skew-heavy corpora can legitimately want finer grain — a
+    caller that CHOSE a finer grain passes its own
+    ``target_cluster_rows`` (the same knob ``suggest_nlist`` takes), so
+    a value the library itself suggested never warns against itself
+    (r16 review)."""
+    suggested = suggest_nlist(n_rows, target_cluster_rows=target_cluster_rows)
     if nlist > 4 * suggested:
         import warnings
 
         warnings.warn(
             f"{where}: nlist={nlist} overshoots the E[cluster]≈"
-            f"{_TARGET_CLUSTER_ROWS} posture for {n_rows} rows "
+            f"{target_cluster_rows} posture for {n_rows} rows "
             f"(suggest_nlist → {suggested}) by more than 4×. Measured at "
             "5M rows: candidate volume shrinks but per-batch wall "
             "DOUBLES on the file-count/shuffle floor (BASELINE.md r15). "

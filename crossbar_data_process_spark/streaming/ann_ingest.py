@@ -1309,6 +1309,70 @@ def _recent_metrics(m: DataFrame, last_n_batches: int | None) -> DataFrame:
     )
 
 
+def _signal_window(m: DataFrame, last_n_batches: int | None) -> DataFrame:
+    """The verdicts' SHARED timeline: drop empty micro-batches (a
+    n_vectors=0 row carries a NULL gauge and no drop signal — the r14
+    ADVICE rule), THEN apply the recency window. Every fold in this
+    module ranks over this same real-batch timeline, so one
+    ``last_n_batches`` means the same batches in every pane (a drop fold
+    that ranked over only its own dedup-mode rows would happily read a
+    dup-storm from arbitrarily old history as 'recent' on a dir whose
+    sink later switched to plain mode — r16 review)."""
+    return _recent_metrics(m.filter(F.col("n_vectors") > 0), last_n_batches)
+
+
+def _drift_fold(windowed: DataFrame, nlist: int, dim: int) -> dict | None:
+    """Vector-weighted drift aggregate over an already-windowed metrics
+    frame; None when the window holds no gauge-carrying rows."""
+    from crossbar_data_process_spark.operators.ivf import quantizer_regime
+
+    row = windowed.agg(
+        (
+            F.sum(F.col("mean_top1") * F.col("n_vectors"))
+            / F.sum("n_vectors")
+        ).alias("mean_top1"),
+        F.min("min_top1").alias("min_top1"),
+        F.sum("n_vectors").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_batches"),
+    ).collect()[0]
+    if not row["n_batches"] or row["mean_top1"] is None:
+        return None
+    mean_top1 = float(row["mean_top1"])
+    return {
+        "mean_top1": mean_top1,
+        "min_top1": float(row["min_top1"]),
+        "n_vectors": int(row["n_vectors"]),
+        "n_batches": int(row["n_batches"]),
+        "regime": quantizer_regime({"mean_top1": mean_top1}, nlist, dim),
+    }
+
+
+def _drop_fold(windowed: DataFrame, max_drop_rate: float) -> dict | None:
+    """Drop-rate aggregate over the dedup-mode rows of an
+    already-windowed metrics frame; None when the window holds none
+    (plain-mode rows measure nothing about dropping). The n_landed
+    filter runs INSIDE the window, never before it — see
+    :func:`_signal_window`."""
+    row = windowed.filter(F.col("n_landed").isNotNull()).agg(
+        F.sum("n_landed").alias("n_landed"),
+        F.sum("n_vectors").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_batches"),
+    ).collect()[0]
+    if not row["n_batches"]:
+        return None
+    n_landed = int(row["n_landed"])
+    n_vectors = int(row["n_vectors"])
+    drop_rate = 1.0 - n_landed / n_vectors
+    return {
+        "drop_rate": drop_rate,
+        "n_landed": n_landed,
+        "n_vectors": n_vectors,
+        "n_batches": int(row["n_batches"]),
+        "max_drop_rate": float(max_drop_rate),
+        "verdict": "over_dropping" if drop_rate > max_drop_rate else "ok",
+    }
+
+
 def drift_verdict(
     spark: SparkSession,
     metrics_dir: str,
@@ -1333,43 +1397,21 @@ def drift_verdict(
     Returns ``{"mean_top1", "min_top1", "n_vectors", "n_batches",
     "regime"}``.
     """
-    from crossbar_data_process_spark.operators.ivf import quantizer_regime
-
-    # empty micro-batches land a metrics row with n_vectors=0 and a NULL
-    # gauge — drop them BEFORE the recency window (r14 ADVICE): otherwise
-    # last_n_batches=1 right after an empty batch raises 'no usable
-    # metrics' instead of folding the most recent real gauge, and
-    # n_batches counts rows that carry no signal.
-    m = _recent_metrics(
-        read_ingest_metrics(spark, metrics_dir).filter(
-            F.col("n_vectors") > 0
+    out = _drift_fold(
+        _signal_window(
+            read_ingest_metrics(spark, metrics_dir), last_n_batches
         ),
-        last_n_batches,
+        nlist,
+        dim,
     )
-    row = m.agg(
-        (
-            F.sum(F.col("mean_top1") * F.col("n_vectors"))
-            / F.sum("n_vectors")
-        ).alias("mean_top1"),
-        F.min("min_top1").alias("min_top1"),
-        F.sum("n_vectors").alias("n_vectors"),
-        F.count(F.lit(1)).alias("n_batches"),
-    ).collect()[0]
-    if not row["n_batches"] or row["mean_top1"] is None:
+    if out is None:
         raise ValueError(
             f"drift_verdict: no usable metrics under {metrics_dir} — the "
             "sink was built without metrics_dir, no batch has landed, or "
             "every landed batch in the window was empty (n_vectors=0 "
             "rows carry a NULL gauge)"
         )
-    mean_top1 = float(row["mean_top1"])
-    return {
-        "mean_top1": mean_top1,
-        "min_top1": float(row["min_top1"]),
-        "n_vectors": int(row["n_vectors"]),
-        "n_batches": int(row["n_batches"]),
-        "regime": quantizer_regime({"mean_top1": mean_top1}, nlist, dim),
-    }
+    return out
 
 
 def dedup_rate_verdict(
@@ -1388,15 +1430,18 @@ def dedup_rate_verdict(
     silver quietly stops growing, and nothing fails. The drop rate over
     a recency window makes that a tripwire instead of a forensic find.
 
-    drop_rate = 1 − Σ n_landed / Σ n_vectors over the (optionally last
-    ``last_n_batches``) DEDUP-MODE metrics rows — vector-weighted like
-    the drift fold, so one big dropped batch is not averaged away by
-    tiny clean ones. Rows without the gauge are excluded BEFORE the
-    recency window, same as the drift path's empty-batch rule: empty
-    batches (n_vectors=0) carry no signal, and plain-mode rows
-    (``n_landed`` NULL — a pre-r15 dir resumed under a dedup sink, or a
-    sink switched between modes; :func:`read_ingest_metrics` merges the
-    mixed footers) measure nothing about dropping.
+    drop_rate = 1 − Σ n_landed / Σ n_vectors over the DEDUP-MODE rows of
+    the window — vector-weighted like the drift fold, so one big dropped
+    batch is not averaged away by tiny clean ones. The window itself
+    ranks over the shared real-batch timeline (:func:`_signal_window` —
+    empty batches excluded, plain-mode rows INCLUDED as timeline slots):
+    ``last_n_batches=5`` means THE last 5 real batches, not the last 5
+    dedup-mode batches — so on a dir whose sink switched to plain mode,
+    an old dup-storm ages OUT of the window instead of being reported as
+    current (r16 review). Plain-mode rows inside the window (``n_landed``
+    NULL — a pre-r15 dir or a mode switch; :func:`read_ingest_metrics`
+    merges the mixed footers) are then excluded from the fold itself:
+    they measure nothing about dropping.
 
     Cost shape: metrics-sized — one row per micro-batch, never
     corpus-sized; the window is the same single-partition rank over
@@ -1408,43 +1453,136 @@ def dedup_rate_verdict(
     some mass, so a tighter default would page on healthy replays),
     else ``"ok"``. Returns ``{"drop_rate", "n_landed", "n_vectors",
     "n_batches", "max_drop_rate", "verdict"}``.
+
+    Raises when the dir carries no ``n_landed`` column at all (a purely
+    plain-mode dir has no drop rate to fold) AND when the column exists
+    but the chosen window holds no dedup-mode rows — a dedicated drop
+    monitor must be loud, not silently stale; the composed
+    :func:`maintenance_verdict` pane maps the latter case to
+    ``drop=None`` instead.
     """
     m = read_ingest_metrics(spark, metrics_dir)
     if "n_landed" not in m.columns:
         # merged footers carry the union of columns — absent means NO
         # file ever had the gauge (a purely plain-mode dir), which the
-        # filter below could not distinguish from an analysis typo
+        # fold below could not distinguish from an analysis typo
         raise ValueError(
             f"dedup_rate_verdict: metrics under {metrics_dir} carry no "
             "n_landed column — the sink was never built with "
             "dedup_threshold, so there is no drop rate to fold"
         )
-    m = _recent_metrics(
-        m.filter((F.col("n_vectors") > 0) & F.col("n_landed").isNotNull()),
-        last_n_batches,
-    )
-    row = m.agg(
-        F.sum("n_landed").alias("n_landed"),
-        F.sum("n_vectors").alias("n_vectors"),
-        F.count(F.lit(1)).alias("n_batches"),
-    ).collect()[0]
-    if not row["n_batches"]:
+    out = _drop_fold(_signal_window(m, last_n_batches), max_drop_rate)
+    if out is None:
         raise ValueError(
-            f"dedup_rate_verdict: no usable metrics under {metrics_dir} — "
-            "the sink was built without metrics_dir or dedup_threshold, "
-            "no batch has landed, or every batch in the window was empty "
-            "or plain-mode (rows without n_landed carry no drop signal)"
+            f"dedup_rate_verdict: no dedup-mode rows in the window under "
+            f"{metrics_dir} — no non-empty batch has landed under a "
+            "dedup-threshold sink within the chosen last_n_batches "
+            "(rows without n_landed carry no drop signal)"
         )
-    n_landed = int(row["n_landed"])
-    n_vectors = int(row["n_vectors"])
-    drop_rate = 1.0 - n_landed / n_vectors
+    return out
+
+
+def maintenance_verdict(
+    spark: SparkSession,
+    silver_dir: str,
+    metrics_dir: str,
+    nlist: int,
+    dim: int,
+    last_n_batches: int | None = None,
+    max_skew: float = 8.0,
+    max_growth: float = 4.0,
+    max_drop_rate: float = 0.5,
+    target_cluster_rows: int | None = None,
+) -> dict:
+    """ONE maintenance decision for a streamed IVF silver (r16 — the
+    round's three gauge→verdict loops composed into the single pane an
+    operator actually wants): folds the drift gauge, the landed
+    cluster-population skew (:func:`cluster_size_stats`), and — when the
+    window carries it — the dedup drop rate into a list of ``actions``:
+
+    - ``"refit"`` when ANY of: the drift regime reads isotropic (the
+      incoming corpus no longer hugs the stamped centroids — pruned
+      recall silently decaying); a catch-all cluster has formed
+      (``skew_factor`` = max population × nlist / rows, i.e. the
+      biggest list vs the uniform expectation — reads ~1 healthy,
+      approaches nlist on collapse; the r12 mega-cluster measurements:
+      36 hot clusters carried 66% of 813M pairs. Meaningful only when
+      ``max_skew`` ≪ nlist — at tiny quantizers the factor cannot
+      exceed nlist); or the corpus has OUTGROWN the quantizer —
+      expected population rows/nlist exceeds ``max_growth`` × the
+      E[cluster] posture (``target_cluster_rows``, default the
+      ``suggest_nlist`` constant), the same 4× band
+      ``warn_nlist_overshoot`` polices from the other side.
+    - ``"investigate_drops"`` when the dedup drop rate trips
+      ``max_drop_rate`` — a dup-storm or broken τ is a DATA problem;
+      refitting the quantizer would not fix it, so it gets its own
+      action. ``drop`` is None when the window holds no dedup-mode rows
+      (plain sink, pre-r15 dir, or the sink switched modes before the
+      window) — the pane stays usable where the dedicated
+      :func:`dedup_rate_verdict` would raise.
+
+    All three folds share ONE metrics read and ONE recency window
+    (:func:`_signal_window`), so ``last_n_batches`` means the same
+    batches in every panel. Empty actions = healthy. ``suggested_nlist``
+    is what a refit should use (``suggest_nlist`` over the landed rows
+    at the SAME ``target_cluster_rows``) — feed it, with the same
+    target, to :func:`refit_ivf_silver` when acting on ``"refit"``.
+
+    Cost shape, stated honestly: the drift and drop folds are
+    metrics-sized (one row per micro-batch); the skew gauge is ONE
+    column-pruned count-per-cluster over the landed silver — a
+    corpus-sized scan of one int column. This is a maintenance-cadence
+    call (hourly/daily), not per-batch; the per-batch gauges stay free
+    (they ride the sink's own jobs).
+
+    Raises like :func:`drift_verdict` when the window holds no usable
+    drift signal — maintenance on a silver with no landed batches is a
+    caller bug, not a 'healthy' reading.
+    """
+    from crossbar_data_process_spark.operators.ivf import (
+        _TARGET_CLUSTER_ROWS,
+        suggest_nlist,
+    )
+
+    target = (
+        target_cluster_rows
+        if target_cluster_rows is not None
+        else _TARGET_CLUSTER_ROWS
+    )
+    m = read_ingest_metrics(spark, metrics_dir)
+    windowed = _signal_window(m, last_n_batches)
+    drift = _drift_fold(windowed, nlist, dim)
+    if drift is None:
+        raise ValueError(
+            f"maintenance_verdict: no usable metrics under {metrics_dir} "
+            "— the sink was built without metrics_dir, no batch has "
+            "landed, or every batch in the window was empty"
+        )
+    skew = cluster_size_stats(spark, silver_dir)
+    rows = skew["rows"]
+    skew["skew_factor"] = (
+        round(skew["max"] * nlist / rows, 2) if rows else 0.0
+    )
+    drop = (
+        _drop_fold(windowed, max_drop_rate)
+        if "n_landed" in m.columns
+        else None
+    )
+    actions = []
+    if (
+        drift["regime"] == "isotropic"
+        or (rows and skew["skew_factor"] > max_skew)
+        or (rows and rows / nlist > max_growth * target)
+    ):
+        actions.append("refit")
+    if drop is not None and drop["verdict"] == "over_dropping":
+        actions.append("investigate_drops")
     return {
-        "drop_rate": drop_rate,
-        "n_landed": n_landed,
-        "n_vectors": n_vectors,
-        "n_batches": int(row["n_batches"]),
-        "max_drop_rate": float(max_drop_rate),
-        "verdict": "over_dropping" if drop_rate > max_drop_rate else "ok",
+        "drift": drift,
+        "skew": skew,
+        "drop": drop,
+        "suggested_nlist": suggest_nlist(rows, target_cluster_rows=target),
+        "actions": actions,
     }
 
 
@@ -1462,6 +1600,7 @@ def refit_ivf_silver(
     two_level_min_nlist: int = 64,
     require_clustered: bool = True,
     seed_batch_id: int = -1,
+    target_cluster_rows: int | None = None,
 ) -> dict:
     """The maintenance path :func:`drift_verdict` points at (r13 VERDICT
     #5): REFIT the quantizer on what actually landed, re-assign the
@@ -1472,6 +1611,10 @@ def refit_ivf_silver(
     row count via :func:`operators.ivf.suggest_nlist` (E[cluster]≈250 —
     the posture the r15 5M-row probe measured both ends of); an explicit
     value is honored, with a warning past 4× the suggestion.
+    ``target_cluster_rows`` overrides the posture's cluster size for
+    BOTH the suggestion and the warning band — pass the same value you
+    gave :func:`maintenance_verdict`, so an nlist the library itself
+    suggested never warns against itself (r16 review).
 
     Blue/green by construction: ``out_dir`` must differ from
     ``silver_dir`` — the re-assignment READS the old silver lazily while
@@ -1578,14 +1721,22 @@ def refit_ivf_silver(
     # should follow it; an explicit nlist is honored but warned on >4×
     # overshoot (the r15 5M probe's measured wall-doubling negative).
     from crossbar_data_process_spark.operators.ivf import (
+        _TARGET_CLUSTER_ROWS,
         suggest_nlist,
         warn_nlist_overshoot,
     )
 
+    target = (
+        target_cluster_rows
+        if target_cluster_rows is not None
+        else _TARGET_CLUSTER_ROWS
+    )
     if nlist is None:
-        nlist = suggest_nlist(n_in)
+        nlist = suggest_nlist(n_in, target_cluster_rows=target)
     else:
-        warn_nlist_overshoot(nlist, n_in, "refit_ivf_silver")
+        warn_nlist_overshoot(
+            nlist, n_in, "refit_ivf_silver", target_cluster_rows=target
+        )
     # an EXPLICIT driver_fit_rows is honored as-given (it is the caller's
     # driver-memory bound, same contract as ivf_fit itself — r14 review);
     # only the None default gets the 8-samples-per-centroid floor

@@ -187,6 +187,23 @@ def main() -> None:
             f"rate {v['drop_rate']:.4f}  "
             f"({v['n_landed']}/{v['n_vectors']} landed)"
         )
+    # the composed single pane (r16): drift + landed skew + drop rate →
+    # actions; one column-pruned corpus scan (the skew gauge) — the
+    # maintenance-cadence call, not per-batch work
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        maintenance_verdict,
+    )
+
+    mv = maintenance_verdict(
+        spark, f"{ROOT}/silver", f"{ROOT}/metrics",
+        nlist=args.nlist, dim=DIM,
+    )
+    print(
+        f"maintenance verdict: actions={mv['actions'] or ['none']}  "
+        f"regime={mv['drift']['regime']}  "
+        f"skew_factor={mv['skew']['skew_factor']}  "
+        f"suggested_nlist={mv['suggested_nlist']}"
+    )
     if args.refit_nlist is not None:
         _refit_phase(spark, args)
     if args.compact:

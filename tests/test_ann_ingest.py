@@ -1645,3 +1645,164 @@ def test_suggest_nlist_posture_and_refit_sizing(
             iters=1,
             require_clustered=False,
         )
+
+
+def test_maintenance_verdict_composes_all_three_loops(
+    spark, clustered, centroids, tmp_path
+):
+    """r16: ONE maintenance decision — drift + landed skew + drop rate
+    folded into actions. Healthy silver → []; corpus outgrowing the
+    quantizer (growth band) or a catch-all cluster (skew factor) →
+    'refit' with the suggest_nlist answer attached; a dup-storm →
+    'investigate_drops' (a data problem — refitting wouldn't fix it)."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        maintenance_verdict,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    sink = ivf_ingest_writer(
+        spark,
+        centroids,
+        silver,
+        metrics_dir=metrics,
+        dedup_threshold=0.999,
+    )
+    seed = clustered.filter(F.col("vec_id") < 700)
+    sink(seed, 0)
+    healthy = maintenance_verdict(spark, silver, metrics, nlist=8, dim=32)
+    assert healthy["actions"] == []
+    assert healthy["drop"]["verdict"] == "ok"  # dedup mode auto-detected
+    assert healthy["skew"]["rows"] == 700
+    assert healthy["suggested_nlist"] == 8
+    # growth trigger: at target_cluster_rows=10, E[cluster]=700/8=87.5
+    # rows expected per list > 4x10 — the corpus outgrew the quantizer
+    grown = maintenance_verdict(
+        spark, silver, metrics, nlist=8, dim=32, target_cluster_rows=10
+    )
+    assert grown["actions"] == ["refit"]
+    assert grown["suggested_nlist"] == 70  # suggest_nlist(700, 10)
+    # skew trigger: land ONLY one center's vectors in a fresh silver —
+    # max population ~== rows, so skew_factor approaches nlist (8);
+    # max_skew must sit below that ceiling at this tiny quantizer
+    s2, m2 = str(tmp_path / "s2"), str(tmp_path / "m2")
+    ivf_ingest_writer(spark, centroids, s2, metrics_dir=m2)(
+        clustered.filter(F.col("vec_id") < 100), 0
+    )
+    skewed = maintenance_verdict(
+        spark, s2, m2, nlist=8, dim=32, max_skew=4.0
+    )
+    assert "refit" in skewed["actions"]
+    assert skewed["skew"]["skew_factor"] > 4.0
+    assert skewed["drop"] is None  # plain sink: no n_landed to fold
+    # drop trigger: a storm of re-ingested residents on the dedup silver
+    storm = seed.limit(50).select(
+        (F.col("vec_id") + 60_000).alias("vec_id"), "embedding"
+    )
+    sink(storm, 1)
+    stormy = maintenance_verdict(
+        spark, silver, metrics, nlist=8, dim=32, last_n_batches=1
+    )
+    assert stormy["actions"] == ["investigate_drops"]
+    assert stormy["drop"]["drop_rate"] == 1.0
+
+
+def test_drop_window_shares_the_real_batch_timeline(
+    spark, clustered, centroids, tmp_path
+):
+    """r16 review: the drop fold's recency window must rank over the
+    SHARED real-batch timeline, not over dedup-mode rows only — an old
+    dup-storm must age OUT of the window once the sink runs in plain
+    mode; and a dedup-mode dir whose window holds no dedup rows maps to
+    drop=None in the composed pane while the dedicated verdict stays
+    loud."""
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        dedup_rate_verdict,
+        maintenance_verdict,
+    )
+
+    silver = str(tmp_path / "silver")
+    metrics = str(tmp_path / "metrics")
+    seed = clustered.filter(F.col("vec_id") < 700)
+    dsink = ivf_ingest_writer(
+        spark,
+        centroids,
+        silver,
+        metrics_dir=metrics,
+        dedup_threshold=0.999,
+    )
+    dsink(seed, 0)
+    storm = seed.limit(40).select(
+        (F.col("vec_id") + 70_000).alias("vec_id"), "embedding"
+    )
+    dsink(storm, 1)  # the historical dup-storm
+    # the sink then runs in PLAIN mode over the same dirs (mode switch)
+    psink = ivf_ingest_writer(spark, centroids, silver, metrics_dir=metrics)
+    fresh = clustered.filter(
+        (F.col("vec_id") >= 700) & (F.col("vec_id") < 760)
+    )
+    psink(fresh.limit(30), 2)
+    psink(fresh.filter(F.col("vec_id") >= 730), 3)
+    # full history still reads the storm
+    assert dedup_rate_verdict(spark, metrics)["n_batches"] == 2
+    # but the last-2 window is plain-mode: the storm has aged out —
+    # loud in the dedicated verdict, drop=None in the composed pane
+    with pytest.raises(ValueError, match="window"):
+        dedup_rate_verdict(spark, metrics, last_n_batches=2)
+    mv = maintenance_verdict(
+        spark, silver, metrics, nlist=8, dim=32, last_n_batches=2
+    )
+    assert mv["drop"] is None
+    assert "investigate_drops" not in mv["actions"]
+    # an EMPTY first dedup batch on a fresh dir: the n_landed column
+    # exists but no window row carries signal — same pair of behaviors
+    s2, m2 = str(tmp_path / "s2"), str(tmp_path / "m2")
+    d2 = ivf_ingest_writer(
+        spark, centroids, s2, metrics_dir=m2, dedup_threshold=0.999
+    )
+    d2(seed, 0)
+    d2(seed.filter(F.col("vec_id") < 0), 1)  # empty dedup batch
+    v = dedup_rate_verdict(spark, m2)  # non-empty window row exists
+    assert v["n_batches"] == 1 and v["verdict"] == "ok"
+
+
+def test_refit_warn_respects_custom_cluster_target(
+    spark, clustered, centroids, tmp_path
+):
+    """r16 review: an nlist the library itself suggested at a custom
+    target_cluster_rows must not warn against the default posture when
+    fed back to refit_ivf_silver with the same target."""
+    import warnings
+
+    from crossbar_data_process_spark.operators.ivf import suggest_nlist
+    from crossbar_data_process_spark.streaming.ann_ingest import (
+        refit_ivf_silver,
+    )
+
+    silver = str(tmp_path / "silver")
+    ivf_ingest_writer(spark, centroids, silver)(clustered, 0)
+    # finer grain chosen on purpose: 800 rows at E[cluster]=10 → 80
+    fine = suggest_nlist(800, target_cluster_rows=10)
+    assert fine == 80
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rep = refit_ivf_silver(
+            spark,
+            silver,
+            str(tmp_path / "green"),
+            nlist=fine,
+            iters=1,
+            require_clustered=False,
+            target_cluster_rows=10,
+        )
+    assert rep["nlist"] == 80
+    # the same value WITHOUT the matching target still warns (80 > 4×8)
+    with pytest.warns(UserWarning, match="overshoots"):
+        refit_ivf_silver(
+            spark,
+            silver,
+            str(tmp_path / "green2"),
+            nlist=fine,
+            iters=1,
+            require_clustered=False,
+        )
