@@ -1486,8 +1486,8 @@ def maintenance_verdict(
     spark: SparkSession,
     silver_dir: str,
     metrics_dir: str,
-    nlist: int,
-    dim: int,
+    nlist: int | None = None,
+    dim: int | None = None,
     last_n_batches: int | None = None,
     max_skew: float = 8.0,
     max_growth: float = 4.0,
@@ -1535,15 +1535,54 @@ def maintenance_verdict(
     call (hourly/daily), not per-batch; the per-batch gauges stay free
     (they ride the sink's own jobs).
 
+    ``nlist``/``dim`` default to the silver's OWN stamped quantizer
+    identity (``_centroid_meta.json``) — and explicit values are
+    VALIDATED against the stamp: a wrong nlist silently inflates (or
+    deflates) ``skew_factor`` and mis-scales the drift regime's
+    decision rule, precisely the class of quiet misread the identity
+    stamp exists to prevent (caught live in this round's own probe
+    session: nlist=800 against a 16-list silver read skew 56 on a
+    healthy quantizer). Explicit values are REQUIRED only for a
+    pre-metadata silver with no stamp.
+
     Raises like :func:`drift_verdict` when the window holds no usable
     drift signal — maintenance on a silver with no landed batches is a
     caller bug, not a 'healthy' reading.
     """
+    import json
+
     from crossbar_data_process_spark.operators.ivf import (
         _TARGET_CLUSTER_ROWS,
         suggest_nlist,
     )
 
+    meta = None
+    fs, mpath = _fs_and_path(spark, f"{silver_dir}/{_CENTROID_META}")
+    if fs.exists(mpath):
+        meta = json.loads(
+            _hadoop_read_text(spark, f"{silver_dir}/{_CENTROID_META}")
+        )
+    for argname, val in (("nlist", nlist), ("dim", dim)):
+        stamped = meta.get(argname) if meta else None
+        if val is None and stamped is None:
+            raise ValueError(
+                f"maintenance_verdict: {argname} not given and the "
+                f"silver at {silver_dir} carries no quantizer stamp to "
+                "read it from — pass it explicitly (pre-metadata silver)"
+            )
+        if val is not None and stamped is not None and int(stamped) != val:
+            raise ValueError(
+                f"maintenance_verdict: {argname}={val} does not match "
+                f"the silver's stamped quantizer ({argname}="
+                f"{int(stamped)}, {silver_dir}) — a mismatched "
+                f"{argname} silently mis-scales skew_factor and the "
+                "drift regime; pass the silver's own value or omit it "
+                "to read the stamp"
+            )
+    if nlist is None:
+        nlist = int(meta["nlist"])
+    if dim is None:
+        dim = int(meta["dim"])
     target = (
         target_cluster_rows
         if target_cluster_rows is not None

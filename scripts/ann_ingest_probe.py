@@ -194,10 +194,10 @@ def main() -> None:
         maintenance_verdict,
     )
 
-    mv = maintenance_verdict(
-        spark, f"{ROOT}/silver", f"{ROOT}/metrics",
-        nlist=args.nlist, dim=DIM,
-    )
+    # nlist/dim come from the silver's own quantizer stamp (r16: an
+    # explicit wrong nlist silently mis-scales skew_factor — measured
+    # live: 800 against a 16-list silver read skew 56 on healthy data)
+    mv = maintenance_verdict(spark, f"{ROOT}/silver", f"{ROOT}/metrics")
     print(
         f"maintenance verdict: actions={mv['actions'] or ['none']}  "
         f"regime={mv['drift']['regime']}  "

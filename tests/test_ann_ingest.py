@@ -1670,11 +1670,22 @@ def test_maintenance_verdict_composes_all_three_loops(
     )
     seed = clustered.filter(F.col("vec_id") < 700)
     sink(seed, 0)
-    healthy = maintenance_verdict(spark, silver, metrics, nlist=8, dim=32)
+    # nlist/dim read from the silver's quantizer stamp when omitted
+    healthy = maintenance_verdict(spark, silver, metrics)
     assert healthy["actions"] == []
     assert healthy["drop"]["verdict"] == "ok"  # dedup mode auto-detected
     assert healthy["skew"]["rows"] == 700
     assert healthy["suggested_nlist"] == 8
+    # an explicit value is validated against the stamp — a wrong nlist
+    # silently mis-scales skew_factor, so it must refuse loudly
+    with pytest.raises(ValueError, match="stamped quantizer"):
+        maintenance_verdict(spark, silver, metrics, nlist=800)
+    assert (
+        maintenance_verdict(spark, silver, metrics, nlist=8, dim=32)[
+            "skew"
+        ]["skew_factor"]
+        == healthy["skew"]["skew_factor"]
+    )
     # growth trigger: at target_cluster_rows=10, E[cluster]=700/8=87.5
     # rows expected per list > 4x10 — the corpus outgrew the quantizer
     grown = maintenance_verdict(
