@@ -89,10 +89,8 @@ BENCH_QUERIES = [
     # streaming semantic-dedup ingest (2 dedup-sink batches + replay +
     # full probe priced from day one — the q71/q72 convention)
     "q73_semantic_dedup_ingest",
-    # r16: q54_ivf_topk's bench slot follows the fold to the drift→refit
-    # maintenance loop (2 sink batches + drift verdict + blue/green
-    # refit + full probe priced from day one — the q71/q72 convention)
-    "q74_ivf_refit_maintenance",
+    # r04 additions
+    "q54_ivf_topk",
     "q55_curation_funnel",
     # r06 addition: bucketed range join, benchmarked from day one
     "q56_range_join",
@@ -1608,13 +1606,7 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus assignment, probe-list explode, bucket equi-join, in-list exact
 # scoring — is hash-checked against the same oracle as q27. Recall at
 # nprobe < nlist is measured separately (tests/test_ivf_ann.py ≥ 0.95).
-# r16: folded out of the registry → slot to q74_ivf_refit_maintenance
-# (REGISTRY.md fold table): q74 executes EVERY q54 surface — the same
-# fit-with-diagnostics, write_assigned_corpus silver (inside
-# refit_ivf_silver), and ivf_topk_assigned full probe — against the
-# IDENTICAL _COSINE_TOPK_ORACLE text, which also stays registry-checked
-# via q72/q73 and verbatim in tests/test_operator_properties.py::
-# test_cosine_topk_matches_oracle.
+@query("q54_ivf_topk", _COSINE_TOPK_ORACLE)
 def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION silver-layout path, not the in-memory shortcut:
     fit → write_assigned_corpus (corpus partitioned by cluster id) →
@@ -1710,79 +1702,6 @@ def q72_ann_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink(b1, 1)
     sink(b1, 1)  # replay — dynamic overwrite must replace, not append
     out = ivf_topk_assigned(spark, silver, q, cents, k=5, nprobe=8)
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
-    )
-
-
-# ---------- the drift→refit MAINTENANCE loop under the hash gate (r16,
-# VERDICT r15 #5 — the q72/q54 tricks composed for the maintenance path,
-# the largest composed surface still outside the gate after r15; folds
-# q54_ivf_topk, REGISTRY.md). Two micro-batches land through the
-# production sink with the per-batch drift gauge riding the write;
-# drift_verdict folds the gauge (the DETECT half — metrics-sized, raises
-# if the gauge pipeline is broken; its regime must not branch a
-# hash-gated query, so the verdict is executed, not consumed); then the
-# landed silver is REFIT blue/green (refit_ivf_silver = the ACT half:
-# bounded-sample re-fit at the suggest_nlist posture over what actually
-# landed, ONE corpus-sized re-assign + write_assigned_corpus — q54's
-# batch silver write moving in — under the new centroids, identity stamp
-# + row-count conservation checks), and the GREEN silver is probed at
-# nprobe == nlist with the refit's returned centroids. Full probes are
-# brute-force-exact, so _COSINE_TOPK_ORACLE applies VERBATIM however the
-# refit moved the clusters — while a refit that drops/duplicates rows,
-# probes the stale blue silver, or pairs the green silver with the old
-# centroids perturbs the neighbor set (or trips the identity stamp) and
-# fails the hash.
-@query("q74_ivf_refit_maintenance", _COSINE_TOPK_ORACLE)
-def q74_ivf_refit_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ingest (2 micro-batches, drift gauge on the write) → drift_verdict
-    → blue/green refit at the suggested nlist → full-probe top-k over the
-    GREEN silver. Fresh pid-scoped dirs per invocation (the q71/q72
-    convention); workload is the constant 10-query carve
-    (_WORKLOAD_BOUNDS). require_clustered=False: the driver's synthetic
-    embeddings are isotropic by construction and every list is probed,
-    where the regime cannot affect results (the q54 rationale)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    from crossbar_data_process_spark.operators.ivf import (
-        ivf_fit,
-        ivf_topk_assigned,
-    )
-    from crossbar_data_process_spark.streaming.ann_ingest import (
-        drift_verdict,
-        ivf_ingest_writer,
-        refit_ivf_silver,
-    )
-
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10)
-    dim = e.select(F.size("embedding")).first()[0]
-    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
-    root = os.path.join(
-        tempfile.gettempdir(), f"ann_refit_q74_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    blue, metrics = f"{root}/blue", f"{root}/metrics"
-    sink = ivf_ingest_writer(spark, cents, blue, metrics_dir=metrics)
-    sink(e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0), 0)
-    sink(e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), 1)
-    drift_verdict(spark, metrics, nlist=8, dim=dim)
-    rep = refit_ivf_silver(
-        spark, blue, f"{root}/green", iters=2, require_clustered=False
-    )
-    out = ivf_topk_assigned(
-        spark,
-        f"{root}/green",
-        q,
-        rep["centroids"],
-        k=5,
-        nprobe=rep["nlist"],
-    )
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rnk").cast("long").alias("rnk")
     )
@@ -3568,9 +3487,7 @@ def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order, so any harness truncation falls on queries with multi-round green
 # history rather than the coverage-critical ones.
 _FRONT = [
-    # r16 new surface first
-    "q74_ivf_refit_maintenance",
-    # r15 new surface
+    # r15 new surface first
     "q73_semantic_dedup_ingest",
     # r14 new surface
     "q72_ann_streaming_ingest",
@@ -3602,8 +3519,7 @@ _FRONT = [
     "q56_range_join",
     "q26b_simhash",
     "q52_kg_paths",
-    # r16: q54_ivf_topk folded out → its surfaces run inside
-    # q74_ivf_refit_maintenance (REGISTRY.md fold table)
+    "q54_ivf_topk",
     "q55_curation_funnel",
     "q05_membership_filters",
     "q12_median_middle",

@@ -196,13 +196,6 @@ _WORKLOAD_BOUNDS = {
     # r15: the dedup-mode sink row — same 10-query carve; its plants are
     # synthesized FROM the carve, so the planted set is fixed-size too
     "q73_semantic_dedup_ingest": r'F\.col\("vec_id"\)\s*<\s*10',
-    # r16: q54_ivf_topk folded out (REGISTRY.md) — q74 carries the
-    # identical 10-query carve through the refit-maintenance loop, and
-    # q54's module-attr form keeps its own bound ENFORCED below via the
-    # same getattr fallback the executed-work pins use (a kept-for-
-    # documentation function whose carve silently rots is worse than
-    # deleting it — r16 review)
-    "q74_ivf_refit_maintenance": r'F\.col\("vec_id"\)\s*<\s*10',
     "q54_ivf_topk": r'F\.col\("vec_id"\)\s*<\s*10',
     # r11: q39_ann_lsh folded out of the registry (REGISTRY.md) — its bound
     # lives on in the property test; q67 carries the same 10-query carve
@@ -224,11 +217,7 @@ def test_workload_deriving_queries_pin_a_constant_bound(name):
     import inspect
     import re
 
-    # folded-out queries kept as module attrs (q54, r16) stay bound-
-    # checked — the same fallback _executed_jobs_stages uses
-    import crossbar_data_process_spark.plans.queries as _q
-
-    src = inspect.getsource(QUERIES.get(name) or getattr(_q, name))
+    src = inspect.getsource(QUERIES[name])
     assert re.search(_WORKLOAD_BOUNDS[name], src), (
         f"{name} derives its workload from a corpus column but its source "
         "no longer carries the declared constant bound — re-pin it or "
