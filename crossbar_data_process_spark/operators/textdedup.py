@@ -526,7 +526,10 @@ def resolve_neardups(
         .distinct()
     )
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    comps = connected_components(nodes, edges)
+    # endpoints_in_nodes: `nodes` IS the endpoint set (built two lines
+    # up), so the fast path's membership semi-joins would be pure
+    # overhead here (r16 optimization round)
+    comps = connected_components(nodes, edges, endpoints_in_nodes=True)
     clusters = comps.groupBy("component").agg(
         F.min("id").alias(id_col), F.count(F.lit(1)).alias("cluster_size")
     )

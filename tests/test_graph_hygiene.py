@@ -46,7 +46,12 @@ def test_components_30_iters_storage_bounded(spark):
         [(i, i + 1) for i in range(n - 1)], "src int, dst int"
     )
     before = _storage_entries(spark)
-    out = connected_components(nodes, edges, max_iters=30, checkpoint_every=5)
+    # driver_max_edges=None: this test pins the LOOP's storage hygiene —
+    # the r16 small-graph fast path would otherwise resolve this tiny
+    # graph driver-side and exercise nothing
+    out = connected_components(
+        nodes, edges, max_iters=30, checkpoint_every=5, driver_max_edges=None
+    )
     rows = out.collect()
     assert len(rows) == n
     # after 30 iterations every node within 30 hops of node 0 carries label 0
@@ -55,6 +60,62 @@ def test_components_30_iters_storage_bounded(spark):
     # unfixed behavior: ~2 entries per iteration (60+). Fixed: the live
     # iteration + a handful of not-yet-GC'd localCheckpoint blocks.
     assert _settled_storage_delta(spark, before) <= 10
+
+
+def test_components_fast_path_matches_loop(spark):
+    """The r16 small-graph fast path (bounded driver union-find +
+    broadcast map) must return the IDENTICAL (id, component) set as the
+    distributed propagation loop — including isolated nodes, duplicate
+    edges, self-loops, and edges whose endpoint is OUTSIDE ``nodes``
+    (which the loop cannot propagate through and the fast path must
+    filter out)."""
+    import random
+
+    rng = random.Random(41)
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(60)], "id long"
+    )
+    edge_rows = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    # endpoints outside `nodes` must not link 3 and 7 (x=999 holds no
+    # label in the loop); duplicate + self-loop edges are harmless
+    edge_rows += [(3, 999), (999, 7), (5, 5), (10, 11), (10, 11)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    fast = {
+        (r.id, r.component)
+        for r in connected_components(nodes, edges).collect()
+    }
+    loop = {
+        (r.id, r.component)
+        for r in connected_components(
+            nodes, edges, driver_max_edges=None
+        ).collect()
+    }
+    assert fast == loop
+    # over-budget graphs fall back to the loop (same answer)
+    capped = {
+        (r.id, r.component)
+        for r in connected_components(
+            nodes, edges, driver_max_edges=3
+        ).collect()
+    }
+    assert capped == loop
+    # the endpoints_in_nodes contract (resolve_neardups' shape): when
+    # every endpoint IS in nodes, skipping the semi-joins changes nothing
+    in_nodes = spark.createDataFrame(
+        [(a, b) for a, b in edge_rows if a < 60 and b < 60],
+        "src long, dst long",
+    )
+    assert {
+        (r.id, r.component)
+        for r in connected_components(
+            nodes, in_nodes, endpoints_in_nodes=True
+        ).collect()
+    } == {
+        (r.id, r.component)
+        for r in connected_components(
+            nodes, in_nodes, driver_max_edges=None
+        ).collect()
+    }
 
 
 def test_pagerank_storage_bounded_and_converges(spark):
