@@ -30,6 +30,7 @@ from crossbar_data_process_spark.operators.lm import _fround
 from crossbar_data_process_spark.operators.materialize import materialize
 from crossbar_data_process_spark.operators.textdedup import _spread
 from crossbar_data_process_spark.operators.topk import top_k_per_group
+from crossbar_data_process_spark.parallel import run_concurrently
 
 
 def bm25_topk(
@@ -262,6 +263,12 @@ def bm25_index_ingest(
     _check_bm25_meta(spark, path)
     _recover_bm25_compaction(spark, path)
     tf = materialize(_doc_tf(docs, text_col, id_col))
+    # the tf write runs ALONE first: it is the lazy tf checkpoint's
+    # first consumer (the parallel.run_concurrently race-hygiene
+    # contract); the three downstream tables all fold the materialized
+    # checkpoint blocks and are mutually independent, so their writes
+    # overlap (guide §2.6, r16 optimization round) — 4 serial write
+    # walls become ~2, identical outputs at identical paths
     (
         tf.withColumn("term_bucket", _term_bucket("term"))
         .write.mode("overwrite")
@@ -270,25 +277,33 @@ def bm25_index_ingest(
         .parquet(f"{path}/tf/batch={batch_id}")
     )
     dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
-    dl.write.mode("overwrite").parquet(f"{path}/dl/batch={batch_id}")
-    (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("term_bucket", _term_bucket("term"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "static")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/df/batch={batch_id}")
-    )
-    (
-        dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_dl"),
+
+    def _write_dl() -> None:
+        dl.write.mode("overwrite").parquet(f"{path}/dl/batch={batch_id}")
+
+    def _write_df() -> None:
+        (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("term_bucket", _term_bucket("term"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/df/batch={batch_id}")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats/batch={batch_id}")
-    )
+
+    def _write_stats() -> None:
+        (
+            dl.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats/batch={batch_id}")
+        )
+
+    run_concurrently([_write_dl, _write_df, _write_stats])
 
 
 def bm25_topk_indexed(

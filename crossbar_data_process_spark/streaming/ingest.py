@@ -154,8 +154,7 @@ def seed_dedup_index(
         corpus, text_col=text_col, id_col=id_col,
         n=n, num_hashes=num_hashes, bands=bands,
     )
-    for name in _INDEX_TABLES:
-        _write_batch_partition(idx[name], f"{index_dir}/{name}", seed_batch_id)
+    _write_index_tables(idx, index_dir, seed_batch_id)
     _write_index_meta(corpus.sparkSession, index_dir, n, num_hashes, bands)
 
 
@@ -231,7 +230,13 @@ def dedup_ingest_writer(
         target = sc.defaultParallelism
         if batch_df.rdd.getNumPartitions() < max(2, target // 4):
             batch_df = batch_df.repartition(target)
-        batch_df = batch_df.localCheckpoint()  # micro-batch: pin it once
+        # micro-batch: pin it once. NON-eager (r16 optimization round):
+        # an eager localCheckpoint is a dedicated job per batch; lazy
+        # folds the materialization into the first consuming job (the
+        # component probe / gold write) at identical once-computed
+        # semantics — 3 fewer job barriers per batch with `prepped` and
+        # `survivors` below on the same footing.
+        batch_df = batch_df.localCheckpoint(eager=False)
 
         # 1a. within-batch exact dedup (min-id row per fingerprint)
         w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
@@ -249,7 +254,9 @@ def dedup_ingest_writer(
         kept_ids = resolve_neardups(exact_kept, pairs, id_col=id_col).select(
             id_col
         )
-        prepped = exact_kept.join(kept_ids, id_col, "left_semi").localCheckpoint()
+        prepped = exact_kept.join(kept_ids, id_col, "left_semi").localCheckpoint(
+            eager=False
+        )
 
         # 2. flag against the persisted index, excluding our own partition
         delta_template = dedup_index(
@@ -269,7 +276,7 @@ def dedup_ingest_writer(
         )
         survivors = prepped.join(
             flags.select(id_col), id_col, "left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
         # 3. gold partition (replay overwrites exactly this batch)
         _write_batch_partition(survivors, gold_dir, batch_id)
@@ -279,10 +286,36 @@ def dedup_ingest_writer(
             survivors, text_col=text_col, id_col=id_col,
             n=n, num_hashes=num_hashes, bands=bands,
         )
-        for name in _INDEX_TABLES:
-            _write_batch_partition(delta[name], f"{index_dir}/{name}", batch_id)
+        _write_index_tables(delta, index_dir, batch_id)
 
     return _sink
+
+
+def _write_index_tables(
+    idx: dict[str, DataFrame], index_dir: str, batch_id: int
+) -> None:
+    """Write the three index tables with independent writes overlapped
+    (guide §2.6 — the r16 optimization round): the tables share only the
+    lazy-checkpointed shingle index, whose FIRST consumer must run alone
+    (the ``parallel.run_concurrently`` race-hygiene contract), so the
+    ``shingles`` write (= the checkpoint itself) pairs with the
+    checkpoint-independent ``fingerprints`` write, and ``buckets``
+    (derived FROM the materialized checkpoint) follows overlapped with
+    nothing — 3 serial write walls become ~max+1. Output is byte-wise
+    the same tables at the same paths."""
+    from crossbar_data_process_spark.parallel import run_concurrently
+
+    run_concurrently(
+        [
+            lambda: _write_batch_partition(
+                idx["shingles"], f"{index_dir}/shingles", batch_id
+            ),
+            lambda: _write_batch_partition(
+                idx["fingerprints"], f"{index_dir}/fingerprints", batch_id
+            ),
+        ]
+    )
+    _write_batch_partition(idx["buckets"], f"{index_dir}/buckets", batch_id)
 
 
 def recover_compaction(spark: SparkSession, path: str) -> dict | None:
