@@ -521,6 +521,7 @@ def neighbor_pairs_ivf(
     assign_backend: str = "jvm",
     pair_backend: str = "jvm",
     cap_stats_sink: dict | None = None,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, k-means-bucketed (the SemDeDup shape:
     Abbas et al. 2023 — cluster the corpus once, compare only WITHIN a
@@ -604,22 +605,38 @@ def neighbor_pairs_ivf(
     # ATTRIBUTE_NOT_FOUND on generated-expression sources.)
     # Materialized: the assignment (the expensive part) feeds the size
     # count AND both self-join sides — three consumers.
-    base_cols = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
-    )
-    # ONE dispatch for all assignment consumers (r13 review): backend
-    # ladder + the two_level centroid-identity guard live in
-    # assign_with_backend so no call site can drop either. (Two-level JVM
-    # rides the broadcast-join transport — plan size stays O(ntop)
-    # however large nlist grows.)
-    assigned = materialize(
-        assign_with_backend(
-            base_cols, "v", centroids,
-            two_level=two_level, backend=assign_backend,
+    if cluster_col is not None:
+        # PRE-ASSIGNED input (r16 optimization round): the caller already
+        # holds this batch's cluster assignment — materialized, computed
+        # through the same assign_with_backend dispatch (the dedup sink
+        # assigns ONCE per batch and shares it with the flag and the
+        # write). Re-assigning here would be a second full pass of the
+        # most expensive per-row arithmetic in the pipeline. The caller
+        # contract mirrors cap_stats' "assignment is deterministic": the
+        # column must be the dispatch's own output for these centroids.
+        assigned = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+            F.col(cluster_col).alias("cluster"),
         )
-    )
+    else:
+        base_cols = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+        # ONE dispatch for all assignment consumers (r13 review): backend
+        # ladder + the two_level centroid-identity guard live in
+        # assign_with_backend so no call site can drop either. (Two-level
+        # JVM rides the broadcast-join transport — plan size stays
+        # O(ntop) however large nlist grows.)
+        assigned = materialize(
+            assign_with_backend(
+                base_cols, "v", centroids,
+                two_level=two_level, backend=assign_backend,
+            )
+        )
     need_sizes = max_cluster_size is not None or shard_target is not None
     if need_sizes or cap_stats_sink is not None:
         sizes = assigned.groupBy("cluster").agg(
@@ -816,6 +833,7 @@ def semantic_dedup(
     assign_backend: str = "jvm",
     pair_backend: str = "jvm",
     cap_stats_sink: dict | None = None,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup end-to-end: k-means-bucketed cosine pairs →
     connected components → one surviving representative per semantic
@@ -848,6 +866,7 @@ def semantic_dedup(
         assign_backend=assign_backend,
         pair_backend=pair_backend,
         cap_stats_sink=cap_stats_sink,
+        cluster_col=cluster_col,
     )
     return resolve_neardups(
         vectors.select(id_col), pairs, id_col, "vec_a", "vec_b"

@@ -439,13 +439,57 @@ def ivf_ingest_writer(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         incoming = batch_df
+        # length/NULL-check at the partition-key source (r11 ADVICE): a
+        # NULL assignment lands rows under __HIVE_DEFAULT_PARTITION__ and
+        # poisons every later read of the silver. Bound in its own
+        # projection so the guard runs once per row, not once per
+        # centroid inside the assign transform (r12 review).
+        from crossbar_data_process_spark.operators.ivf import (
+            assign_with_backend,
+        )
+
+        def _assign(df: DataFrame) -> DataFrame:
+            if assign_backend == "arrow":
+                # Arrow/BLAS projection (r13) — the scale-silver posture;
+                # its python-side checks (null/length/finiteness) subsume
+                # checked_vec, and skipping the duplicate guarded column
+                # halves the vector bytes crossing the Arrow boundary
+                return assign_with_backend(
+                    df, vec_col, centroids,
+                    out_col=_CLUSTER_COL, two_level=two_level,
+                    backend="arrow",
+                )
+            bound = df.withColumn(
+                "__checked_vec",
+                checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
+            )
+            return assign_with_backend(
+                bound, "__checked_vec", centroids,
+                out_col=_CLUSTER_COL, two_level=two_level, backend="jvm",
+            ).drop("__checked_vec")
+
+        pre = None
         if dedup_threshold is not None:
+            from crossbar_data_process_spark.operators.materialize import (
+                materialize,
+            )
             from crossbar_data_process_spark.operators.similarity import (
                 semantic_dedup,
             )
 
+            # ONE assignment per batch (r16 optimization round, guide
+            # §1.2): the dedup sink previously filed the same vectors
+            # 3-4 times — within-batch candidacy, the cross-silver
+            # flag's probe side, the write, and (arrow/two-level
+            # metrics) the drift gauge each ran the full
+            # assign_with_backend pass. Assignment is the most expensive
+            # per-row arithmetic in the sink (O(√nlist·dim) per row),
+            # and all four consumers need the IDENTICAL partition by
+            # contract — so it runs once over the incoming batch,
+            # materialized, and every consumer reads the column.
+            pre = materialize(_assign(batch_df))
             survivors = semantic_dedup(
-                batch_df,
+                pre,
                 centroids,
                 threshold=dedup_threshold,
                 id_col=id_col,
@@ -458,13 +502,14 @@ def ivf_ingest_writer(
                 # arithmetic so the contract reads the same everywhere
                 assign_backend=assign_backend,
                 pair_backend=pair_backend,
+                cluster_col=_CLUSTER_COL,
             ).select(id_col)
-            batch_df = batch_df.join(survivors, id_col, "left_semi")
+            assigned = pre.join(survivors, id_col, "left_semi")
             if _has_data():
                 flags = flag_semantic_dups(
                     spark,
                     silver_dir,
-                    batch_df,
+                    assigned,
                     centroids,
                     threshold=dedup_threshold,
                     id_col=id_col,
@@ -478,35 +523,11 @@ def ivf_ingest_writer(
                     # vector where THIS sink's writer filed its landed
                     # twin, whatever engine scores the pairs
                     assign_backend=assign_backend,
+                    cluster_col=_CLUSTER_COL,
                 ).select(id_col)
-                batch_df = batch_df.join(flags, id_col, "left_anti")
-        # length/NULL-check at the partition-key source (r11 ADVICE): a
-        # NULL assignment lands rows under __HIVE_DEFAULT_PARTITION__ and
-        # poisons every later read of the silver. Bound in its own
-        # projection so the guard runs once per row, not once per
-        # centroid inside the assign transform (r12 review).
-        from crossbar_data_process_spark.operators.ivf import (
-            assign_with_backend,
-        )
-
-        if assign_backend == "arrow":
-            # Arrow/BLAS projection (r13) — the scale-silver posture; its
-            # python-side checks (null/length/finiteness) subsume
-            # checked_vec, and skipping the duplicate guarded column
-            # halves the vector bytes crossing the Arrow boundary
-            assigned = assign_with_backend(
-                batch_df, vec_col, centroids,
-                out_col=_CLUSTER_COL, two_level=two_level, backend="arrow",
-            )
+                assigned = assigned.join(flags, id_col, "left_anti")
         else:
-            bound = batch_df.withColumn(
-                "__checked_vec",
-                checked_vec(F.col(vec_col), len(centroids[0]), vec_col),
-            )
-            assigned = assign_with_backend(
-                bound, "__checked_vec", centroids,
-                out_col=_CLUSTER_COL, two_level=two_level, backend="jvm",
-            ).drop("__checked_vec")
+            assigned = _assign(batch_df)
         if quantize:
             from crossbar_data_process_spark.operators.similarity import (
                 quantize_embeddings,
@@ -597,11 +618,18 @@ def ivf_ingest_writer(
                     dot,
                 )
 
-                massigned = assign_with_backend(
-                    incoming, vec_col, centroids,
-                    out_col="__mc", two_level=two_level,
-                    backend=assign_backend,
-                )
+                if pre is not None:
+                    # dedup mode (r16): `pre` IS the dispatch's
+                    # assignment of the full incoming batch,
+                    # materialized — the gauge reads its column instead
+                    # of running a fourth assignment pass
+                    massigned = pre.withColumnRenamed(_CLUSTER_COL, "__mc")
+                else:
+                    massigned = assign_with_backend(
+                        incoming, vec_col, centroids,
+                        out_col="__mc", two_level=two_level,
+                        backend=assign_backend,
+                    )
                 top1 = dot(F.col("__u"), F.col("__mcent"))
                 gauged = _unit(massigned, vec_col, "__u").join(
                     F.broadcast(cent_df), "__mc"
@@ -1008,6 +1036,7 @@ def flag_semantic_dups(
     two_level=None,
     silver_shard_target: int = 4096,
     assign_backend: str | None = None,
+    cluster_col: str | None = None,
 ) -> DataFrame:
     """Check an embedding batch against the landed IVF silver — the
     vector twin of ``textdedup.flag_against_index``: one row per
@@ -1071,6 +1100,13 @@ def flag_semantic_dups(
     defense: tests/test_ivf_ann.py). ``None`` keeps the pre-r16
     behavior (assignment rides ``pair_backend``) for direct callers;
     ``ivf_ingest_writer`` always threads its own.
+
+    ``cluster_col`` (r16 optimization round): the batch already carries
+    its cluster assignment in this column — computed ONCE by the caller
+    through the same ``assign_with_backend`` dispatch and materialized
+    (the dedup sink's one-assignment-per-batch consolidation). The
+    probe-side assignment pass is skipped; candidacy is identical by the
+    caller contract (same dispatch, same centroids, same transport).
     """
     from crossbar_data_process_spark.operators.ivf import assign_with_backend
     from crossbar_data_process_spark.operators.similarity import dot, norm
@@ -1105,19 +1141,31 @@ def flag_semantic_dups(
     # batch assignment through THE dispatch (assign_with_backend): the
     # probe must use the same transport (two_level) AND the same
     # arithmetic engine (assign_backend) the silver was written under —
-    # a vector filed in cluster c by the writer must probe cluster c
-    probes = assign_with_backend(
-        batch_df.select(
+    # a vector filed in cluster c by the writer must probe cluster c.
+    # With `cluster_col` the caller already ran that exact dispatch once
+    # for this batch (materialized) — reuse it instead of a second
+    # full assignment pass.
+    pre_assigned = cluster_col is not None
+    if pre_assigned:
+        probes = batch_df.select(
             F.col(id_col).alias("__bid"),
             F.col(vec_col).alias("bv"),
             norm(F.col(vec_col)).alias("__bn"),
-        ),
-        "bv",
-        centroids,
-        out_col=_CLUSTER_COL,
-        two_level=two_level,
-        backend=assign_backend,
-    )
+            F.col(cluster_col).alias(_CLUSTER_COL),
+        )
+    else:
+        probes = assign_with_backend(
+            batch_df.select(
+                F.col(id_col).alias("__bid"),
+                F.col(vec_col).alias("bv"),
+                norm(F.col(vec_col)).alias("__bn"),
+            ),
+            "bv",
+            centroids,
+            out_col=_CLUSTER_COL,
+            two_level=two_level,
+            backend=assign_backend,
+        )
     if pair_backend == "arrow":
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1130,8 +1178,11 @@ def flag_semantic_dups(
 
         id_type = batch_df.schema[id_col].dataType
         # assignment feeds the cluster-set collect AND the union side —
-        # materialize so the Arrow projection runs once per batch
-        probes = materialize(probes)
+        # materialize so the Arrow projection runs once per batch. A
+        # pre-assigned batch is already materialized by the caller, and
+        # `probes` is then a cheap projection over its blocks.
+        if not pre_assigned:
+            probes = materialize(probes)
         bcl = [
             r[0] for r in probes.select(_CLUSTER_COL).distinct().collect()
         ]
