@@ -35,6 +35,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -50,18 +52,38 @@ def main() -> None:
     spark.stop()
 
     jobs: dict[int, dict] = {}
+    # Spark 4 rolling layout: eventlog_v2_<appid>/events_* ; classic: <appid>
     path = os.path.join(log_dir, app_id)
-    warm_cutoff = None
-    with open(path) as fh:
-        for line in fh:
+    if not os.path.exists(path):
+        d = os.path.join(log_dir, f"eventlog_v2_{app_id}")
+        parts = sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.startswith("events")
+        )
+    else:
+        parts = [path]
+
+    def _lines():
+        for p in parts:
+            with open(p) as fh:
+                yield from fh
+
+    if True:
+        for line in _lines():
             ev = json.loads(line)
             et = ev.get("Event")
             if et == "SparkListenerJobStart":
                 jid = ev["Job ID"]
                 props = ev.get("Properties") or {}
+                sinfos = ev.get("Stage Infos") or []
+                snames = ""
+                if sinfos:
+                    result_stage = max(
+                        sinfos, key=lambda si: si.get("Stage ID", -1)
+                    )
+                    snames = result_stage.get("Stage Name", "")
                 jobs[jid] = {
                     "start": ev["Submission Time"],
-                    "site": props.get("callSite.short", ""),
+                    "site": props.get("callSite.short", "") or snames,
                     "desc": props.get("spark.job.description", ""),
                     "stages": len(ev.get("Stage IDs", [])),
                 }
