@@ -1813,7 +1813,6 @@ def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < 10)
-    dim = e.select(F.size("embedding")).first()[0]
     # nlist scales with the corpus via THE codified posture (r16,
     # VERDICT r15 #2: suggest_nlist is the one definition of
     # E[cluster] ≈ 250 — the sink's within-batch pair stage is
@@ -1824,7 +1823,12 @@ def q73_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors.
     from crossbar_data_process_spark.operators.ivf import suggest_nlist
 
-    n = e.count()
+    # ONE setup job instead of two (r16 optimization round): the corpus
+    # count (sizes nlist) and the vector dim ride the same aggregate
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = int(row["n"]), int(row["d"])
     nl = suggest_nlist(n)
     # n_rows=n: the fit's sample path would otherwise re-count the frame
     # this query just counted to size nlist (r15 review pass 2)
@@ -3332,17 +3336,29 @@ def q64_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = os.path.join(root, "ckpt")
     os.makedirs(input_dir)
 
-    seed_dedup_index(corpus, index_dir)
+    # seed build and the two input-file stagings are mutually
+    # independent jobs — overlap them (guide §2.6, r16 optimization
+    # round); byte-wise identical outputs at identical paths
+    from crossbar_data_process_spark.parallel import run_concurrently
 
-    # one parquet FILE per micro-batch, mtimes 1000 s apart: the file
-    # stream source admits files oldest-first, so file i IS batch i
-    for i, b in enumerate((batch0, batch1)):
+    def _stage(i: int, b: DataFrame) -> None:
+        # one parquet FILE per micro-batch, mtimes 1000 s apart: the
+        # file stream source admits files oldest-first, so file i IS
+        # batch i
         staging = os.path.join(root, f"stage{i}")
         b.coalesce(1).write.mode("overwrite").parquet(staging)
         part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
         dst = os.path.join(input_dir, f"batch{i}.parquet")
         shutil.copyfile(part, dst)
         os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+
+    run_concurrently(
+        [
+            lambda: seed_dedup_index(corpus, index_dir),
+            lambda: _stage(0, batch0),
+            lambda: _stage(1, batch1),
+        ]
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
