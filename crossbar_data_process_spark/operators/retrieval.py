@@ -488,10 +488,13 @@ def compact_bm25_index(
             continue  # already a single batch — nothing to fold
         staging = f"{path}/{table}/_staging_{batch_id}"
         if table in ("df", "stats"):
-            # materialize + count: the fold READS every old batch dir —
-            # force that read to complete (into checkpoint blocks; the
-            # fold output is vocab-/1-row-sized) before any directory is
-            # touched
+            # the staging write is the read barrier for df/stats exactly
+            # as it is for tf/dl below — it reads every old batch dir to
+            # completion before any directory is touched (the marker and
+            # deletes only follow it), so the former materialize+count
+            # pre-pass was a redundant extra job per table (r16
+            # optimization round; the post-write re-list abort below is
+            # unchanged)
             fold = (
                 (lambda d: d.groupBy("term").agg(F.sum("df").alias("df")))
                 if table == "df"
@@ -502,8 +505,7 @@ def compact_bm25_index(
                     )
                 )
             )
-            folded = materialize(fold(spark.read.parquet(f"{path}/{table}")))
-            folded.count()
+            folded = fold(spark.read.parquet(f"{path}/{table}"))
             if table == "df":
                 (
                     folded.withColumn("term_bucket", _term_bucket("term"))

@@ -804,20 +804,24 @@ def test_compaction_aborts_when_batch_lands_mid_fold(
     )
     late = d.filter(F.col("doc_id") > 5)
 
-    real_materialize = retrieval.materialize
+    real_tb = retrieval._term_bucket
     fired = {"done": False}
 
-    def landing_materialize(df):
-        # a concurrent writer lands a batch while the df fold is reading
+    def landing_tb(col):
+        # a concurrent writer lands a batch inside the df fold window —
+        # after compact listed `old`, before its staging write's
+        # post-write re-list (r16: the fold's materialize+count pre-pass
+        # was removed, so the injection seam moved to _term_bucket,
+        # which the df staging write builds with inside that window)
         if not fired["done"]:
             fired["done"] = True
             bm25_index_ingest(late, path, "b_concurrent")
-        return real_materialize(df)
+        return real_tb(col)
 
-    monkeypatch.setattr(retrieval, "materialize", landing_materialize)
+    monkeypatch.setattr(retrieval, "_term_bucket", landing_tb)
     with pytest.raises(RuntimeError, match="batch set changed"):
         compact_bm25_index(spark, path)
-    monkeypatch.setattr(retrieval, "materialize", real_materialize)
+    monkeypatch.setattr(retrieval, "_term_bucket", real_tb)
     # nothing lost, nothing staged, marker never written
     assert not os.path.exists(f"{path}/_pending_compaction.json")
     assert not any(
