@@ -418,13 +418,52 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"cap_mode must be 'drop' or 'anchor', got {cap_mode!r}"
         )
-    # ONE shingle pass feeds both the signature path and the exact-Jaccard
-    # verify (r02 computed the index twice — a second full tokenize+shingle
-    # scan of the corpus). GC-managed materialization, multi-consumer.
+    idx, buckets = _lsh_index_and_buckets(
+        docs, text_col, id_col, n, num_hashes, bands
+    )
+    return _lsh_pairs_from_index(
+        idx, buckets, threshold,
+        max_bucket_size=max_bucket_size, cap_mode=cap_mode,
+        cap_stats_sink=cap_stats_sink,
+    )
+
+
+def _lsh_index_and_buckets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The MinHash pipeline's two materialized tables — the shingle index
+    (doc, sh, nsh) and the band buckets (doc, band, key) — split out of
+    :func:`minhash_lsh_pairs` (r16 optimization round) so an ingest sink
+    that needs the SAME per-doc tables again (the flag's novel side, the
+    index delta) can filter these instead of re-tokenizing the batch:
+    both are row-wise deterministic per doc, so a semi-join on the doc id
+    is value-identical to recomputation over the subset.
+
+    ONE shingle pass feeds both the signature path and the exact-Jaccard
+    verify (r02 computed the index twice — a second full tokenize+shingle
+    scan of the corpus). GC-managed materialization, multi-consumer."""
     idx = materialize(_shingle_index(docs, text_col, id_col, n))
     sigs = _signatures_from_index(idx, num_hashes)
     # GC-managed materialization — see the ngram_jaccard_pairs comment
     buckets = materialize(_band_buckets(sigs, num_hashes, bands))
+    return idx, buckets
+
+
+def _lsh_pairs_from_index(
+    idx: DataFrame,
+    buckets: DataFrame,
+    threshold: float,
+    max_bucket_size: int | None = None,
+    cap_mode: str = "drop",
+    cap_stats_sink: dict | None = None,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verify over prebuilt
+    (idx, buckets) tables — the tail of :func:`minhash_lsh_pairs`."""
     if cap_stats_sink is not None:
         cap_stats_sink.update(
             _lsh_cap_totals(buckets, max_bucket_size).collect()[0].asDict()
@@ -816,6 +855,7 @@ def flag_against_index(
     num_hashes: int = 12,
     bands: int = 6,
     threshold: float = 0.2,
+    pre: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Check an ingest batch against a :func:`dedup_index`: returns one row
     per DUPLICATE new document — (id, dup_kind 'exact'|'near', matched_doc,
@@ -830,10 +870,26 @@ def flag_against_index(
     the verify joins the corpus shingle table only for collided docs.
     (n / num_hashes / bands must match the index build — same permutation
     constants, same band keys.)
+
+    ``pre`` (r16 optimization round): a caller that ALREADY built this
+    batch's per-doc tables (the streaming sink tokenizes once per batch
+    via ``_lsh_index_and_buckets`` + carries the fingerprint column) can
+    pass ``{"fingerprints": (doc, fp), "shingles": (doc, sh, nsh),
+    "buckets": (doc, band, key)}`` frames covering a SUPERSET of
+    ``new_docs`` — each is semi-join-filtered to the relevant doc set
+    here instead of re-tokenizing/re-hashing the batch. All three are
+    row-wise deterministic per doc (same expressions, same parameters),
+    so filtering is value-identical to recomputation; the caller must
+    have built them with the SAME (n, num_hashes, bands).
     """
-    new_fp = new_docs.select(
-        F.col(id_col).alias("doc"), doc_fingerprint(text_col).alias("fp")
-    )
+    if pre is not None:
+        new_fp = pre["fingerprints"].join(
+            new_docs.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+        )
+    else:
+        new_fp = new_docs.select(
+            F.col(id_col).alias("doc"), doc_fingerprint(text_col).alias("fp")
+        )
     exact = (
         new_fp.join(
             index["fingerprints"].select(
@@ -855,11 +911,22 @@ def flag_against_index(
     novel = new_docs.join(
         exact.select(F.col(id_col)), id_col, "left_anti"
     )
-    new_idx = materialize(_shingle_index(novel, text_col, id_col, n))
-    new_sigs = _signatures_from_index(new_idx, num_hashes)
-    new_buckets = _band_buckets(new_sigs, num_hashes, bands).select(
-        F.col("doc").alias("new_doc"), "band", "key"
-    )
+    if pre is not None:
+        novel_ids = novel.select(F.col(id_col).alias("doc"))
+        # filtered views of the caller's materialized tables — consumed
+        # once each, so no extra checkpoint on top of the caller's
+        new_idx = pre["shingles"].join(novel_ids, "doc", "left_semi")
+        new_buckets = (
+            pre["buckets"]
+            .join(novel_ids, "doc", "left_semi")
+            .select(F.col("doc").alias("new_doc"), "band", "key")
+        )
+    else:
+        new_idx = materialize(_shingle_index(novel, text_col, id_col, n))
+        new_sigs = _signatures_from_index(new_idx, num_hashes)
+        new_buckets = _band_buckets(new_sigs, num_hashes, bands).select(
+            F.col("doc").alias("new_doc"), "band", "key"
+        )
     cand = (
         new_buckets.join(
             index["buckets"].select(

@@ -189,9 +189,10 @@ def dedup_ingest_writer(
     """
     from crossbar_data_process_spark.functions.text import doc_fingerprint
     from crossbar_data_process_spark.operators.textdedup import (
+        _lsh_index_and_buckets,
+        _lsh_pairs_from_index,
         dedup_index,
         flag_against_index,
-        minhash_lsh_pairs,
         resolve_neardups,
     )
 
@@ -238,19 +239,29 @@ def dedup_ingest_writer(
         # `survivors` below on the same footing.
         batch_df = batch_df.localCheckpoint(eager=False)
 
-        # 1a. within-batch exact dedup (min-id row per fingerprint)
+        # 1a. within-batch exact dedup (min-id row per fingerprint). The
+        # fingerprint column is KEPT on the survivors (r16 optimization
+        # round): the flag stage and the index delta need the same
+        # per-doc fingerprint again — carrying it forward replaces two
+        # full re-hash passes of the batch text.
         w = Window.partitionBy("__fp").orderBy(F.asc(id_col))
         exact_kept = (
             batch_df.withColumn("__fp", doc_fingerprint(text_col))
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__fp", "__rn")
+            .drop("__rn")
         )
-        # 1b. within-batch near dedup (pairs → min-id cluster survivors)
-        pairs = minhash_lsh_pairs(
-            exact_kept, text_col=text_col, id_col=id_col,
-            n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        # 1b. within-batch near dedup (pairs → min-id cluster survivors).
+        # The batch is tokenized/shingled/bucketed ONCE here (r16): the
+        # materialized (idx, buckets) tables feed the pair stage, the
+        # flag's novel side, AND the index delta below — all three are
+        # row-wise deterministic per doc, so semi-join filtering these
+        # tables is value-identical to the former per-stage recomputes
+        # (3 tokenize passes per batch → 1).
+        idx, buckets = _lsh_index_and_buckets(
+            exact_kept, text_col, id_col, n, num_hashes, bands
         )
+        pairs = _lsh_pairs_from_index(idx, buckets, threshold)
         kept_ids = resolve_neardups(exact_kept, pairs, id_col=id_col).select(
             id_col
         )
@@ -260,7 +271,7 @@ def dedup_ingest_writer(
 
         # 2. flag against the persisted index, excluding our own partition
         delta_template = dedup_index(
-            prepped, text_col=text_col, id_col=id_col,
+            prepped.drop("__fp"), text_col=text_col, id_col=id_col,
             n=n, num_hashes=num_hashes, bands=bands,
         )
         index = {
@@ -270,22 +281,34 @@ def dedup_ingest_writer(
             )
             for name in _INDEX_TABLES
         }
+        pre_fp = prepped.select(
+            F.col(id_col).alias("doc"), F.col("__fp").alias("fp")
+        )
         flags = flag_against_index(
             prepped, index, text_col=text_col, id_col=id_col,
             n=n, num_hashes=num_hashes, bands=bands, threshold=threshold,
+            pre={"fingerprints": pre_fp, "shingles": idx, "buckets": buckets},
         )
         survivors = prepped.join(
             flags.select(id_col), id_col, "left_anti"
         ).localCheckpoint(eager=False)
 
         # 3. gold partition (replay overwrites exactly this batch)
-        _write_batch_partition(survivors, gold_dir, batch_id)
+        _write_batch_partition(survivors.drop("__fp"), gold_dir, batch_id)
 
-        # 4. extend the index under the same partition key
-        delta = dedup_index(
-            survivors, text_col=text_col, id_col=id_col,
-            n=n, num_hashes=num_hashes, bands=bands,
-        )
+        # 4. extend the index under the same partition key — filtered
+        # views of the batch's one set of per-doc tables (value-identical
+        # to dedup_index(survivors): same row-wise expressions, same
+        # parameters, restricted to the surviving docs; schemas pinned by
+        # the delta_template reads above)
+        surv_ids = survivors.select(F.col(id_col).alias("doc"))
+        delta = {
+            "fingerprints": survivors.select(
+                F.col(id_col).alias("doc"), F.col("__fp").alias("fp")
+            ),
+            "buckets": buckets.join(surv_ids, "doc", "left_semi"),
+            "shingles": idx.join(surv_ids, "doc", "left_semi"),
+        }
         _write_index_tables(delta, index_dir, batch_id)
 
     return _sink
