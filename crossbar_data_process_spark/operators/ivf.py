@@ -465,20 +465,24 @@ def ivf_fit_with_diagnostics(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     driver_fit_rows: int = 2048,
+    n_rows: int | None = None,
 ) -> tuple[list[list[float]], dict[str, float]]:
     """The production fit entry: bounded-sample numpy fit AND the
     quantizer-quality gauge from the SAME collect job (one Spark job
     total — the standalone ``ivf_fit`` + ``ivf_fit_diagnostics`` pair
     would collect the md5-sample twice). Returns ``(centroids,
     diagnostics)``; feed both to :func:`write_assigned_corpus` so the
-    silver carries its own fit-quality metadata."""
+    silver carries its own fit-quality metadata. ``n_rows``: the
+    caller's already-known row count — saves the sample's own count
+    scan (the ivf_fit contract); ignored under ``sample_fraction``."""
     train = vectors
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=42)
+        n_rows = None
     train = _unit(train, vec_col, "__u").select(
         F.col(id_col).alias("__id"), "__u"
     )
-    x = _collect_unit_sample(train, max(driver_fit_rows, nlist))
+    x = _collect_unit_sample(train, max(driver_fit_rows, nlist), total=n_rows)
     centroids = _numpy_lloyds(x, nlist, iters)
     return centroids, _diagnostics_from_sample(x, centroids)
 

@@ -1626,9 +1626,14 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    # derive dim from the data (1-row bounded collect) instead of pinning
-    # 64 — testdata schemas drift between rounds (the r5 events lesson)
-    dim = e.select(F.size("embedding")).first()[0]
+    # derive dim from the data instead of pinning 64 — testdata schemas
+    # drift between rounds (the r5 events lesson). ONE setup job (r16
+    # optimization round): dim and the row count (which saves the fit
+    # sample's own count scan) ride the same aggregate.
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = int(row["n"]), int(row["d"])
     # driver_fit_rows: quantizer trains numpy-side on a bounded md5-sample
     # (ONE collect job instead of per-iteration assignment+groupBy jobs);
     # results stay brute-force-exact here because nprobe == nlist probes
@@ -1638,7 +1643,7 @@ def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver's synthetic embeddings are isotropic by construction and this
     # query probes every list, where the regime doesn't affect results.
     cents, diag = ivf_fit_with_diagnostics(
-        e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048
+        e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048, n_rows=n
     )
     # ONE pid-scoped silver dir reused (overwrite) across invocations —
     # repeated bench/correctness runs must not accumulate corpus copies in
@@ -1688,8 +1693,15 @@ def q72_ann_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    dim = e.select(F.size("embedding")).first()[0]
-    cents = ivf_fit(e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048)
+    # ONE setup job (r16): dim + row count (saves the fit sample's own
+    # count scan) in the same aggregate
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"), F.first(F.size("embedding")).alias("d")
+    ).first()
+    n, dim = int(row["n"]), int(row["d"])
+    cents = ivf_fit(
+        e, dim=dim, nlist=8, iters=2, driver_fit_rows=2048, n_rows=n
+    )
     silver = os.path.join(
         tempfile.gettempdir(), f"ann_stream_silver_q72_{os.getpid()}"
     )
