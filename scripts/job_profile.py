@@ -67,7 +67,7 @@ def main() -> None:
             with open(p) as fh:
                 yield from fh
 
-    if True:
+    if parts:
         for line in _lines():
             ev = json.loads(line)
             et = ev.get("Event")
