@@ -95,6 +95,7 @@ def test_replay_overwrites_exactly_its_own_batch(spark, clustered, centroids, tm
     assert len(after) == clustered.count()
 
 
+@pytest.mark.slow
 def test_drift_gauge_flags_an_isotropic_batch(spark, clustered, centroids, tmp_path):
     """The per-batch mean_top1 is the SAME statistic the driver-side fit
     diagnostics compute (baseline at fit time) but evaluated as a pure
@@ -357,6 +358,7 @@ def test_ivf_compaction_crash_windows_are_exactly_once(
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivf_compaction_files_per_cluster_fans_out(
     spark, clustered, centroids, tmp_path
 ):
@@ -960,6 +962,7 @@ def test_flat_silver_refuses_exclude_batch_id(
         read_assigned_silver(spark, silver, exclude_batch_id=0)
 
 
+@pytest.mark.slow
 def test_two_level_streamed_silver_equals_flat_streamed_silver(
     spark, clustered, centroids, tmp_path
 ):
@@ -1383,6 +1386,7 @@ def test_drift_verdict_ignores_empty_batches(
     assert v["mean_top1"] > 0.0
 
 
+@pytest.mark.slow
 def test_dedup_metrics_carry_n_landed(spark, clustered, centroids, tmp_path):
     """r15: in dedup mode the per-batch metrics row must say what
     SURVIVED, not just what arrived — n_landed = rows actually written,
@@ -1434,6 +1438,7 @@ def test_dedup_metrics_carry_n_landed(spark, clustered, centroids, tmp_path):
     assert "n_landed" not in pcols
 
 
+@pytest.mark.slow
 def test_dedup_rate_verdict_trips_on_a_dup_storm(
     spark, clustered, centroids, tmp_path
 ):
@@ -1718,6 +1723,7 @@ def test_maintenance_verdict_composes_all_three_loops(
     assert stormy["drop"]["drop_rate"] == 1.0
 
 
+@pytest.mark.slow
 def test_drop_window_shares_the_real_batch_timeline(
     spark, clustered, centroids, tmp_path
 ):

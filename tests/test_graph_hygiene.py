@@ -11,6 +11,8 @@ from __future__ import annotations
 import gc
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.graph.components import connected_components
@@ -37,6 +39,7 @@ def _settled_storage_delta(spark, before: int, timeout_s: float = 20.0) -> int:
     return delta
 
 
+@pytest.mark.slow
 def test_components_30_iters_storage_bounded(spark):
     # Path graph: the min label travels one hop per iteration, so a 40-node
     # path does NOT converge within 30 iterations — the loop runs all 30.
@@ -118,6 +121,7 @@ def test_components_fast_path_matches_loop(spark):
     }
 
 
+@pytest.mark.slow
 def test_pagerank_storage_bounded_and_converges(spark):
     n = 30
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id int")
@@ -132,6 +136,7 @@ def test_pagerank_storage_bounded_and_converges(spark):
     assert _settled_storage_delta(spark, before) <= 8
 
 
+@pytest.mark.slow
 def test_transitive_closure_storage_bounded(spark):
     # 18-deep chain → 17 iterations of frontier extension
     edges = spark.createDataFrame(

@@ -6,6 +6,7 @@ and the reference's drop_duplicates-returns-rows semantics
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crossbar_data_process_spark.operators.textdedup import (
@@ -113,6 +114,7 @@ def _union_find_survivors(n_docs, pair_list):
     return {min(c): len(c) for c in clusters.values()}
 
 
+@pytest.mark.slow
 @settings(
     max_examples=10,
     deadline=None,

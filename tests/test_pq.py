@@ -254,6 +254,7 @@ def test_pq_fit_rejects_bad_shapes(spark, clustered):
         pq_codebooks_fixed(DIM, m=5)
 
 
+@pytest.mark.slow
 def test_residual_pq_beats_raw_at_same_bitrate(spark, many_clusters, tmp_path):
     """FAISS-IVFPQ residual encoding in the regime it exists for:
     nlist (32) >> k (8) — raw-space books must span 32 cluster locations

@@ -62,6 +62,7 @@ def _brute_pairs(spark, corpus, threshold):
     }
 
 
+@pytest.mark.slow
 def test_pairs_recall_planted_neardups(spark, corpus, cents):
     """Every planted near-dup pair sits inside one cluster, so the
     IVF-bucketed pairs must recover >= 95% of the brute-force pair set at
@@ -181,6 +182,7 @@ def test_sharded_semantic_dedup_survivors_identical(spark, corpus, cents):
     assert base == sharded
 
 
+@pytest.mark.slow
 def test_two_level_pairs_recall(spark, corpus, cents):
     """Two-level assignment keeps SemDeDup pair recall: near-dup members
     have near-identical vectors, so both take the same probe path to the
